@@ -1,0 +1,69 @@
+"""Flagship end-to-end relational query (SURVEY.md §2.3 A5, §7 M1).
+
+The TPC-H-Q1-shaped pricing summary over ``lineitem``: scan → pushed
+filter → project → partial+final hash aggregate → sort.  This is the
+Flink `keyBy(...).aggregate(...)` pattern ([F `KeyedStream#aggregate`])
+expressed as a batch DataFrame; the streaming variant of the same
+expression tree lives in streaming/queries.py.
+
+Scale notes: the filter and the 7-column projection reach the parquet
+scan (PushedFilters/ReadSchema verified in tests/test_plans.py); the
+aggregate is a map-side partial HashAggregate before the single shuffle
+on the 6-value grouping key; no Python leaves the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_streaming_example_spark.functions.stable import (
+    sql_stable_avg,
+    sql_stable_sum,
+    stable_avg,
+    stable_sum,
+)
+from flink_streaming_example_spark.plans.registry import register
+from flink_streaming_example_spark.sources.tables import load_table
+
+_Q1_CUTOFF = "1998-09-02"
+
+_Q1_ORACLE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {sql_stable_sum("l_quantity", "sum_qty")},
+  {sql_stable_sum("l_extendedprice", "sum_base_price")},
+  {sql_stable_sum("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
+  {sql_stable_sum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge")},
+  {sql_stable_avg("l_quantity", "avg_qty")},
+  {sql_stable_avg("l_extendedprice", "avg_price")},
+  {sql_stable_avg("l_discount", "avg_disc")},
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("q_groupby_report", oracle=_Q1_ORACLE, tags=("agg", "flagship"))
+def q_groupby_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: multi-aggregate group report (TPC-H Q1 shape) over lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            stable_sum("l_quantity", "sum_qty"),
+            stable_sum("l_extendedprice", "sum_base_price"),
+            stable_sum(disc_price, "sum_disc_price"),
+            stable_sum(charge, "sum_charge"),
+            stable_avg("l_quantity", "avg_qty"),
+            stable_avg("l_extendedprice", "avg_price"),
+            stable_avg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
