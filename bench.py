@@ -1,10 +1,14 @@
-"""Benchmark runner: times every oracle-checked headline query at
-$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints ONE JSON
-line the driver records as BENCH_r{N}.json.
+"""Benchmark runner: times every registered query (oracle-checked and
+rows-only alike) at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+and prints ONE JSON line the driver records as BENCH_r{N}.json.
 
 Each query is executed to completion (collect) on a single shared
 SparkSession — session startup is excluded from per-query time but a
 cold "first job" warmup is run so JIT/codegen costs don't land on q1.
+
+A query that raises is reported in an ``errors`` list in the JSON line
+and makes the process exit nonzero, so a half-broken round can never
+masquerade as a faster one.
 """
 
 from __future__ import annotations
@@ -34,6 +38,7 @@ def main() -> None:
         pass
 
     timings: dict[str, float] = {}
+    errors: list[str] = []
     for name in sorted(specs):
         spec = specs[name]
         t0 = time.perf_counter()
@@ -41,8 +46,9 @@ def main() -> None:
             df = spec.fn(spark, SF_DIR)
             df.collect()
             timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as e:  # a broken query shouldn't zero the bench
+        except Exception as e:  # keep timing the rest, but surface it
             timings[name] = -1.0
+            errors.append(name)
             print(f"# bench error {name}: {e}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
@@ -57,10 +63,13 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "errors": errors,
                 "sf": sf,
             }
         )
     )
+    if errors:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

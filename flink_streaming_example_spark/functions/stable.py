@@ -7,6 +7,15 @@ exact binary double half-away-from-zero), sum exactly in decimal
 (order-independent), round, and cast the final value back to DOUBLE so
 both engines hand the driver a float64 column.
 
+Rounding policy: Spark's F.round on DoubleType rounds the shortest
+decimal repr (BigDecimal.valueOf, HALF_UP) while DuckDB ROUND rounds
+the exact binary double, so half-way doubles can round differently.
+Whenever a double must be rounded (stable_avg's quotient, rounded()),
+we therefore use an explicitly mirrored floor-half-up formula —
+``floor(x * 10^s + 0.5) / 10^s`` — computed with identical IEEE double
+ops in both engines, which is bit-deterministic regardless of each
+engine's round() implementation.
+
 Every helper has a Spark form and a mirrored DuckDB-SQL form; parity is
 empirically verified per-query by tests/test_parity.py on the same
 deterministic fixtures the driver uses.
@@ -24,6 +33,21 @@ def _col(c: str | Column) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+def _half_up(q: Column, scale: int) -> Column:
+    """floor(q * 10^s + 0.5) / 10^s with pure IEEE double ops.
+
+    Deterministic across engines: multiply, add, floor, divide are all
+    exactly specified by IEEE-754 given the same double input.
+    """
+    factor = float(10**scale)
+    return F.floor(q * F.lit(factor) + F.lit(0.5)).cast("double") / F.lit(factor)
+
+
+def _sql_half_up(expr: str, scale: int) -> str:
+    factor = float(10**scale)
+    return f"CAST(FLOOR(({expr}) * {factor} + 0.5) AS DOUBLE) / {factor}"
+
+
 def stable_sum(c: str | Column, alias: str, scale: int = 2) -> Column:
     """Order-independent SUM of a double expression, rounded, as double."""
     return F.round(F.sum(_col(c).cast(_DEC)), scale).cast("double").alias(alias)
@@ -37,25 +61,40 @@ def sql_stable_sum(expr: str, alias: str, scale: int = 2) -> str:
 
 
 def stable_avg(c: str | Column, alias: str, scale: int = 2) -> Column:
-    """AVG via exact decimal sum, IEEE double division, then round."""
+    """AVG via exact decimal sum, IEEE double division, half-up round.
+
+    The decimal sum is order-independent and identical in both engines;
+    casting it to double and dividing by the exact count are both
+    deterministic IEEE ops, so the quotient is bit-identical — the only
+    divergence risk was the final rounding, eliminated by _half_up.
+    """
     col = _col(c)
-    return (
-        F.round(F.sum(col.cast(_DEC)).cast("double") / F.count(col), scale)
-        .alias(alias)
-    )
+    q = F.sum(col.cast(_DEC)).cast("double") / F.count(col)
+    return _half_up(q, scale).alias(alias)
 
 
 def sql_stable_avg(expr: str, alias: str, scale: int = 2) -> str:
-    return (
-        f"ROUND(CAST(SUM(CAST(({expr}) AS DECIMAL(30,6))) AS DOUBLE)"
-        f" / COUNT({expr}), {scale}) AS {alias}"
+    q = (
+        f"CAST(SUM(CAST(({expr}) AS DECIMAL(30,6))) AS DOUBLE)"
+        f" / COUNT({expr})"
     )
+    return f"{_sql_half_up(q, scale)} AS {alias}"
+
+
+def stable_sum_int(c: str | Column, alias: str) -> Column:
+    """Exact SUM of an integer expression as BIGINT (order-independent)."""
+    return F.sum(_col(c)).cast("long").alias(alias)
+
+
+def sql_stable_sum_int(expr: str, alias: str) -> str:
+    # DuckDB SUM(BIGINT) yields HUGEINT (pandas float64) — cast back.
+    return f"CAST(SUM({expr}) AS BIGINT) AS {alias}"
 
 
 def rounded(c: str | Column, alias: str, scale: int = 2) -> Column:
-    """Round a per-row double expression (non-aggregate)."""
-    return F.round(_col(c), scale).cast("double").alias(alias)
+    """Half-up round of a per-row double expression (non-aggregate)."""
+    return _half_up(_col(c), scale).alias(alias)
 
 
 def sql_rounded(expr: str, alias: str, scale: int = 2) -> str:
-    return f"CAST(ROUND(({expr}), {scale}) AS DOUBLE) AS {alias}"
+    return f"{_sql_half_up(expr, scale)} AS {alias}"

@@ -1,0 +1,156 @@
+"""Keyed aggregations (SURVEY.md §2.3 A1-A4, A6).
+
+The Flink `keyBy(...).sum/min/max/reduce/aggregate(...)` family ([F
+`KeyedStream#sum/reduce/aggregate`]) as Catalyst hash aggregates.
+Catalyst automatically produces Flink's partial+final aggregation shape
+(map-side partial HashAggregate -> shuffle on the grouping key -> final
+HashAggregate), so the shuffle carries one row per (partition, key) —
+the right plan at any scale.
+
+Determinism: double sums/avgs go through functions/stable.py (exact
+decimal summation — order-independent, so executor merge order can't
+change the hash).  The reduce (A2) picks its survivor via a total
+struct order (value, event_id), never "first seen".
+
+Scale notes (100 TB): grouping keys here are low-cardinality (users,
+event types, flag pairs) — shuffle volume is bounded by key count, not
+input size.  count_distinct(user_id) shuffles one row per (type, user)
+pair after partial dedup; for unbounded-cardinality keys switch to
+approx_count_distinct (HLL++), which stays mergeable and fixed-size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_streaming_example_spark.functions.stable import (
+    sql_stable_avg,
+    sql_stable_sum,
+    stable_avg,
+    stable_sum,
+)
+from flink_streaming_example_spark.plans.registry import register
+from flink_streaming_example_spark.sources.tables import load_table
+
+_KEYED_AGG_ORACLE = f"""
+SELECT
+  user_id,
+  COUNT(*) AS n_events,
+  {sql_stable_sum("value", "sum_value")},
+  MIN(value) AS min_value,
+  MAX(value) AS max_value
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("q_keyed_agg", oracle=_KEYED_AGG_ORACLE, tags=("agg",))
+def q_keyed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: keyBy + rolling sum/min/max — the canonical Flink
+    `keyBy(k).sum(v)` as a hash aggregate (min/max of doubles are exact
+    order-free values; only the sum needs decimal stabilization)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        stable_sum("value", "sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+_REDUCE_ORACLE = """
+SELECT user_id, value AS max_value, event_id AS max_event_id
+FROM (
+  SELECT user_id, value, event_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY value DESC, event_id DESC
+         ) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+@register("q_keyed_reduce", oracle=_REDUCE_ORACLE, tags=("agg",))
+def q_keyed_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: keyBy + reduce — argmax as an associative reduce.  The
+    reduction function is `max` over the struct (value, event_id): a
+    commutative-associative merge (exactly what Flink requires of
+    `reduce`), with the event_id tiebreaker making the survivor
+    deterministic.  Stays a hash aggregate — no window/sort needed."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.max(F.struct("value", "event_id")).alias("m"))
+        .select(
+            "user_id",
+            F.col("m.value").alias("max_value"),
+            F.col("m.event_id").alias("max_event_id"),
+        )
+    )
+
+
+_AVG_ORACLE = f"""
+SELECT
+  event_type,
+  COUNT(*) AS n_events,
+  {sql_stable_avg("value", "avg_value")}
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("q_avg_per_key", oracle=_AVG_ORACLE, tags=("agg",))
+def q_avg_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: AggregateFunction (running average) — Flink's
+    createAccumulator/add/merge/getResult is exactly Catalyst's
+    partial/merge/final agg; avg stabilized via exact decimal sum."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"), stable_avg("value", "avg_value")
+    )
+
+
+_COUNT_DISTINCT_ORACLE = """
+SELECT
+  event_type,
+  COUNT(*) AS n_events,
+  COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("q_count_distinct", oracle=_COUNT_DISTINCT_ORACLE, tags=("agg",))
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: count / count distinct per key.  Exact distinct expands to a
+    two-phase plan (partial dedup before the shuffle); at unbounded key
+    cardinality prefer approx_count_distinct — same query shape, HLL
+    sketch merge instead of a dedup shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+    )
+
+
+_ROLLUP_ORACLE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  COUNT(*) AS n,
+  {sql_stable_sum("l_quantity", "sum_qty")}
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@register("q_rollup", oracle=_ROLLUP_ORACLE, tags=("agg",))
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: rollup — hierarchical grouping sets (flag, flag+status,
+    grand total) in one pass; Catalyst plans a single Expand + agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), stable_sum("l_quantity", "sum_qty")
+    )

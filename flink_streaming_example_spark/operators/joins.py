@@ -1,0 +1,335 @@
+"""Joins (SURVEY.md §2.5 J1-J9): equi/outer/semi/anti/theta, the
+star-schema flagship, and the stream-join family on batch semantics.
+
+Join-strategy policy (SURVEY §4): dimension tables (region, nation,
+customer, supplier, part — all bounded, O(SF^0..1) rows) are broadcast
+with an explicit `F.broadcast` hint so the fact-table side never
+shuffles for them; AQE may additionally convert residual sort-merge
+joins to broadcast at runtime.  The theta join (J4) is a
+BroadcastNestedLoopJoin with the small side broadcast — acceptable only
+because one side is a bounded dimension; never BNLJ two fact tables.
+
+Stream-join batch semantics (J6-J8): Structured Streaming's
+stream-stream join IS a plain join plus watermark-driven state cleanup
+— the same expression tree runs on readStream (streaming/queries.py).
+The batch run here is the oracle-checkable path (SURVEY §1.3).
+
+Scale notes (100 TB): lineitem⋈orders is the only fact-fact join; it
+shuffles both sides on the order key — at scale co-locate by bucketing
+both tables on orderkey to eliminate it.  The interval join (J7) is a
+key-equi join with a time-range residual: Spark shuffles on user_id and
+applies the range predicate post-join; state growth in the streaming
+variant is bounded by the watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_streaming_example_spark.functions.stable import (
+    sql_stable_sum,
+    stable_sum,
+)
+from flink_streaming_example_spark.plans.registry import register
+from flink_streaming_example_spark.sources.tables import load_table
+
+_INNER_ORACLE = """
+SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+@register("q_join_inner", oracle=_INNER_ORACLE, tags=("join",))
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: equi inner join, dimension side broadcast (BroadcastHashJoin:
+    no shuffle of the orders side)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+
+
+_LEFT_ORACLE = """
+SELECT c_custkey, c_name, o_orderkey, o_totalprice
+FROM customer LEFT JOIN (
+  SELECT * FROM orders WHERE o_totalprice > 400000
+) big ON c_custkey = big.o_custkey
+"""
+
+
+@register("q_join_left", oracle=_LEFT_ORACLE, tags=("join",))
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2a: left outer join — customers keep a NULL order side when they
+    have no qualifying (high-value) order."""
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+_FULL_ORACLE = """
+SELECT
+  COALESCE(c.nationkey, s.nationkey) AS nationkey,
+  COALESCE(c.n_customers, 0) AS n_customers,
+  COALESCE(s.n_suppliers, 0) AS n_suppliers
+FROM (SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+      FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey) c
+FULL JOIN (SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+           FROM supplier GROUP BY s_nationkey) s
+  ON c.nationkey = s.nationkey
+"""
+
+
+@register("q_join_full", oracle=_FULL_ORACLE, tags=("join",))
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2b: full outer join of two aggregated sides; missing sides
+    surface as zero counts (COALESCE'd on both engines so the output
+    schema is NULL-free and integer-typed)."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    c = (
+        cust.filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = supp.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    return c.join(s, "nationkey", "full").select(
+        "nationkey",
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+_SEMI_ORACLE = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+"""
+
+
+@register("q_join_semi", oracle=_SEMI_ORACLE, tags=("join",))
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3a: left-semi join (EXISTS) — probe side emitted at most once,
+    build side never duplicated into the output."""
+    cust = load_table(spark, sf_dir, "customer")
+    f_orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    return cust.join(
+        f_orders, cust.c_custkey == f_orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+_ANTI_ORACLE = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+"""
+
+
+@register("q_join_anti", oracle=_ANTI_ORACLE, tags=("join",))
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3b: left-anti join (NOT EXISTS) — customers with no high-value
+    order."""
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+_RANGE_ORACLE = """
+SELECT s_suppkey, c_custkey, s_acctbal, c_acctbal
+FROM supplier JOIN customer
+  ON c_acctbal > s_acctbal AND c_acctbal <= s_acctbal + 500
+"""
+
+
+@register("q_join_range", oracle=_RANGE_ORACLE, tags=("join",))
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: theta/range join (banded non-equi).  No equi key exists, so
+    this is a BroadcastNestedLoopJoin — the supplier side is a bounded
+    dimension and explicitly broadcast; never run BNLJ fact-to-fact (at
+    scale, bin the band into buckets to recover an equi key)."""
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    cond = (cust.c_acctbal > supp.s_acctbal) & (
+        cust.c_acctbal <= supp.s_acctbal + 500
+    )
+    return F.broadcast(supp).join(cust, cond).select(
+        "s_suppkey", "c_custkey", "s_acctbal", "c_acctbal"
+    )
+
+
+_STAR_ORACLE = f"""
+SELECT
+  n_name,
+  COUNT(*) AS n_lines,
+  {sql_stable_sum("l_extendedprice * (1 - l_discount)", "revenue")}
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+@register("q_star_join", oracle=_STAR_ORACLE, tags=("join", "flagship"))
+def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: multi-way star join (TPC-H Q5 shape) — THE representative
+    end-to-end query.  customer/nation/region are broadcast (three
+    BroadcastHashJoins, zero dimension shuffles); lineitem⋈orders is
+    the one shuffled join — at 100 TB, bucket both on orderkey to make
+    it co-located.  The date filter is pushed into the orders scan
+    before the join, shrinking the build side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            stable_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            ),
+        )
+    )
+
+
+_STREAM_JOIN_ORACLE = """
+SELECT c.user_id, c.wstart, COUNT(*) AS n_pairs
+FROM (SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS wstart
+      FROM events WHERE event_type = 'click') c
+JOIN (SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS wstart
+      FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.wstart = p.wstart
+GROUP BY c.user_id, c.wstart
+"""
+
+
+@register("q_stream_join", oracle=_STREAM_JOIN_ORACLE, tags=("join",))
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: stream-stream window join (batch semantics): clicks paired
+    with purchases of the same user inside the same tumbling hour —
+    window-start equality is part of the join key, exactly how the
+    Structured Streaming variant bounds its state."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.window(F.col("ts"), "1 hour")["start"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", hour.alias("wstart")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"), hour.alias("p_wstart")
+    )
+    return (
+        clicks.join(
+            purchases,
+            (clicks.user_id == purchases.p_user_id)
+            & (clicks.wstart == purchases.p_wstart),
+        )
+        .groupBy("user_id", "wstart")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+_INTERVAL_ORACLE = """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'click') c
+JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 24 HOURS
+"""
+
+
+@register("q_interval_join", oracle=_INTERVAL_ORACLE, tags=("join",))
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: interval join — purchases within 24h after each click of the
+    same user.  Equi key (user_id) + time-range residual; the streaming
+    form is the canonical SS stream-stream join whose state is GC'd by
+    the watermark at exactly this interval."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    return clicks.join(
+        purchases,
+        (clicks.user_id == purchases.p_user_id)
+        & (purchases.p_ts >= clicks.c_ts)
+        & (purchases.p_ts <= clicks.c_ts + F.expr("INTERVAL 24 HOURS")),
+    ).select("click_id", "purchase_id", "user_id")
+
+
+_ENRICH_ORACLE = """
+SELECT event_id, event_type, c_name, c_mktsegment
+FROM events JOIN customer ON user_id = c_custkey
+"""
+
+
+@register("q_enrich_join", oracle=_ENRICH_ORACLE, tags=("join",))
+def q_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: stream-static enrichment — each event looked up against the
+    bounded customer dimension (broadcast; in the streaming variant the
+    dimension is re-read per micro-batch, Flink's broadcast-state
+    pattern)."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    return ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey).select(
+        "event_id", "event_type", "c_name", "c_mktsegment"
+    )
+
+
+_ASOF_ORACLE = """
+SELECT e.event_id, e.user_id, o.o_orderdate AS last_order_date
+FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e
+ASOF LEFT JOIN orders o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
+@register("q_asof_join", oracle=_ASOF_ORACLE, tags=("join",))
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: as-of join — for each event, the most recent order of the
+    same key at-or-before the event time.  Implemented as a
+    key-equi + range join reduced by max() (partial-aggregatable, so
+    the shuffle carries one row per event); only the as-of *value*
+    (the date) is emitted, which keeps ties deterministic.  At 100 TB
+    with a dense right side, the union + last_value(ignore nulls)
+    window formulation avoids the pre-aggregation blowup."""
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        ev.join(
+            orders,
+            (ev.user_id == orders.o_custkey) & (orders.o_orderdate <= ev.ts),
+            "left",
+        )
+        .groupBy("event_id", "user_id")
+        .agg(F.max("o_orderdate").alias("last_order_date"))
+    )

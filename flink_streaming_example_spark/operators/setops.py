@@ -1,0 +1,122 @@
+"""Sorts, limits, distinct, set operations (SURVEY.md §2.6 O1-O3, O5).
+
+Scale notes (100 TB): the global sort (O1) is a range-partitioned
+exchange (Spark samples boundaries, sorts partitions independently) —
+the explicit row_number materialization is only there because the
+driver's hash check is order-insensitive; it collapses the plan to one
+partition and would NOT be part of a production sort (see docstring).
+Top-k (O2) plans as TakeOrderedAndProject: per-partition heaps, no full
+sort, no full shuffle.  distinct/intersect/except are hash aggregates /
+joins on the full row — they shuffle once on the row hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_streaming_example_spark.plans.registry import register
+from flink_streaming_example_spark.sources.tables import load_table
+
+_SORT_ORACLE = """
+SELECT
+  o_orderkey,
+  o_totalprice,
+  CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS pos
+FROM orders
+"""
+
+
+@register("q_sort", oracle=_SORT_ORACLE, tags=("setop",))
+def q_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: global sort.  The order-insensitive hash gate can't see row
+    order, so the sort is witnessed by materializing the global rank.
+    A production global sort is just `orderBy` (range exchange, fully
+    parallel); the unpartitioned row_number window here is the
+    verification encoding, not the scale path — at 100 TB you'd write
+    `orderBy(...)` alone or zipWithIndex per range partition."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return orders.select(
+        "o_orderkey", "o_totalprice", F.row_number().over(w).alias("pos")
+    )
+
+
+_TOPK_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+@register("q_topk", oracle=_TOPK_ORACLE, tags=("setop",))
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: top-k — orderBy+limit plans as TakeOrderedAndProject
+    (per-partition bounded heaps merged at the driver; never a global
+    sort).  Tiebreaker on o_orderkey makes the k-th row deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+_DISTINCT_ORACLE = """
+SELECT DISTINCT l_returnflag, l_linestatus
+FROM lineitem
+"""
+
+
+@register("q_distinct", oracle=_DISTINCT_ORACLE, tags=("setop",))
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: distinct — hash aggregate on the projected pair; partial
+    dedup runs map-side so the shuffle carries only unique pairs.
+    (Deterministic-survivor dedup-by-key lives in dedup.q_dedup_exact.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+_INTERSECT_ORACLE = """
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+"""
+
+
+@register("q_intersect", oracle=_INTERSECT_ORACLE, tags=("setop",))
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5a: intersect (distinct semantics, matching SQL INTERSECT) —
+    planned as a left-semi hash join after per-side dedup."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    big_orders = orders.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return building.intersect(big_orders)
+
+
+_EXCEPT_ORACLE = """
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+"""
+
+
+@register("q_except", oracle=_EXCEPT_ORACLE, tags=("setop",))
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5b: except (distinct semantics, matching SQL EXCEPT) — planned
+    as a left-anti hash join after per-side dedup."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    big_orders = orders.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return building.subtract(big_orders)

@@ -55,6 +55,17 @@ class CompareResult:
     detail: str = ""
 
 
+def _dtype_kinds(pdf: pd.DataFrame) -> dict[str, str]:
+    """Canonicalized per-column dtype kind: i=int, f=float, b=bool,
+    M=datetime, O=object/string — catches a DECIMAL-vs-DOUBLE skew that
+    a stringified-value compare alone would miss."""
+    kinds = {}
+    for c in pdf.columns:
+        k = pdf[c].dtype.kind
+        kinds[c] = "i" if k == "u" else k
+    return kinds
+
+
 def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> CompareResult:
     if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
         return CompareResult(
@@ -62,6 +73,16 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> Compare
             f"column mismatch: spark={sorted(spark_pdf.columns)} "
             f"oracle={sorted(oracle_pdf.columns)}",
         )
+    sk, ok_ = _dtype_kinds(spark_pdf), _dtype_kinds(oracle_pdf)
+    kind_diffs = {
+        c: (sk[c], ok_[c])
+        for c in sk
+        # object columns can hold anything (e.g. all-None); only flag
+        # concrete-kind disagreements.
+        if sk[c] != ok_[c] and "O" not in (sk[c], ok_[c])
+    }
+    if kind_diffs:
+        return CompareResult(False, f"dtype-kind mismatch: {kind_diffs}")
     if len(spark_pdf) != len(oracle_pdf):
         return CompareResult(
             False, f"row count: spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
@@ -83,7 +104,10 @@ def run_oracle_check(spark, con, spec: QuerySpec, sf_dir: str) -> CompareResult:
     sdf = spec.fn(spark, sf_dir)
     spark_pdf = sdf.toPandas()
     if spec.oracle is None:
-        ok = len(spark_pdf) >= 0  # rows-only: must run and be well-formed
+        # Rows-only keys must still produce something: >0 rows and a
+        # non-empty schema (a vacuous len>=0 check would green-light a
+        # broken query).
+        ok = len(spark_pdf) > 0 and len(spark_pdf.columns) > 0
         return CompareResult(ok, f"rows-only: {len(spark_pdf)} rows")
     oracle_pdf = con.execute(spec.oracle).df()
     return compare_frames(spark_pdf, oracle_pdf)
