@@ -1,0 +1,326 @@
+"""Windows (SURVEY.md §2.4): event-time windows W1-W4 on batch
+semantics, and batch OVER-window functions W8-W11.
+
+Event-time windows are THE heart of the Flink reference ([F
+`TumblingEventTimeWindows` / `SlidingEventTimeWindows` /
+`EventTimeSessionWindows` / `KeyedStream#countWindow`]).  Spark's
+`window()` / `session_window()` grouping expressions run identically on
+batch and streaming DataFrames (SURVEY §1.3) — the batch run here is
+the oracle-checkable path; streaming/queries.py re-runs the same
+expressions on readStream.
+
+Timestamp discipline: events.ts is ns in parquet, truncated to µs at
+the source (sources/tables.py); every oracle casts `ts` to DuckDB
+TIMESTAMP (µs) so both engines window the same instants.
+
+Boundary semantics pinned down for the oracles:
+- tumbling/sliding starts are epoch-aligned (and DuckDB time_bucket's
+  2000-01-03 origin is midnight-aligned, so 12h/1d buckets agree);
+- a session closes when the next event is >= gap after the previous
+  one (Spark's session window is [start, last+gap) with an exclusive
+  end), hence `>= INTERVAL` in the gaps-and-islands oracle.
+
+Scale notes (100 TB): window aggregates shuffle on (window, key) — the
+window id is derived, so cardinality = keys x active windows, not input
+rows; partial aggregation runs map-side.  The count window (W4) needs a
+per-key row_number (one shuffle + per-key sort) — no SS equivalent
+exists (count triggers), streaming would use transformWithState.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_streaming_example_spark.functions.stable import (
+    sql_stable_sum,
+    stable_sum,
+)
+from flink_streaming_example_spark.plans.registry import register
+from flink_streaming_example_spark.sources.tables import load_table
+
+_DEC = "decimal(30,6)"
+
+_TUMBLING_ORACLE = f"""
+SELECT
+  date_trunc('day', CAST(ts AS TIMESTAMP)) AS wstart,
+  event_type,
+  COUNT(*) AS n_events,
+  {sql_stable_sum("value", "sum_value")}
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("q_tumbling_window", oracle=_TUMBLING_ORACLE, tags=("window",))
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: tumbling event-time window (1 day) per event_type — Flink's
+    `keyBy(type).window(TumblingEventTimeWindows.of(days(1))).sum(v)`.
+    Epoch-aligned `window()` start == date_trunc('day') in the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            stable_sum("value", "sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("wstart"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_SLIDING_ORACLE = f"""
+SELECT wstart, COUNT(*) AS n_events, {sql_stable_sum("value", "sum_value")}
+FROM (
+  SELECT
+    unnest([
+      time_bucket(INTERVAL '12 hours', CAST(ts AS TIMESTAMP)),
+      time_bucket(INTERVAL '12 hours', CAST(ts AS TIMESTAMP)) - INTERVAL '12 hours'
+    ]) AS wstart,
+    value
+  FROM events
+)
+GROUP BY wstart
+"""
+
+
+@register("q_sliding_window", oracle=_SLIDING_ORACLE, tags=("window",))
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: sliding window (size 1 day, slide 12h) — each event lands in
+    exactly size/slide = 2 windows; the oracle replays that expansion
+    with an explicit unnest of the two candidate window starts."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day", "12 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            stable_sum("value", "sum_value"),
+        )
+        .select(F.col("w.start").alias("wstart"), "n_events", "sum_value")
+    )
+
+
+_SESSION_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+), flagged AS (
+  SELECT *,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+          OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             >= INTERVAL '6 hours'
+         THEN 1 ELSE 0 END AS new_session
+  FROM e
+), numbered AS (
+  SELECT *,
+    SUM(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS session_id
+  FROM flagged
+)
+SELECT
+  user_id,
+  MIN(ts) AS session_start,
+  MAX(ts) + INTERVAL '6 hours' AS session_end,
+  COUNT(*) AS n_events,
+  {sql_stable_sum("value", "sum_value")}
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
+
+@register("q_session_window", oracle=_SESSION_ORACLE, tags=("window",))
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: session window (6h inactivity gap) per user — Flink's
+    `EventTimeSessionWindows.withGap`.  The oracle is the classic
+    gaps-and-islands rewrite; session_end = last event + gap matches
+    Spark's [start, last+gap) window struct."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "6 hours").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            stable_sum("value", "sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_COUNT_WINDOW_ORACLE = f"""
+WITH numbered AS (
+  SELECT user_id, value,
+    ROW_NUMBER() OVER (
+      PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+    ) AS rn
+  FROM events
+)
+SELECT
+  user_id,
+  CAST(FLOOR((rn - 1) / 5) AS BIGINT) AS win_id,
+  COUNT(*) AS n_events,
+  {sql_stable_sum("value", "sum_value")}
+FROM numbered
+GROUP BY user_id, win_id
+"""
+
+
+@register("q_count_window", oracle=_COUNT_WINDOW_ORACLE, tags=("window",))
+def q_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: count window (every 5 records per key, batch semantics) —
+    Flink's `countWindow(5)`; window id = floor(rank/5) over the
+    deterministic (ts, event_id) order.  No SS equivalent (count
+    triggers); the streaming path would be transformWithState."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rn = F.row_number().over(w)
+    return (
+        ev.withColumn("win_id", F.floor((rn - 1) / 5))
+        .groupBy("user_id", "win_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            stable_sum("value", "sum_value"),
+        )
+    )
+
+
+_RANK_ORACLE = """
+SELECT
+  p_partkey, p_brand, p_retailprice,
+  CAST(ROW_NUMBER() OVER w_total AS INTEGER) AS rn,
+  CAST(RANK() OVER w_price AS INTEGER) AS rnk,
+  CAST(DENSE_RANK() OVER w_price AS INTEGER) AS drnk,
+  CAST(NTILE(4) OVER w_total AS INTEGER) AS quartile
+FROM part
+WINDOW
+  w_total AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey),
+  w_price AS (PARTITION BY p_brand ORDER BY p_retailprice DESC)
+"""
+
+
+@register("q_rank", oracle=_RANK_ORACLE, tags=("window",))
+def q_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8: ranking functions per group.  row_number/ntile use a total
+    order (price, partkey tiebreaker); rank/dense_rank use the
+    price-only order so ties actually exercise their semantics."""
+    part = load_table(spark, sf_dir, "part")
+    w_total = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    w_price = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc())
+    return part.select(
+        "p_partkey",
+        "p_brand",
+        "p_retailprice",
+        F.row_number().over(w_total).alias("rn"),
+        F.rank().over(w_price).alias("rnk"),
+        F.dense_rank().over(w_price).alias("drnk"),
+        F.ntile(4).over(w_total).alias("quartile"),
+    )
+
+
+_LAG_LEAD_ORACLE = """
+SELECT
+  event_id, user_id,
+  lag(value)  OVER w AS prev_value,
+  lead(value) OVER w AS next_value,
+  first_value(event_id) OVER w AS first_event_id,
+  last_value(event_id) OVER (
+    PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+  ) AS last_event_id
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+"""
+
+
+@register("q_lag_lead", oracle=_LAG_LEAD_ORACLE, tags=("window",))
+def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9: analytic functions — lag/lead/first/last per user in event
+    order.  last_value needs the unbounded-following frame (the default
+    frame stops at CURRENT ROW in both engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("event_id").over(w).alias("first_event_id"),
+        F.last("event_id").over(w_full).alias("last_event_id"),
+    )
+
+
+_MOVING_ORACLE = f"""
+SELECT
+  event_id, user_id,
+  CAST(SUM(CAST(value AS {_DEC})) OVER w AS DOUBLE) AS mov_sum,
+  CAST(SUM(CAST(value AS {_DEC})) OVER w AS DOUBLE) / COUNT(value) OVER w
+    AS mov_avg
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+)
+"""
+
+
+@register("q_moving_avg", oracle=_MOVING_ORACLE, tags=("window",))
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W10: framed aggregates — 4-row moving sum/avg per user.  The
+    frame sum runs in exact decimal (engines may accumulate frames in
+    different orders; decimal is order-free), then one deterministic
+    IEEE division for the mean."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    sum_dec = F.sum(F.col("value").cast(_DEC)).over(w).cast("double")
+    return ev.select(
+        "event_id",
+        "user_id",
+        sum_dec.alias("mov_sum"),
+        (sum_dec / F.count("value").over(w)).alias("mov_avg"),
+    )
+
+
+_TOPK_GROUP_ORACLE = """
+SELECT event_type, event_id, value, CAST(rn AS INTEGER) AS rn
+FROM (
+  SELECT event_type, event_id, value,
+    ROW_NUMBER() OVER (
+      PARTITION BY event_type ORDER BY value DESC, event_id
+    ) AS rn
+  FROM events
+)
+WHERE rn <= 3
+"""
+
+
+@register("q_topk_per_group", oracle=_TOPK_GROUP_ORACLE, tags=("window",))
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W11: top-k per group — row_number <= k over (value desc,
+    event_id) with the tiebreaker making the cut deterministic.  Spark
+    plans a per-key sort after one shuffle; AQE handles skewed keys."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return (
+        ev.select(
+            "event_type", "event_id", "value", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 3)
+    )
