@@ -1,0 +1,248 @@
+"""Similarity search over embeddings (SURVEY.md §2.9 L3, L6).
+
+Cosine similarity is computed entirely with array expressions
+(`transform`/`zip_with`/`aggregate` — SURVEY §2.7): the fold stays in
+whole-stage codegen, no Python, no UDF.  Norms are precomputed per side
+BEFORE the join so the pair computation is one dot product, not three.
+
+Determinism: ranking and output use cosine half-up-rounded at 1e-4 with
+a vec_id tiebreaker — engines may differ in the last ulp of a 64-term
+float fold, and the rounding plus total order make top-k cuts stable.
+
+Scale notes (100 TB): the committed exact path broadcasts the QUERY
+side (queries are few; the corpus streams by partition — brute-force
+cosine is one scan, embarrassingly parallel: this is the right baseline
+even at scale).  The scale path for corpus×corpus or huge query sets is
+IVF/LSH bucketing: BucketedRandomProjectionLSH (random hyperplanes) or
+k-means coarse quantizer to bucket vectors, then the same expression
+within buckets.  q_knn_ivf implements that shape with a deterministic
+coarse quantizer (seeded centroids) so the bucketed plan is exercised
+and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_streaming_example_spark.plans.registry import register
+from flink_streaming_example_spark.sources.tables import load_table
+
+
+def _dot(a: str | Column, b: str | Column) -> Column:
+    """Sequential left-fold dot product in double (JVM expression)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _as_double(col: str) -> Column:
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def _round4(c: Column) -> Column:
+    return F.floor(c * F.lit(10000.0) + F.lit(0.5)).cast("double") / F.lit(10000.0)
+
+
+_KNN_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+), scored AS (
+  SELECT
+    q.vec_id AS query_id,
+    c.vec_id AS neighbor_id,
+    CAST(FLOOR(
+      (list_dot_product(q.v, c.v) / (q.nrm * c.nrm)) * 10000.0 + 0.5
+    ) AS DOUBLE) / 10000.0 AS cos_sim
+  FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INTEGER) AS rn
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+  ) AS rn
+  FROM scored
+)
+WHERE rn <= 5
+"""
+
+
+@register("q_knn_cosine", oracle=_KNN_ORACLE, tags=("similarity",))
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: exact top-5 cosine neighbors for each of 10 query vectors —
+    brute-force baseline: broadcast the tiny query side, stream the
+    corpus, one partial top-k per partition after the window filter."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", _as_double("embedding").alias("v")).withColumn(
+        "nrm", F.sqrt(_dot("v", "v"))
+    )
+    q = (
+        e.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
+    )
+    scored = (
+        F.broadcast(q)
+        .join(e, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _round4(_dot("qv", "v") / (F.col("qn") * F.col("nrm"))).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.select(
+        "query_id", "neighbor_id", "cos_sim", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 5)
+
+
+_IVF_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+         vec_id % 8 AS bucket
+  FROM e
+), scored AS (
+  SELECT
+    q.vec_id AS query_id,
+    c.vec_id AS neighbor_id,
+    CAST(FLOOR(
+      (list_dot_product(q.v, c.v) / (q.nrm * c.nrm)) * 10000.0 + 0.5
+    ) AS DOUBLE) / 10000.0 AS cos_sim
+  FROM n q JOIN n c ON q.bucket = c.bucket
+   AND q.vec_id < 10 AND c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INTEGER) AS rn
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+  ) AS rn
+  FROM scored
+)
+WHERE rn <= 5
+"""
+
+
+@register("q_knn_ivf", oracle=_IVF_ORACLE, tags=("similarity", "approx"))
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3b: bucketed (IVF-shaped) approximate top-k — candidates are
+    restricted to the query's bucket, so the pair join is an equi-join
+    on bucket id: THE structural difference that makes ANN scale (the
+    shuffle key is the bucket, pair count drops by ~#buckets).
+
+    The bucket assignment here is a deterministic stand-in (vec_id % 8)
+    so recall-vs-exact is measurable and the oracle is exact; a real
+    deployment assigns buckets by nearest coarse centroid (k-means) or
+    hyperplane signs (BucketedRandomProjectionLSH) — same join shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = (
+        emb.select("vec_id", _as_double("embedding").alias("v"))
+        .withColumn("nrm", F.sqrt(_dot("v", "v")))
+        .withColumn("bucket", F.col("vec_id") % 8)
+    )
+    q = (
+        e.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            F.col("bucket").alias("qbucket"),
+        )
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            e,
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _round4(_dot("qv", "v") / (F.col("qn") * F.col("nrm"))).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.select(
+        "query_id", "neighbor_id", "cos_sim", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 5)
+
+
+_CENTROID_ORACLE = """
+WITH ex AS (
+  SELECT label, vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+), cent AS (
+  SELECT label, pos,
+    CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS c
+  FROM ex GROUP BY label, pos
+), dist AS (
+  SELECT ex.label, ex.vec_id,
+    sqrt(CAST(SUM(CAST((x - c) * (x - c) AS DECIMAL(30,18))) AS DOUBLE))
+      AS d
+  FROM ex JOIN cent ON ex.label = cent.label AND ex.pos = cent.pos
+  GROUP BY ex.label, ex.vec_id
+)
+SELECT
+  label,
+  COUNT(*) AS n_vecs,
+  CAST(FLOOR(
+    (CAST(SUM(CAST(d AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*))
+    * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS avg_dist
+FROM dist
+GROUP BY label
+"""
+
+
+@register("q_centroid_dist", oracle=_CENTROID_ORACLE, tags=("similarity",))
+def q_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6: per-label centroid + mean member distance (clustering-lite
+    quality metric).  posexplode -> (label, pos) mean -> rejoin ->
+    per-vector L2 -> per-label mean; every float reduction is an exact
+    decimal sum so distributed merge order can't shift the hash.  The
+    (label, pos) shuffle carries #labels x 64 rows — constant in input
+    size; the rejoin broadcasts the centroid table."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", "vec_id", F.posexplode("embedding").alias("pos", "xf")
+    ).select("label", "vec_id", "pos", F.col("xf").cast("double").alias("x"))
+    cent = ex.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("x").cast("decimal(30,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    diff_sq = (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
+    dist = (
+        ex.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("label", "vec_id")
+        .agg(
+            F.sqrt(
+                F.sum(diff_sq.cast("decimal(30,18)")).cast("double")
+            ).alias("d")
+        )
+    )
+    avg_d = F.sum(F.col("d").cast("decimal(30,12)")).cast("double") / F.count(
+        F.lit(1)
+    )
+    return dist.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        (
+            F.floor(avg_d * F.lit(1000000.0) + F.lit(0.5)).cast("double")
+            / F.lit(1000000.0)
+        ).alias("avg_dist"),
+    )

@@ -1,0 +1,199 @@
+"""Text analysis for LLM data pipelines (SURVEY.md §2.9 L4).
+
+Word count is the identity query of every flink-streaming-example
+(`flatMap(tokenize).keyBy(word).sum(1)` [F `DataStream#flatMap`]); here
+it is explode(split) + hash aggregate — partial counts map-side, the
+shuffle carries one row per distinct token per partition.
+
+Also: per-language corpus stats, per-document quality scoring, content
+fingerprinting, and a marker-based language-ID heuristic.  All are
+single-pass, expression-only (no Python), and oracle-checked.
+
+Scale notes (100 TB): every query here is scan -> narrow transforms ->
+one hash aggregate keyed on bounded-or-slowly-growing keys (tokens,
+langs, fingerprints).  Token explosion multiplies rows ~#tokens/doc
+before the partial agg, but never materializes through a shuffle larger
+than the distinct-token count.  The lang-ID heuristic is a stand-in for
+a real n-gram-profile/fastText-style classifier — that would be a
+broadcast model + Pandas UDF; the marker CASE keeps this row fully
+verifiable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_streaming_example_spark.plans.registry import register
+from flink_streaming_example_spark.sources.tables import load_table
+
+_WORDCOUNT_ORACLE = """
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+GROUP BY token
+"""
+
+
+@register("q_wordcount", oracle=_WORDCOUNT_ORACLE, tags=("text", "flagship"))
+def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4a: word count — THE canonical streaming-example query."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_LANG_STATS_ORACLE = """
+SELECT
+  lang,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_chars,
+  COUNT(DISTINCT source) AS n_sources,
+  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("q_lang_stats", oracle=_LANG_STATS_ORACLE, tags=("text",))
+def q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4b: per-language corpus stats — integer sums are exact in both
+    engines, and the mean is one deterministic IEEE division."""
+    docs = load_table(spark, sf_dir, "documents")
+    sum_chars = F.sum("n_chars").cast("long")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        sum_chars.alias("total_chars"),
+        (sum_chars.cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.count_distinct(F.col("source")).alias("n_sources"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias(
+            "total_tokens"
+        ),
+    )
+
+
+_QUALITY_ORACLE = """
+SELECT
+  doc_id,
+  n_tokens,
+  CAST(length(text) - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,
+  CAST(n_short AS DOUBLE) / n_tokens AS short_ratio,
+  CAST(FLOOR(
+    (least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.7
+     + least((CAST(length(text) - (n_tokens - 1) AS DOUBLE) / n_tokens)
+             / 10.0, 1.0) * 0.3) * 10000.0 + 0.5
+  ) AS DOUBLE) / 10000.0 AS quality_score
+FROM (
+  SELECT
+    doc_id, text,
+    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+    CAST(len(list_filter(string_split(lower(text), ' '),
+                         x -> length(x) <= 3)) AS INTEGER) AS n_short
+  FROM documents
+)
+"""
+
+
+@register("q_doc_quality", oracle=_QUALITY_ORACLE, tags=("text",))
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4c: per-document quality scoring — token count, mean token
+    length, short-token ratio, and a bounded composite score (the
+    length/stopword-ratio family of pretraining-data filters), all as
+    deterministic arithmetic mirrored exactly in the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.split(F.col("text"), " ")
+    n_tokens = F.size(tokens)
+    n_short = F.size(
+        F.filter(F.split(F.lower(F.col("text")), " "), lambda x: F.length(x) <= 3)
+    )
+    base = docs.select(
+        "doc_id",
+        F.col("text"),
+        n_tokens.alias("n_tokens"),
+        n_short.alias("n_short"),
+    )
+    avg_token_len = (
+        (F.length("text") - (F.col("n_tokens") - 1)).cast("double")
+        / F.col("n_tokens")
+    )
+    raw_score = (
+        F.least(F.col("n_tokens").cast("double") / 100.0, F.lit(1.0)) * 0.7
+        + F.least(avg_token_len / 10.0, F.lit(1.0)) * 0.3
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        avg_token_len.alias("avg_token_len"),
+        (F.col("n_short").cast("double") / F.col("n_tokens")).alias("short_ratio"),
+        (
+            F.floor(raw_score * F.lit(10000.0) + F.lit(0.5)).cast("double")
+            / F.lit(10000.0)
+        ).alias("quality_score"),
+    )
+
+
+_FINGERPRINT_ORACLE = """
+SELECT
+  md5(substring(text, 1, 60)) AS fingerprint,
+  COUNT(*) AS n_docs,
+  MIN(doc_id) AS first_doc
+FROM documents
+GROUP BY fingerprint
+"""
+
+
+@register("q_doc_fingerprint", oracle=_FINGERPRINT_ORACLE, tags=("text",))
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4d: document fingerprinting — digest of the leading 60-char
+    chunk groups shared-prefix near-dups (the fixture plants 23 such
+    groups).  A production pipeline fingerprints several rolling
+    chunks per doc; one chunk keeps the oracle 1:1."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.md5(F.substring("text", 1, 60)).alias("fingerprint"), "doc_id"
+        )
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+    )
+
+
+_LANG_ID_ORACLE = """
+SELECT
+  doc_id,
+  lang,
+  CASE
+    WHEN contains(text, ' der ') OR contains(text, ' und ') THEN 'de'
+    WHEN contains(text, ' el ') OR contains(text, ' los ') THEN 'es'
+    WHEN contains(text, ' le ') OR contains(text, ' les ') THEN 'fr'
+    WHEN contains(text, ' 的 ') THEN 'zh'
+    ELSE 'en'
+  END AS guessed_lang
+FROM documents
+"""
+
+
+@register("q_lang_id", oracle=_LANG_ID_ORACLE, tags=("text",))
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4e: language-ID heuristic — stopword-marker CASE chain (the
+    fixture corpus is synthetic English-ish, so this mostly answers
+    'en'; the value is the verified plumbing: a real n-gram-profile or
+    fastText scorer slots into the same select as a broadcast-model
+    Pandas UDF)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(t.contains(" der ") | t.contains(" und "), "de")
+        .when(t.contains(" el ") | t.contains(" los "), "es")
+        .when(t.contains(" le ") | t.contains(" les "), "fr")
+        .when(t.contains(" 的 "), "zh")
+        .otherwise("en")
+        .alias("guessed_lang"),
+    )
