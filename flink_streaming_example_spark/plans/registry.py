@@ -24,6 +24,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _REGISTRY: dict[str, "QuerySpec"] = {}
 
 # Modules whose import registers queries (side-effect registration).
+# All are REQUIRED: a missing module is a broken build, not a pending
+# one — ModuleNotFoundError propagates.
 _OPERATOR_MODULES: tuple[str, ...] = (
     "flink_streaming_example_spark.operators.relational",
     "flink_streaming_example_spark.operators.transforms",
@@ -68,11 +70,5 @@ def register(
 def all_specs() -> dict[str, QuerySpec]:
     """Import all operator modules (idempotent) and return the registry."""
     for mod in _OPERATOR_MODULES:
-        try:
-            importlib.import_module(mod)
-        except ModuleNotFoundError as e:
-            # Tolerate not-yet-written modules during incremental builds,
-            # but never mask a typo'd import inside an existing module.
-            if e.name != mod:
-                raise
+        importlib.import_module(mod)
     return dict(_REGISTRY)

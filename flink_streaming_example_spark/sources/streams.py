@@ -1,0 +1,160 @@
+"""Streaming sources & sinks (SURVEY.md §2.1 S2-S9).
+
+Flink-surface mapping, one constructor per reference pattern:
+
+  S2 fromElements/fromCollection -> collection_source (bounded batch DF)
+  S3 socketTextStream            -> socket_source
+  S4 KafkaSource                 -> kafka_source (no broker in this
+     env: the reader is configured but unstartable; events_file_replay
+     is the replay-equivalent used by every test/query)
+  S5 DataGeneratorSource         -> rate_source (rate rows shaped to
+     the events schema)
+  S6 print()                     -> print_sink (console)
+  S7 KafkaSink                   -> kafka_sink (same broker caveat)
+  S8 FileSink                    -> file_sink (parquet + checkpoint)
+  S9 addSink/SinkFunction        -> foreach_batch_sink (the generic
+     escape hatch: arbitrary per-micro-batch logic, also how side
+     outputs/multi-sink fan-out is done in Structured Streaming)
+
+Scale notes (100 TB): the file-replay source is partition-parallel
+(one task per file split); Kafka parallelism = topic partitions.  Every
+sink goes through the checkpoint WAL for exactly-once (file/Kafka) or
+at-least-once (foreachBatch with idempotent writes) semantics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import DataStreamWriter
+
+from flink_streaming_example_spark.session import ensure_session_confs
+from flink_streaming_example_spark.sources.tables import SCHEMAS
+
+
+def collection_source(
+    spark: SparkSession, rows: Iterable, schema
+) -> DataFrame:
+    """S2: bounded in-memory source (Flink fromElements) — test util."""
+    return spark.createDataFrame(list(rows), schema)
+
+
+def socket_source(spark: SparkSession, host: str, port: int) -> DataFrame:
+    """S3: line-delimited socket text stream (value: string).
+
+    Connects when the streaming query STARTS, not here."""
+    return (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+
+
+def rate_source(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """S5: generated source shaped to the events schema (synthetic ids,
+    cycling event types, deterministic value function of the counter)."""
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )  # columns: timestamp, value (monotonic long)
+    types = F.array(
+        F.lit("click"), F.lit("view"), F.lit("purchase"),
+        F.lit("signup"), F.lit("error"),
+    )
+    return rate.select(
+        F.col("value").alias("event_id"),
+        F.col("timestamp").cast("timestamp_ntz").alias("ts"),
+        (F.col("value") % 150).alias("user_id"),
+        F.element_at(types, (F.col("value") % 5 + 1).cast("int")).alias(
+            "event_type"
+        ),
+        (F.pmod(F.col("value") * 37, F.lit(200)).cast("double")).alias("value"),
+        F.to_json(F.struct((F.col("value") % 100).cast("int").alias("k"))).alias(
+            "props"
+        ),
+    )
+
+
+def events_file_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 (replay path): stream the events fixture through the file
+    source — the broker-less stand-in for a Kafka topic; identical
+    downstream pipeline, same ns->µs conversion as the batch loader."""
+    ensure_session_confs(spark)
+    # The streaming file source takes a directory; glob-filter to the
+    # events file so sibling tables aren't picked up.
+    df = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # TIMESTAMP (not NTZ): watermarks require an instant type; the
+    # session timezone is pinned UTC so wall-clock values match the
+    # batch loader's NTZ column exactly.
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def kafka_source(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    value_schema: str,
+):
+    """S4: Kafka JSON topic -> typed rows.  Raises a clear error in
+    this environment (no Kafka connector jar / no broker); use
+    events_file_replay for an identical-pipeline bounded replay."""
+    try:
+        raw = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", topic)
+            .load()
+        )
+    except Exception as e:  # missing spark-sql-kafka package
+        raise RuntimeError(
+            "Kafka connector unavailable in this environment; use "
+            "events_file_replay() for a bounded replay of the same pipeline"
+        ) from e
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), value_schema).alias("r")
+    ).select("r.*")
+
+
+def print_sink(df: DataFrame, num_rows: int = 20) -> DataStreamWriter:
+    """S6: console sink (Flink print())."""
+    return df.writeStream.format("console").option("numRows", num_rows)
+
+
+def file_sink(df: DataFrame, path: str, checkpoint: str) -> DataStreamWriter:
+    """S8: rolling parquet files with exactly-once via the checkpoint
+    WAL (Flink FileSink)."""
+    return (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+def kafka_sink(
+    df: DataFrame, bootstrap_servers: str, topic: str, checkpoint: str
+) -> DataStreamWriter:
+    """S7: Kafka sink — serialize rows to JSON 'value'.  Same
+    no-broker caveat as kafka_source; configuration is real."""
+    out = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    return (
+        out.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+def foreach_batch_sink(
+    df: DataFrame, fn: Callable[[DataFrame, int], None]
+) -> DataStreamWriter:
+    """S9: generic per-micro-batch sink (Flink SinkFunction) — fn gets
+    (batch_df, batch_id); also the fan-out path for side outputs."""
+    return df.writeStream.foreachBatch(fn)

@@ -1,0 +1,172 @@
+"""Streaming query variants (SURVEY.md §7 M4): the same expression
+trees as the batch operators, executed as Structured Streaming jobs
+over a bounded file replay of events.parquet, drained with
+trigger(availableNow) into a memory sink, and returned as a DataFrame.
+
+Because the replay is bounded and deterministic, the streaming results
+equal the batch results (Structured Streaming's prefix-consistency),
+which makes even these keys ORACLE-CHECKABLE — the driver hash-compares
+a query that really ran through IncrementalExecution, watermarks, and
+the state store against plain DuckDB SQL.
+
+Execution notes: the fixture is one parquet file, so availableNow
+drains in a single micro-batch (maxFilesPerTrigger cannot split it);
+the stateful-counter key relies on that for its emit-once-per-key
+output (documented on the query).  'complete' output mode is used for
+windowed aggregation so closed-and-open windows alike are emitted
+without waiting on watermark advancement past the last event.
+
+Scale notes (100 TB): memory sinks are test harness only — production
+sinks are file/Kafka/foreachBatch (sources/streams.py).  State store:
+use the RocksDB provider for large keyed state; watermark bounds state
+for dedup/joins/windows exactly as configured here.
+"""
+
+from __future__ import annotations
+
+import itertools
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_streaming_example_spark.functions.stable import (
+    sql_stable_sum,
+    stable_sum,
+)
+from flink_streaming_example_spark.plans.registry import register
+from flink_streaming_example_spark.sources.streams import events_file_replay
+
+_run_ids = itertools.count()
+
+
+def run_to_memory(
+    df: DataFrame, spark: SparkSession, output_mode: str = "append"
+) -> DataFrame:
+    """Drain a bounded streaming DataFrame into a memory sink
+    (availableNow) and return the materialized result table."""
+    name = f"stream_result_{next(_run_ids)}"
+    query = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
+
+
+_STREAM_TUMBLING_ORACLE = f"""
+SELECT
+  date_trunc('day', CAST(ts AS TIMESTAMP)) AS wstart,
+  event_type,
+  COUNT(*) AS n_events,
+  {sql_stable_sum("value", "sum_value")}
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "q_streaming_tumbling",
+    oracle=_STREAM_TUMBLING_ORACLE,
+    tags=("streaming",),
+)
+def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1-streaming: the tumbling-window aggregate actually executed as
+    a Structured Streaming job (readStream -> watermark -> window agg
+    -> memory sink).  Equals the batch q_tumbling_window result —
+    asserted in tests and by the driver's oracle hash."""
+    ev = events_file_replay(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            stable_sum("value", "sum_value"),
+        )
+        .select(
+            # back to NTZ so the schema matches the batch/oracle side
+            F.col("w.start").cast("timestamp_ntz").alias("wstart"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_to_memory(agg, spark, output_mode="complete")
+
+
+_STREAM_DEDUP_ORACLE = """
+SELECT event_id, user_id, event_type FROM events
+"""
+
+
+@register("q_streaming_dedup", oracle=_STREAM_DEDUP_ORACLE, tags=("streaming",))
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: streaming dedup — dropDuplicatesWithinWatermark keyed on
+    event_id: state is GC'd once the watermark passes an id's event
+    time (the production-safe bounded-state form; plain dropDuplicates
+    would keep state forever).  Fixture ids are unique, so the output
+    is every event exactly once."""
+    ev = events_file_replay(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("ts", "30 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    return run_to_memory(deduped, spark, output_mode="append")
+
+
+_STATEFUL_ORACLE = """
+SELECT user_id, COUNT(*) AS n_events, CAST(SUM(CASE WHEN event_type = 'error'
+  THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("q_stateful_counter", oracle=_STATEFUL_ORACLE, tags=("streaming",))
+def q_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: KeyedProcessFunction + ValueState — a per-key running
+    counter in applyInPandasWithState (per-user event and error
+    counts persisted in GroupState across micro-batches).
+
+    Emits the updated counts each micro-batch; the single-file replay
+    drains in exactly one batch, so the bounded run emits one final row
+    per key and is oracle-checkable (multi-batch production runs emit
+    one row per key per batch — update-mode semantics, like Flink's
+    per-record keyed output)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = events_file_replay(spark, sf_dir).select(
+        "user_id", "event_type"
+    )
+
+    def count_events(key, pdfs, state: GroupState):
+        (user_id,) = key
+        n_events, n_errors = (
+            state.get if state.exists else (0, 0)
+        )
+        for pdf in pdfs:
+            n_events += len(pdf)
+            n_errors += int((pdf["event_type"] == "error").sum())
+        state.update((n_events, n_errors))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n_events],
+                "n_errors": [n_errors],
+            }
+        )
+
+    counted = ev.groupBy("user_id").applyInPandasWithState(
+        count_events,
+        outputStructType="user_id long, n_events long, n_errors long",
+        stateStructType="n_events long, n_errors long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory(counted, spark, output_mode="update")

@@ -1,0 +1,85 @@
+"""Physical-plan assertions for every registered batch query — the
+scale-discipline gate (SURVEY.md §4): no row-at-a-time Python, no
+cartesian products, filters/projections pushed to the parquet scan,
+dimension joins broadcast."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from flink_streaming_example_spark.plans.registry import all_specs
+from tests.conftest import SF_SMOKE_DIR
+
+_SPECS = all_specs()
+# Streaming specs execute a full query inside fn(); their returned
+# DataFrame is just the memory-sink table, so plan assertions on it
+# would be vacuous — they're covered by parity + equivalence tests.
+_BATCH = {
+    n: s for n, s in _SPECS.items() if "streaming" not in s.tags
+}
+
+
+def _plan(spark, name: str) -> str:
+    df = _BATCH[name].fn(spark, SF_SMOKE_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("name", sorted(_BATCH), ids=sorted(_BATCH))
+def test_no_python_row_path_no_cartesian(spark, name):
+    plan = _plan(spark, name)
+    # Row-at-a-time Python UDFs are banned everywhere; Arrow-batched
+    # paths (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas) are
+    # allowed only for specs explicitly tagged "python".
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python in plan"
+    if "python" not in _BATCH[name].tags:
+        for node in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+            assert node not in plan, f"{name}: unexpected Python stage {node}"
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
+
+
+@pytest.mark.parametrize(
+    "name", ["q_groupby_report", "q_filter", "q_star_join"]
+)
+def test_filter_pushdown_reaches_scan(spark, name):
+    plan = _plan(spark, name)
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed, f"{name}: no PushedFilters in plan"
+    assert any(p.strip() for p in pushed), f"{name}: empty PushedFilters"
+
+
+def test_projection_pruned_to_read_schema(spark):
+    # q_project reads 5 of lineitem's 11 columns; the scan must not
+    # read more than those.
+    plan = _plan(spark, "q_project")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, "no ReadSchema in plan"
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+    }, f"scan reads {cols}"
+
+
+@pytest.mark.parametrize("name,min_bhj", [("q_join_inner", 1), ("q_star_join", 3)])
+def test_dimension_joins_broadcast(spark, name, min_bhj):
+    plan = _plan(spark, name)
+    assert plan.count("BroadcastHashJoin") >= min_bhj, (
+        f"{name}: expected >= {min_bhj} broadcast joins\n{plan}"
+    )
+
+
+def test_rows_only_keys_are_minority():
+    oracle_free = [n for n, s in _SPECS.items() if s.oracle is None]
+    # Every rows-only key must be justifiable (approximate/pseudo-random
+    # ops); keep the list explicit so additions are deliberate.
+    assert set(oracle_free) <= {"q_dedup_near"}, oracle_free

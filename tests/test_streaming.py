@@ -1,0 +1,82 @@
+"""Streaming-path tests: batch-equivalence of the streaming variants
+(SURVEY.md §5.2 — prefix consistency makes this meaningful) and smoke
+coverage for the S2-S9 source/sink constructors."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from flink_streaming_example_spark.plans.registry import all_specs
+from flink_streaming_example_spark.sources import streams
+from flink_streaming_example_spark.testing import compare_frames
+
+_SPECS = all_specs()
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir):
+    streamed = _SPECS["q_streaming_tumbling"].fn(spark, sf_dir).toPandas()
+    batch = _SPECS["q_tumbling_window"].fn(spark, sf_dir).toPandas()
+    result = compare_frames(streamed, batch)
+    assert result.ok, result.detail
+
+
+def test_collection_source(spark):
+    schema = T.StructType(
+        [
+            T.StructField("k", T.IntegerType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    df = streams.collection_source(spark, [(1, "a"), (2, "b")], schema)
+    assert df.count() == 2
+
+
+def test_rate_source_schema(spark):
+    df = streams.rate_source(spark, rows_per_second=10)
+    assert df.isStreaming
+    assert df.columns == ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+def test_socket_source_constructs(spark):
+    df = streams.socket_source(spark, "localhost", 19999)
+    assert df.isStreaming and df.columns == ["value"]
+
+
+def test_kafka_source_unavailable_raises(spark):
+    with pytest.raises(RuntimeError, match="file_replay"):
+        streams.kafka_source(spark, "broker:9092", "events", "event_id LONG")
+
+
+def test_file_sink_roundtrip(spark):
+    src = streams.events_file_replay(spark, "/root/testdata/sf0.001")
+    out = tempfile.mkdtemp(prefix="sink_out_")
+    ckpt = tempfile.mkdtemp(prefix="sink_ckpt_")
+    q = streams.file_sink(src, out, ckpt).trigger(availableNow=True).start()
+    q.awaitTermination()
+    assert spark.read.parquet(out).count() == 1000
+
+
+def test_foreach_batch_sink(spark):
+    src = streams.events_file_replay(spark, "/root/testdata/sf0.001")
+    seen: list[int] = []
+    q = (
+        streams.foreach_batch_sink(
+            src, lambda batch_df, batch_id: seen.append(batch_df.count())
+        )
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="fb_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sum(seen) == 1000
+
+
+def test_print_sink_constructs(spark):
+    src = streams.events_file_replay(spark, "/root/testdata/sf0.001")
+    writer = streams.print_sink(src.select(F.col("event_id")))
+    assert writer is not None
