@@ -68,21 +68,31 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_dedup_near", oracle=None, tags=("dedup", "python", "approx"))
+_MINHASHES = 16
+_BANDS = 4  # 4 rows/band -> candidate s-curve threshold ~ (1/4)^(1/4) ≈ 0.71
+
+
+@register("q_dedup_near", oracle=None, tags=("dedup", "approx"))
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2: near-dup dedup via MinHash + LSH (rows-only: the LSH
-    signature is pseudo-random, not SQL-expressible).
+    """L2: near-dup dedup via banded MinHash LSH, entirely in JVM
+    expressions (rows-only: xxhash64 has no DuckDB twin, so the
+    signature is not SQL-mirrorable; determinism is still absolute —
+    fixed hash seeds, no randomness).
 
     Pipeline: 5-char shingles (token-set Jaccard saturates on the
-    31-word fixture vocab — SURVEY §2.9) -> binary HashingTF ->
-    MinHashLSH.approxSimilarityJoin at Jaccard distance <= 0.6 ->
-    greedy min-id survivor over the similarity edges.  The LSH join is
-    bucketed (band-signature equi-join), never all-pairs — the 100 TB
-    path; seed pinned for reproducibility."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH
+    31-word fixture vocab — SURVEY §2.9) -> 16 minhashes
+    (array_min of xxhash64(shingle, i)) -> 4 banded signatures ->
+    candidate pairs by (band, signature) equi-join -> exact-Jaccard
+    verification >= 0.6 -> greedy min-id survivor.
 
+    100 TB design: candidate generation is an equi-join on the band
+    hash (shuffle keyed by 8-byte signatures, never all-pairs); the
+    shingle arrays are only rejoined for the candidate set.  Greedy
+    min-id survivor election is exact for small clusters; transitive
+    mega-clusters need an iterative connected-components pass (module
+    docstring)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    shingled = docs.select(
+    sh = docs.select(
         "doc_id",
         F.array_distinct(
             F.transform(
@@ -91,23 +101,56 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("shingles"),
     ).filter(F.size("shingles") > 0)
-    tf = HashingTF(
-        inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
+    minhashes = [
+        F.array_min(
+            F.transform("shingles", lambda s, i=i: F.xxhash64(s, F.lit(i)))
+        ).alias(f"mh{i}")
+        for i in range(_MINHASHES)
+    ]
+    rows_per_band = _MINHASHES // _BANDS
+    mh = sh.select("doc_id", *minhashes)
+    band_sigs = F.array(
+        *[
+            F.xxhash64(
+                *[F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)]
+            )
+            for b in range(_BANDS)
+        ]
     )
-    feats = tf.transform(shingled)
-    lsh = MinHashLSH(inputCol="features", outputCol="sig", numHashTables=6, seed=42)
-    model = lsh.fit(feats)
-    pairs = (
-        model.approxSimilarityJoin(feats, feats, 0.6, distCol="jaccard_dist")
-        .select(
-            F.col("datasetA.doc_id").alias("id_a"),
-            F.col("datasetB.doc_id").alias("id_b"),
+    bands = mh.select(
+        "doc_id", F.posexplode(band_sigs).alias("band_idx", "band_sig")
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
     )
-    # Greedy min-id survivor: drop any doc that has a near-dup edge to a
-    # smaller id (exact for small clusters; see module docstring).
-    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_distinct(F.concat("sh_a", "sh_b"))
+    )
+    verified = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")),
+            "id_b",
+        )
+        .filter(jac >= 0.6)
+    )
+    # Greedy min-id survivor: drop any doc with a verified near-dup
+    # edge to a smaller id (exact for small clusters; see module
+    # docstring).
+    dropped = verified.select(F.col("id_b").alias("doc_id")).distinct()
     return docs.join(dropped, "doc_id", "left_anti").select("doc_id")
 
 
@@ -252,65 +295,90 @@ _EMBED_NEAR_ORACLE = """
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), n AS (
-  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+  SELECT vec_id,
+         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
+  FROM e
+), scored AS (
+  SELECT
+    a.vec_id AS vec_id_a,
+    b.vec_id AS vec_id_b,
+    CAST(FLOOR(
+      list_dot_product(a.vn, b.vn) * 10000.0 + 0.5
+    ) AS DOUBLE) / 10000.0 AS cos_sim
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
 )
-SELECT
-  a.vec_id AS vec_id_a,
-  b.vec_id AS vec_id_b,
-  CAST(FLOOR(
-    (list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) * 10000.0 + 0.5
-  ) AS DOUBLE) / 10000.0 AS cos_sim
-FROM n a JOIN n b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.45
+SELECT vec_id_a, vec_id_b, cos_sim FROM scored WHERE cos_sim >= 0.45
 """
 
 
-@register("q_embed_near_dup", oracle=_EMBED_NEAR_ORACLE, tags=("dedup",))
+@register(
+    "q_embed_near_dup", oracle=_EMBED_NEAR_ORACLE, tags=("dedup", "python")
+)
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2d: embedding-cosine near-dup pairs (threshold 0.45 — the
-    fixture's max off-diagonal cosine is ~0.51, so the band is small
-    and non-empty).  Committed exact path is the O(n^2) self-join —
-    acceptable for a bounded dedup corpus; at 100 TB pre-bucket with
-    random-hyperplane LSH (BucketedRandomProjectionLSH) and join only
-    within buckets, same pair predicate."""
+    """L2d: embedding-cosine near-dup pairs (threshold 0.45 on the
+    1e-4-rounded cosine — the fixture's max off-diagonal cosine is
+    ~0.51, so the band is small and non-empty).
+
+    Exact all-pairs via triangle block-pair decomposition +
+    vectorized NumPy matmul in applyInPandas: expression-per-pair was
+    measured 40x slower (interpreted higher-order functions), and
+    dense BLAS is the honest tool for brute-force vector math.  At
+    100 TB, put random-hyperplane LSH bucketing in front (join within
+    buckets only) — the scoring kernel stays identical."""
+    import numpy as np
+    import pandas as pd
+
+    nb = 8  # vector blocks -> nb*(nb+1)/2 block-pair tasks
+
     emb = load_table(spark, sf_dir, "embeddings")
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    dot_self = F.aggregate(
-        F.zip_with(F.col("v"), F.col("v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    e = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
     )
-    e = emb.select(F.col("vec_id"), v.alias("v")).withColumn(
-        "nrm", F.sqrt(dot_self)
-    )
-    a = e.select(
-        F.col("vec_id").alias("vec_id_a"),
-        F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
-    )
-    b = e.select(
-        F.col("vec_id").alias("vec_id_b"),
-        F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
-    )
-    dot_ab = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cos = dot_ab / (F.col("na") * F.col("nb"))
-    return (
-        a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
-        .withColumn("cos_raw", cos)
-        .filter(F.col("cos_raw") >= 0.45)
-        .select(
-            "vec_id_a",
-            "vec_id_b",
-            (
-                F.floor(F.col("cos_raw") * F.lit(10000.0) + F.lit(0.5)).cast(
-                    "double"
-                )
-                / F.lit(10000.0)
-            ).alias("cos_sim"),
+    # Triangle (block-pair) decomposition: vector in block h is
+    # replicated to every block pair {h, k} — each unordered vector
+    # pair meets in exactly one group, so the exact O(n^2) search runs
+    # as nb*(nb+1)/2 independent dense tasks.  Replication factor is
+    # nb (vs broadcasting the whole corpus everywhere), and no driver
+    # collect is involved.
+    block = F.col("vec_id") % nb
+    pair_ids = F.array_distinct(
+        F.array(
+            *[
+                F.least(block, F.lit(k)) * nb + F.greatest(block, F.lit(k))
+                for k in range(nb)
+            ]
         )
+    )
+    replicated = e.select(
+        "vec_id", "v", F.explode(pair_ids).alias("pair_id")
+    )
+
+    def score_block_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(pdf["pair_id"].iloc[0])
+        bi, bj = pid // nb, pid % nb
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.stack(pdf["v"].to_numpy())
+        mat /= np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+        ia, ib = ids % nb == bi, ids % nb == bj
+        ids_a, ids_b = ids[ia], ids[ib]
+        sims = mat[ia] @ mat[ib].T
+        cos4 = np.floor(sims * 10000.0 + 0.5) / 10000.0
+        hit = cos4 >= 0.45
+        if bi == bj:
+            # same block: count each unordered pair once
+            hit &= ids_a[:, None] < ids_b[None, :]
+        aa, bb = np.nonzero(hit)
+        left, right = ids_a[aa], ids_b[bb]
+        return pd.DataFrame(
+            {
+                # canonicalize: the smaller id may sit in either block
+                "vec_id_a": np.minimum(left, right),
+                "vec_id_b": np.maximum(left, right),
+                "cos_sim": cos4[aa, bb],
+            }
+        )
+
+    return replicated.groupBy("pair_id").applyInPandas(
+        score_block_pair, schema="vec_id_a long, vec_id_b long, cos_sim double"
     )
