@@ -193,6 +193,33 @@ def q_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LATE_SPLIT_ORACLE = """
+SELECT
+  event_id,
+  CAST(ts AS TIMESTAMP) <
+    (SELECT max(CAST(ts AS TIMESTAMP)) FROM events) - INTERVAL '1 day'
+    AS is_late
+FROM events
+"""
+
+
+@register("q_late_split", oracle=_LATE_SPLIT_ORACLE, tags=("window",))
+def q_late_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6: late-data side output, batch semantics — classify each event
+    against the final watermark (max event time - 1 day delay), the
+    same predicate Structured Streaming applies when dropping late rows
+    (Flink would re-fire via allowedLateness + side output; Spark drops
+    — semantics delta documented in SURVEY §2.4 W5/W6).  The watermark
+    scalar is a broadcast one-row aggregate, not a window-over-all."""
+    ev = load_table(spark, sf_dir, "events")
+    wm = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 1 DAY")).alias("wm")
+    )
+    return ev.crossJoin(F.broadcast(wm)).select(
+        "event_id", (F.col("ts") < F.col("wm")).alias("is_late")
+    )
+
+
 _RANK_ORACLE = """
 SELECT
   p_partkey, p_brand, p_retailprice,

@@ -119,6 +119,149 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(deduped, spark, output_mode="append")
 
 
+_STREAM_ENRICH_ORACLE = """
+SELECT event_id, event_type, c_name, c_mktsegment
+FROM events JOIN customer ON user_id = c_custkey
+"""
+
+
+@register(
+    "q_streaming_enrich", oracle=_STREAM_ENRICH_ORACLE, tags=("streaming",)
+)
+def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/J8-streaming: broadcast-state enrichment as a real
+    stream-static join — the static customer dimension is re-read and
+    broadcast per micro-batch (Flink's BroadcastProcessFunction rules
+    pattern); append mode, no state required."""
+    from flink_streaming_example_spark.sources.tables import load_table
+
+    ev = events_file_replay(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    enriched = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey).select(
+        "event_id", "event_type", "c_name", "c_mktsegment"
+    )
+    return run_to_memory(enriched, spark, output_mode="append")
+
+
+_STREAM_INTERVAL_ORACLE = """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'click') c
+JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 24 HOURS
+"""
+
+
+@register(
+    "q_streaming_interval_join",
+    oracle=_STREAM_INTERVAL_ORACLE,
+    tags=("streaming",),
+)
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7-streaming: a true stream-stream interval join — both sides
+    watermarked, state bounded by the 24h interval plus watermark
+    delay (this is exactly Flink's intervalJoin state-cleanup
+    behavior).  Bounded replay => output equals the batch
+    q_interval_join, making the stateful join oracle-checkable."""
+    clicks = (
+        events_file_replay(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        events_file_replay(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (clicks.user_id == purchases.p_user_id)
+        & (purchases.p_ts >= clicks.c_ts)
+        & (purchases.p_ts <= clicks.c_ts + F.expr("INTERVAL 24 HOURS")),
+    ).select("click_id", "purchase_id", "user_id")
+    return run_to_memory(joined, spark, output_mode="append")
+
+
+_INACTIVITY_ORACLE = """
+SELECT user_id, last_seen
+FROM (SELECT user_id, max(CAST(ts AS TIMESTAMP)) AS last_seen
+      FROM events GROUP BY user_id)
+WHERE last_seen + INTERVAL 12 HOURS < (SELECT max(CAST(ts AS TIMESTAMP))
+                                       FROM events)
+"""
+
+
+@register(
+    "q_inactivity_alert", oracle=_INACTIVITY_ORACLE, tags=("streaming",)
+)
+def q_inactivity_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: event-time timers — Flink's
+    `ctx.timerService().registerEventTimeTimer` + onTimer inactivity
+    alert.  Each key keeps last-seen time in GroupState and arms an
+    event-time timeout 12h ahead; when the watermark passes it,
+    hasTimedOut fires and the alert row is emitted (the onTimer
+    callback).  Bounded replay: alerts = users whose last event is
+    >12h before the corpus max event time — the oracle states exactly
+    that.
+
+    (transformWithStateInPandas — the Spark 4 native timer API — needs
+    protobuf, absent in this container; applyInPandasWithState's
+    EventTimeTimeout is the same timer semantics on the stable API.)"""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    timeout_ms = 12 * 3600 * 1000
+
+    def inactivity(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            (last_us,) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "last_seen_us": [last_us]}
+            )
+        else:
+            max_us = -1
+            for pdf in pdfs:
+                max_us = max(max_us, int(pdf["ts"].max().value // 1_000))
+            prev = state.get[0] if state.exists else None
+            if prev is None or max_us > prev:
+                state.update((max_us,))
+                state.setTimeoutTimestamp(max_us // 1000 + timeout_ms)
+            yield pd.DataFrame({"user_id": [], "last_seen_us": []})
+
+    ev = (
+        events_file_replay(spark, sf_dir)
+        .withWatermark("ts", "0 seconds")
+        .select("user_id", "ts")
+    )
+    alerts = ev.groupBy("user_id").applyInPandasWithState(
+        inactivity,
+        outputStructType="user_id long, last_seen_us long",
+        stateStructType="last_us long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    result = run_to_memory(alerts, spark, output_mode="append")
+    return result.select(
+        "user_id",
+        F.timestamp_micros(F.col("last_seen_us"))
+        .cast("timestamp_ntz")
+        .alias("last_seen"),
+    )
+
+
 _STATEFUL_ORACLE = """
 SELECT user_id, COUNT(*) AS n_events, CAST(SUM(CASE WHEN event_type = 'error'
   THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
