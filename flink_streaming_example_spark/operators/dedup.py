@@ -92,23 +92,34 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     mega-clusters need an iterative connected-components pass (module
     docstring)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = docs.select(
+    # Shingle positions exploded row-wise so hashing stays in codegen
+    # (per-element higher-order functions are interpreted — measured
+    # several× slower), then ONE aggregation computes both the hashed
+    # shingle set and all 16 minhashes.  Persisted: it feeds five
+    # branches (bands + signature prefilter ×2 + verification ×2).
+    # NOTE on a Spark trap: F.transform with a two-argument lambda
+    # passes (element, ARRAY INDEX) — a closure default like
+    # `lambda s, i=i:` silently collapses all 16 hash functions into
+    # one; the explode form sidesteps that entirely.
+    ex = docs.select(
         "doc_id",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.length("text") - 4, F.lit(1))),
-                lambda i: F.col("text").substr(i, F.lit(5)),
-            )
-        ).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
-    minhashes = [
-        F.array_min(
-            F.transform("shingles", lambda s, i=i: F.xxhash64(s, F.lit(i)))
-        ).alias(f"mh{i}")
-        for i in range(_MINHASHES)
-    ]
+        "text",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("text") - 4, F.lit(1)))
+        ).alias("i"),
+    ).select("doc_id", F.expr("xxhash64(substring(text, i, 5))").alias("h"))
+    agg = (
+        ex.groupBy("doc_id")
+        .agg(
+            F.collect_set("h").alias("hs"),
+            *[
+                F.min(F.xxhash64("h", F.lit(i))).alias(f"mh{i}")
+                for i in range(_MINHASHES)
+            ],
+        )
+        .persist()
+    )
     rows_per_band = _MINHASHES // _BANDS
-    mh = sh.select("doc_id", *minhashes)
     band_sigs = F.array(
         *[
             F.xxhash64(
@@ -117,7 +128,7 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(_BANDS)
         ]
     )
-    bands = mh.select(
+    bands = agg.select(
         "doc_id", F.posexplode(band_sigs).alias("band_idx", "band_sig")
     )
     cand = (
@@ -133,16 +144,40 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # Cheap signature prefilter before the exact set intersection:
+    # estimated Jaccard = matching minhashes / 16; >= 5/16 keeps
+    # essentially all true >= 0.6 pairs (P[Binom(16, .6) < 5] ~ 2e-3)
+    # while discarding ~99% of band-collision candidates.
+    mha = agg.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(_MINHASHES)],
+    )
+    mhb = agg.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(_MINHASHES)],
+    )
+    sig_matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(_MINHASHES)
+    )
+    pre = (
+        cand.join(mha, "id_a")
+        .join(mhb, "id_b")
+        .filter(sig_matches >= 5)
+        .select("id_a", "id_b")
+    )
+    # Exact Jaccard over the hashed shingle sets (longs, not strings —
+    # same value modulo 64-bit collisions, far cheaper to intersect).
     jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
         F.array_distinct(F.concat("sh_a", "sh_b"))
     )
     verified = (
-        cand.join(
-            sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")),
+        pre.join(
+            agg.select(F.col("doc_id").alias("id_a"), F.col("hs").alias("sh_a")),
             "id_a",
         )
         .join(
-            sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")),
+            agg.select(F.col("doc_id").alias("id_b"), F.col("hs").alias("sh_b")),
             "id_b",
         )
         .filter(jac >= 0.6)
