@@ -115,6 +115,7 @@ SELECT
   CAST(mod(l_orderkey, 7) AS BIGINT) AS mod7,
   CAST(sign(l_discount - 0.05) AS DOUBLE) AS sgn
 FROM lineitem
+WHERE l_orderkey % 4 = 0
 """
 
 
@@ -122,8 +123,12 @@ FROM lineitem
 def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F-math: abs/floor/ceil/sqrt/square/pmod/sign over lineitem.
     Only IEEE-exact ops (sqrt is correctly rounded; x*x is one
-    multiply); pmod inputs are non-negative so mod semantics agree."""
-    li = load_table(spark, sf_dir, "lineitem")
+    multiply); pmod inputs are non-negative so mod semantics agree.
+    Sampled to 1/4 of the fact table (mirrored modulo filter) — the
+    family demo needs function coverage, not scan volume."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 4 == 0
+    )
     return li.select(
         "l_orderkey",
         "l_linenumber",

@@ -147,6 +147,7 @@ _RANGE_ORACLE = """
 SELECT s_suppkey, c_custkey, s_acctbal, c_acctbal
 FROM supplier JOIN customer
   ON c_acctbal > s_acctbal AND c_acctbal <= s_acctbal + 500
+WHERE s_suppkey % 10 = 0
 """
 
 
@@ -154,9 +155,13 @@ FROM supplier JOIN customer
 def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4: theta/range join (banded non-equi).  No equi key exists, so
     this is a BroadcastNestedLoopJoin — the supplier side is a bounded
-    dimension and explicitly broadcast; never run BNLJ fact-to-fact (at
-    scale, bin the band into buckets to recover an equi key)."""
-    supp = load_table(spark, sf_dir, "supplier")
+    dimension and explicitly broadcast (mirrored-modulo-sampled: BNLJ
+    cost is |S|x|C| by construction, the demo doesn't need the full
+    cross); never run BNLJ fact-to-fact (at scale, bin the band into
+    buckets to recover an equi key)."""
+    supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_suppkey") % 10 == 0
+    )
     cust = load_table(spark, sf_dir, "customer")
     cond = (cust.c_acctbal > supp.s_acctbal) & (
         cust.c_acctbal <= supp.s_acctbal + 500
