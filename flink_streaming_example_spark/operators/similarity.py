@@ -108,10 +108,26 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_ORACLE = """
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), seeds AS (
+  SELECT vec_id AS seed_id, v AS sv FROM e WHERE vec_id < 8
+), assigned AS (
+  SELECT vec_id, seed_id AS bucket FROM (
+    SELECT e.vec_id, s.seed_id,
+      ROW_NUMBER() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY
+          CAST(FLOOR(
+            (list_dot_product(e.v, e.v)
+             - 2 * list_dot_product(e.v, s.sv)
+             + list_dot_product(s.sv, s.sv)) * 1000000.0 + 0.5
+          ) AS DOUBLE) / 1000000.0,
+          s.seed_id
+      ) AS rn
+    FROM e, seeds s
+  ) WHERE rn = 1
 ), n AS (
-  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
-         vec_id % 8 AS bucket
-  FROM e
+  SELECT e.vec_id, e.v, sqrt(list_dot_product(e.v, e.v)) AS nrm, a.bucket
+  FROM e JOIN assigned a ON e.vec_id = a.vec_id
 ), scored AS (
   SELECT
     q.vec_id AS query_id,
@@ -140,16 +156,34 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     on bucket id: THE structural difference that makes ANN scale (the
     shuffle key is the bucket, pair count drops by ~#buckets).
 
-    The bucket assignment here is a deterministic stand-in (vec_id % 8)
-    so recall-vs-exact is measurable and the oracle is exact; a real
-    deployment assigns buckets by nearest coarse centroid (k-means) or
-    hyperplane signs (BucketedRandomProjectionLSH) — same join shape."""
+    Bucket assignment is a real coarse quantizer: nearest of 8 fixed
+    seed vectors by L2 (IVF with seeded centroids — deterministic, so
+    the oracle is exact; swapping in k-means-trained centroids changes
+    only the seed table).  Distances ranked on the 1e-6-rounded value
+    with a seed-id tiebreaker, keeping the argmin cut cross-engine
+    stable."""
     emb = load_table(spark, sf_dir, "embeddings")
-    e = (
-        emb.select("vec_id", _as_double("embedding").alias("v"))
-        .withColumn("nrm", F.sqrt(_dot("v", "v")))
-        .withColumn("bucket", F.col("vec_id") % 8)
+    base = emb.select("vec_id", _as_double("embedding").alias("v"))
+    seeds = base.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("seed_id"), F.col("v").alias("sv")
     )
+    d2 = (
+        _dot("v", "v")
+        - F.lit(2.0) * _dot("v", "sv")
+        + _dot("sv", "sv")
+    )
+    d2r = F.floor(d2 * F.lit(1000000.0) + F.lit(0.5)).cast("double") / F.lit(
+        1000000.0
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("d2r"), F.col("seed_id"))
+    assigned = (
+        base.crossJoin(F.broadcast(seeds))
+        .select("vec_id", "v", "seed_id", d2r.alias("d2r"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", F.col("seed_id").alias("bucket"))
+    )
+    e = assigned.withColumn("nrm", F.sqrt(_dot("v", "v")))
     q = (
         e.filter(F.col("vec_id") < 10)
         .select(

@@ -42,6 +42,27 @@ def test_rate_source_schema(spark):
     assert df.columns == ["event_id", "ts", "user_id", "event_type", "value", "props"]
 
 
+def test_rate_source_drains(spark):
+    import time
+
+    df = streams.rate_source(spark, rows_per_second=200)
+    seen: list[int] = []
+    q = (
+        streams.foreach_batch_sink(
+            df, lambda batch_df, batch_id: seen.append(batch_df.count())
+        )
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="rate_ckpt_"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    deadline = time.time() + 30
+    while time.time() < deadline and sum(seen) == 0:
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(30)
+    assert sum(seen) > 0
+
+
 def test_socket_source_constructs(spark):
     df = streams.socket_source(spark, "localhost", 19999)
     assert df.isStreaming and df.columns == ["value"]
