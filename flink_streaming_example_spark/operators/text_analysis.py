@@ -163,6 +163,71 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BIGRAMS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+)
+SELECT bigram, COUNT(*) AS n
+FROM (
+  SELECT unnest([t[i] || ' ' || t[i + 1] FOR i IN range(1, len(t))]) AS bigram
+  FROM toks
+  WHERE len(t) > 1
+)
+GROUP BY bigram
+"""
+
+
+@register("q_bigrams", oracle=_BIGRAMS_ORACLE, tags=("text",))
+def q_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4f: n-gram (bigram) frequencies — adjacent-token pairs built by
+    indexing the token array (no self-join), exploded into one hash
+    aggregate; the n-gram generalization just widens the slice."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    return (
+        docs.filter(F.size(toks) > 1)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_TOKEN_STATS_ORACLE = """
+SELECT
+  doc_id,
+  CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+       AS INTEGER) AS bpe_ish_tokens,
+  CAST(length(text) AS INTEGER) AS n_chars
+FROM documents
+"""
+
+
+@register("q_token_stats", oracle=_TOKEN_STATS_ORACLE, tags=("text",))
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4g: token counting — whitespace tokens and a BPE-ish regex
+    segmentation (letter runs / digit runs / single punctuation), the
+    cheap pre-tokenizer estimate a pretraining pipeline uses to budget
+    real tokenizer cost."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0
+            )
+        ).alias("bpe_ish_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
 _LANG_ID_ORACLE = """
 SELECT
   doc_id,
