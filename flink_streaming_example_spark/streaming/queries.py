@@ -44,17 +44,31 @@ def run_to_memory(
     df: DataFrame, spark: SparkSession, output_mode: str = "append"
 ) -> DataFrame:
     """Drain a bounded streaming DataFrame into a memory sink
-    (availableNow) and return the materialized result table."""
+    (availableNow) and return the materialized result table.
+
+    Stateful operator parallelism (= state-store instance count) is
+    pinned to the shuffle-partition conf at first checkpoint; the
+    fixture replays carry tiny keyed state, so we scope the partition
+    count down for the run — per-instance checkpoint/commit overhead
+    dominates otherwise.  (On a real cluster size this to the keyed
+    cardinality / executor count instead.)"""
     name = f"stream_result_{next(_run_ids)}"
-    query = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    conf_key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(conf_key)
+    try:
+        if int(prev) > 8:
+            spark.conf.set(conf_key, "8")
+        query = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set(conf_key, prev)
     return spark.table(name)
 
 
