@@ -16,9 +16,10 @@ TIMESTAMP (µs) so both engines window the same instants.
 Boundary semantics pinned down for the oracles:
 - tumbling/sliding starts are epoch-aligned (and DuckDB time_bucket's
   2000-01-03 origin is midnight-aligned, so 12h/1d buckets agree);
-- a session closes when the next event is >= gap after the previous
-  one (Spark's session window is [start, last+gap) with an exclusive
-  end), hence `>= INTERVAL` in the gaps-and-islands oracle.
+- a session is EXTENDED by an event at exactly last+gap (merge when
+  diff <= gap; new session only when diff > gap — pinned by the
+  exact-boundary synthetic test in tests/test_session_semantics.py),
+  hence strict `> INTERVAL` in the gaps-and-islands oracle.
 
 Scale notes (100 TB): window aggregates shuffle on (window, key) — the
 window id is derived, so cardinality = keys x active windows, not input
@@ -111,7 +112,7 @@ WITH e AS (
   SELECT *,
     CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-             >= INTERVAL '6 hours'
+             > INTERVAL '6 hours'
          THEN 1 ELSE 0 END AS new_session
   FROM e
 ), numbered AS (
