@@ -223,11 +223,18 @@ FROM pairs
 
 def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-blocked exact 5-gram Jaccard pairs >= 0.4 with the raw
-    similarity (shared by q_dedup_ngram and q_dedup_clusters)."""
+    similarity (shared by q_dedup_ngram and q_dedup_clusters).
+
+    Shingle sets stay STRING sets because the oracle's Jaccard is over
+    string shingles — hashing (as q_dedup_near does) would only be
+    collision-equal.  The shingled table is persisted: it feeds both
+    sides of the pair join (an explode+collect_set rewrite was tried
+    and measured SLOWER here — the 5M-row shuffle costs more than the
+    in-place array transform)."""
     docs = load_table(spark, sf_dir, "documents")
     shingles = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length("text") - 3 - 1, F.lit(1))),
+            F.sequence(F.lit(1), F.greatest(F.length("text") - 4, F.lit(1))),
             lambda i: F.col("text").substr(i, F.lit(5)),
         )
     )
@@ -235,7 +242,7 @@ def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.substring("text", 1, 40).alias("block"),
         shingles.alias("shingles"),
-    )
+    ).persist()
     a = sh.select(
         F.col("doc_id").alias("doc_id_a"),
         F.col("block"),
