@@ -135,6 +135,50 @@ def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STATS_ORACLE = """
+SELECT
+  event_type,
+  quantile_cont(value, 0.5) AS median_value,
+  quantile_cont(value, 0.9) AS p90_value,
+  CAST(FLOOR(sqrt(
+    (CAST(SUM(CAST(value * value AS DECIMAL(30,6))) AS DOUBLE)
+     - CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+       * CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(value))
+    / (COUNT(value) - 1)
+  ) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS stddev_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("q_stats", oracle=_STATS_ORACLE, tags=("agg",))
+def q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family depth: exact interpolated percentiles (median/p90 —
+    Spark `percentile` and DuckDB `quantile_cont` share the continuous
+    interpolation definition, and interpolating between two exact
+    parquet doubles is deterministic IEEE math) and a sample stddev
+    assembled from ORDER-FREE decimal sums — the builtin stddev
+    accumulates floats in partition order and is not hash-stable, so
+    it's rebuilt from sum(x), sum(x^2), n.  Exact percentile needs a
+    per-key sort; at unbounded scale switch to approx_percentile
+    (t-digest sketch, mergeable)."""
+    ev = load_table(spark, sf_dir, "events")
+    sum_x = F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
+    sum_x2 = F.sum(
+        (F.col("value") * F.col("value")).cast("decimal(30,6)")
+    ).cast("double")
+    n = F.count(F.col("value"))
+    var = (sum_x2 - sum_x * sum_x / n) / (n - 1)
+    return ev.groupBy("event_type").agg(
+        F.percentile(F.col("value"), 0.5).alias("median_value"),
+        F.percentile(F.col("value"), 0.9).alias("p90_value"),
+        (
+            F.floor(F.sqrt(var) * F.lit(1000000.0) + F.lit(0.5)).cast("double")
+            / F.lit(1000000.0)
+        ).alias("stddev_value"),
+    )
+
+
 _ROLLUP_ORACLE = f"""
 SELECT
   l_returnflag,

@@ -234,6 +234,62 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TFIDF_ORACLE = """
+WITH tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        FROM documents)
+  GROUP BY doc_id, token
+), df AS (
+  SELECT token, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, token FROM tf)
+  GROUP BY token
+), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT
+  tf.doc_id,
+  tf.token,
+  CAST(tf.tf AS BIGINT) AS tf,
+  CAST(df.df AS BIGINT) AS df,
+  CAST(FLOOR(
+    (tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0)) * 1000000.0 + 0.5
+  ) AS DOUBLE) / 1000000.0 AS tfidf
+FROM tf JOIN df USING (token) CROSS JOIN n
+"""
+
+
+@register("q_tfidf", oracle=_TFIDF_ORACLE, tags=("text",))
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4h: tf-idf scoring — term frequency per (doc, token), document
+    frequency per token, smoothed idf (ln((N+1)/(df+1))+1).  The token
+    dimension is bounded, so df is a broadcast join; ln is
+    half-up-rounded at 1e-6 (libm last-ulp differences between engines
+    are the one nondeterminism ln brings in)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    )
+    tf = tokens.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = (
+        tokens.distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    # corpus size as a broadcast one-row aggregate (declarative — no
+    # driver-side count action in the operator)
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    tfidf = F.col("tf") * idf
+    return tf.join(F.broadcast(df), "token").crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "token",
+        "tf",
+        "df",
+        (
+            F.floor(tfidf * F.lit(1000000.0) + F.lit(0.5)).cast("double")
+            / F.lit(1000000.0)
+        ).alias("tfidf"),
+    )
+
+
 _LANG_ID_ORACLE = """
 SELECT
   doc_id,
