@@ -133,6 +133,99 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(deduped, spark, output_mode="append")
 
 
+_STREAM_SESSION_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+), flagged AS (
+  SELECT *,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+          OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             > INTERVAL '6 hours'
+         THEN 1 ELSE 0 END AS new_session
+  FROM e
+), numbered AS (
+  SELECT *,
+    SUM(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS session_id
+  FROM flagged
+)
+SELECT
+  user_id,
+  MIN(ts) AS session_start,
+  COUNT(*) AS n_events,
+  {sql_stable_sum("value", "sum_value")}
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
+
+@register(
+    "q_streaming_session", oracle=_STREAM_SESSION_ORACLE, tags=("streaming",)
+)
+def q_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3-streaming: session windows through the streaming engine's
+    MergingSessionsExec + state store (the hardest window operator to
+    run incrementally — sessions merge as events arrive).  Complete
+    output mode emits open and closed sessions alike, so the bounded
+    replay equals the batch gaps-and-islands result."""
+    ev = events_file_replay(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "6 hours").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            stable_sum("value", "sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_to_memory(agg, spark, output_mode="complete")
+
+
+_STREAM_SLIDING_ORACLE = f"""
+SELECT wstart, COUNT(*) AS n_events, {sql_stable_sum("value", "sum_value")}
+FROM (
+  SELECT
+    unnest([
+      time_bucket(INTERVAL '12 hours', CAST(ts AS TIMESTAMP)),
+      time_bucket(INTERVAL '12 hours', CAST(ts AS TIMESTAMP)) - INTERVAL '12 hours'
+    ]) AS wstart,
+    value
+  FROM events
+)
+GROUP BY wstart
+"""
+
+
+@register(
+    "q_streaming_sliding", oracle=_STREAM_SLIDING_ORACLE, tags=("streaming",)
+)
+def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2-streaming: sliding windows (1 day / 12 h) incrementally —
+    each event updates two window states; complete mode emits all."""
+    ev = events_file_replay(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day", "12 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            stable_sum("value", "sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("wstart"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_to_memory(agg, spark, output_mode="complete")
+
+
 _STREAM_ENRICH_ORACLE = """
 SELECT event_id, event_type, c_name, c_mktsegment
 FROM events JOIN customer ON user_id = c_custkey
