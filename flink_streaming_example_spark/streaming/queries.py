@@ -226,6 +226,124 @@ def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, spark, output_mode="complete")
 
 
+_STREAM_COUNT_WINDOW_ORACLE = """
+WITH numbered AS (
+  SELECT user_id, value,
+    ROW_NUMBER() OVER (
+      PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+    ) AS rn
+  FROM events
+)
+SELECT
+  user_id,
+  CAST(FLOOR((rn - 1) / 5) AS BIGINT) AS win_id,
+  COUNT(*) AS n_events,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(30,6))), 2) AS DOUBLE) AS sum_value
+FROM numbered
+GROUP BY user_id, win_id
+"""
+
+
+@register(
+    "q_streaming_count_window",
+    oracle=_STREAM_COUNT_WINDOW_ORACLE,
+    tags=("streaming",),
+)
+def q_streaming_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4-streaming: count windows (every 5 events per key) — the one
+    window Flink has and Structured Streaming lacks (no count
+    triggers), implemented exactly as SURVEY prescribes: a per-key
+    counter in keyed state.  Full windows are emitted as their 5th
+    event arrives; the trailing partial window is flushed by an
+    event-time timer when the watermark passes the end of input (the
+    Flink `onTimer` flush pattern).  Sums are accumulated in exact
+    decimal inside the state function, mirroring functions/stable.py,
+    so the emitted values hash-match the batch oracle."""
+    import decimal
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    window_n = 5
+    q6 = decimal.Decimal("0.000001")
+    q2 = decimal.Decimal("0.01")
+
+    def dec6(v: float) -> decimal.Decimal:
+        # mirrors CAST(value AS DECIMAL(30,6)): round the exact binary
+        # double half-up at 6 decimals
+        return decimal.Decimal(v).quantize(q6, rounding=decimal.ROUND_HALF_UP)
+
+    def emit(user_id, win_id, n, dsum: decimal.Decimal) -> dict:
+        return {
+            "user_id": user_id,
+            "win_id": win_id,
+            "n_events": n,
+            "sum_value": float(
+                dsum.quantize(q2, rounding=decimal.ROUND_HALF_UP)
+            ),
+        }
+
+    def count_windows(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            n_seen, part_n, part_sum = state.get
+            out = []
+            if part_n > 0:
+                out.append(
+                    emit(
+                        user_id,
+                        (n_seen - part_n) // window_n,
+                        part_n,
+                        decimal.Decimal(part_sum),
+                    )
+                )
+            state.remove()
+            yield pd.DataFrame(
+                out,
+                columns=["user_id", "win_id", "n_events", "sum_value"],
+            )
+            return
+        pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        n_seen, part_n, part_sum = (
+            state.get if state.exists else (0, 0, "0")
+        )
+        acc = decimal.Decimal(part_sum)
+        out = []
+        for v in pdf["value"]:
+            acc += dec6(float(v))
+            n_seen += 1
+            part_n += 1
+            if part_n == window_n:
+                out.append(
+                    emit(user_id, (n_seen - 1) // window_n, part_n, acc)
+                )
+                part_n, acc = 0, decimal.Decimal(0)
+        state.update((n_seen, part_n, str(acc)))
+        # flush the trailing partial when the watermark passes end of
+        # input; ts=1ms is always > the initial watermark (0) and <
+        # the final one (bounded single-batch replay)
+        state.setTimeoutTimestamp(1)
+        yield pd.DataFrame(
+            out, columns=["user_id", "win_id", "n_events", "sum_value"]
+        )
+
+    ev = (
+        events_file_replay(spark, sf_dir)
+        .withWatermark("ts", "0 seconds")
+        .select("user_id", "ts", "event_id", "value")
+    )
+    windows = ev.groupBy("user_id").applyInPandasWithState(
+        count_windows,
+        outputStructType=(
+            "user_id long, win_id long, n_events long, sum_value double"
+        ),
+        stateStructType="n_seen long, part_n long, part_sum string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return run_to_memory(windows, spark, output_mode="append")
+
+
 _STREAM_ENRICH_ORACLE = """
 SELECT event_id, event_type, c_name, c_mktsegment
 FROM events JOIN customer ON user_id = c_custkey
