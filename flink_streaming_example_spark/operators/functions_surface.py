@@ -22,8 +22,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql import Column
+
 from flink_streaming_example_spark.plans.registry import register
 from flink_streaming_example_spark.sources.tables import load_table
+
+
+def _round6(c: Column) -> Column:
+    """Mirrored IEEE half-up at 1e-6 (see functions/stable.py)."""
+    return F.floor(c * F.lit(1000000.0) + F.lit(0.5)).cast("double") / F.lit(
+        1000000.0
+    )
 
 _STRING_ORACLE = """
 SELECT
@@ -38,7 +47,8 @@ SELECT
   trim(concat(' ', p_name, ' ')) AS name_trimmed,
   regexp_replace(p_type, ' ', '_', 'g') AS type_snake,
   starts_with(p_type, 'STANDARD') AS is_standard,
-  CAST(instr(p_name, 'o') AS INTEGER) AS first_o
+  CAST(instr(p_name, 'o') AS INTEGER) AS first_o,
+  p_name LIKE '%art%' AS has_art
 FROM part
 """
 
@@ -63,6 +73,7 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(F.col("p_type"), " ", "_").alias("type_snake"),
         F.col("p_type").startswith("STANDARD").alias("is_standard"),
         F.instr(F.col("p_name"), "o").alias("first_o"),
+        F.col("p_name").like("%art%").alias("has_art"),
     )
 
 
@@ -76,7 +87,8 @@ SELECT
   strftime(o_orderdate, '%Y-%m') AS ym,
   CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS INTEGER)
     AS days_since_95,
-  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date
 FROM orders
 """
 
@@ -100,6 +112,9 @@ def q_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "days_since_95"
         ),
         F.unix_timestamp(F.col("o_orderdate").cast("timestamp")).alias("epoch_s"),
+        # DATE objects reach pandas differently per engine (date vs
+        # midnight datetime64) — stringified for a stable compare
+        F.to_date(F.col("o_orderdate")).cast("string").alias("order_date"),
     )
 
 
@@ -113,7 +128,13 @@ SELECT
   sqrt(l_extendedprice) AS price_sqrt,
   l_tax * l_tax AS tax_sq,
   CAST(mod(l_orderkey, 7) AS BIGINT) AS mod7,
-  CAST(sign(l_discount - 0.05) AS DOUBLE) AS sgn
+  CAST(sign(l_discount - 0.05) AS DOUBLE) AS sgn,
+  CAST(FLOOR(ln(l_extendedprice) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
+    AS log_price,
+  CAST(FLOOR(exp(l_discount) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
+    AS exp_disc,
+  CAST(FLOOR(pow(l_quantity, 1.5) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
+    AS qty_pow
 FROM lineitem
 WHERE l_orderkey % 4 = 0
 """
@@ -139,6 +160,11 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_tax") * F.col("l_tax")).alias("tax_sq"),
         F.pmod(F.col("l_orderkey"), F.lit(7)).alias("mod7"),
         F.signum(F.col("l_discount") - 0.05).alias("sgn"),
+        # transcendentals are libm-dependent (can differ from DuckDB in
+        # the last ulp) — half-up-rounded at 1e-6 on both sides
+        _round6(F.log(F.col("l_extendedprice"))).alias("log_price"),
+        _round6(F.exp(F.col("l_discount"))).alias("exp_disc"),
+        _round6(F.pow(F.col("l_quantity"), F.lit(1.5))).alias("qty_pow"),
     )
 
 
