@@ -135,6 +135,41 @@ def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SALTED_ORACLE = f"""
+SELECT
+  event_type,
+  {sql_stable_sum("value", "sum_value")},
+  COUNT(*) AS n_rows,
+  MIN(value) AS min_value,
+  MAX(value) AS max_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("q_keyed_agg_salted", oracle=_SALTED_ORACLE, tags=("agg",))
+def q_keyed_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-skew: the same keyed aggregate as A1, executed through the
+    salted two-phase plan (functions/skew.py) — partial per
+    (key, salt16) then merge per key, splitting a hot key across 16
+    reducers.  event_type is exactly such a hot key (5 values over the
+    whole table).  The oracle is the PLAIN group-by: associativity
+    means salting must not change a single value."""
+    from flink_streaming_example_spark.functions.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(ev, "event_type", "event_id", 16).sum_count_min_max(
+        "value"
+    )
+    return out.select(
+        "event_type",
+        F.col("sum_value"),
+        "n_rows",
+        F.col("min_value"),
+        F.col("max_value"),
+    )
+
+
 _STATS_ORACLE = """
 SELECT
   event_type,
