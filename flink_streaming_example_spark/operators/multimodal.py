@@ -67,6 +67,57 @@ def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         )
 
 
+_RESIZE_SCHEMA = "doc_id long, mime string, width int, height int, payload binary"
+_FRAMES_SCHEMA = "doc_id long, frame_idx int, frame binary"
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize over (doc_id, payload, mime) -> _RESIZE_SCHEMA.
+
+    Spark-side plumbing is real (Arrow batches, declared output
+    schema, narrow transform); the pixel work needs an image codec
+    (PIL/opencv) that this container does not ship, so the batch
+    kernel raises NotImplementedError for any non-text mime."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for m in pdf["mime"]:
+                if m.startswith("image/"):
+                    raise NotImplementedError(
+                        "image decode/resize requires PIL/opencv (absent)"
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": pdf["mime"],
+                    "width": width,
+                    "height": height,
+                    "payload": pdf["payload"],
+                }
+            )
+
+    return df.mapInPandas(kernel, schema=_RESIZE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n: int) -> DataFrame:
+    """Video frame sampling -> one row per sampled frame
+    (_FRAMES_SCHEMA).  Same contract as resize_images: schema,
+    batching and the 1->N row expansion are real; the decoder
+    (ffmpeg) is stubbed."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                raise NotImplementedError(
+                    "video frame extraction requires ffmpeg (absent)"
+                )
+            yield pd.DataFrame(
+                {"doc_id": [], "frame_idx": [], "frame": []}
+            )
+
+    return df.mapInPandas(kernel, schema=_FRAMES_SCHEMA)
+
+
 _MULTIMODAL_ORACLE = """
 SELECT
   doc_id,

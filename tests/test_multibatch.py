@@ -1,0 +1,138 @@
+"""Multi-micro-batch streaming correctness: the fixture replays drain
+in ONE batch (single file), so these tests re-shard events into many
+files and force maxFilesPerTrigger=1 — state must survive and compose
+across micro-batches for the results to match batch SQL."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from flink_streaming_example_spark.sources.tables import SCHEMAS, load_table
+from flink_streaming_example_spark.testing import compare_frames
+
+SF_DIR = "/root/testdata/sf0.001"
+N_SHARDS = 6
+
+
+@pytest.fixture(scope="module")
+def sharded_events_dir(spark) -> str:
+    out = tempfile.mkdtemp(prefix="events_shards_")
+    raw = spark.read.schema(SCHEMAS["events"]).parquet(f"{SF_DIR}/events.parquet")
+    # shard by time order so micro-batches roughly advance event time
+    raw.orderBy("ts").repartitionByRange(N_SHARDS, "ts").write.mode(
+        "overwrite"
+    ).parquet(out)
+    return out
+
+
+def _replay(spark, path):
+    df = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _drain(spark, sdf, mode):
+    import itertools
+
+    name = f"multibatch_{next(_drain.ids)}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="mb_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    batches = len(q.recentProgress)
+    return spark.table(name), batches
+
+
+_drain.ids = __import__("itertools").count()
+
+
+def test_windowed_agg_across_micro_batches(spark, sharded_events_dir):
+    ev = _replay(spark, sharded_events_dir)
+    agg = (
+        ev.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("wstart"),
+            "event_type",
+            "n_events",
+        )
+    )
+    got, batches = _drain(spark, agg, "complete")
+    assert batches >= N_SHARDS, f"expected >= {N_SHARDS} micro-batches, got {batches}"
+    want = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("wstart"), "event_type", "n_events"
+        )
+    )
+    result = compare_frames(got.toPandas(), want.toPandas())
+    assert result.ok, result.detail
+
+
+def test_stateful_counter_accumulates_across_batches(spark, sharded_events_dir):
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def count_events(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    ev = _replay(spark, sharded_events_dir).select("user_id", "event_type")
+    counted = ev.groupBy("user_id").applyInPandasWithState(
+        count_events,
+        outputStructType="user_id long, n_events long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    got, batches = _drain(spark, counted, "update")
+    assert batches >= N_SHARDS
+    # update mode emits one row per key per batch it appears in; the
+    # MAX per key is the final accumulated count
+    final = got.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+    want = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    result = compare_frames(final.toPandas(), want.toPandas())
+    assert result.ok, result.detail
+
+
+def test_streaming_dedup_across_batches_with_duplicates(spark):
+    # duplicate the whole stream into two shard sets: every event
+    # arrives twice, in different micro-batches — dedup state must
+    # suppress the second copy
+    out = tempfile.mkdtemp(prefix="events_dup_")
+    raw = spark.read.schema(SCHEMAS["events"]).parquet(f"{SF_DIR}/events.parquet")
+    raw.write.mode("overwrite").parquet(out)
+    raw.write.mode("append").parquet(out)
+    ev = _replay(spark, out)
+    deduped = (
+        ev.withWatermark("ts", "40 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    got, batches = _drain(spark, deduped, "append")
+    assert batches >= 2
+    want = raw.select("event_id", "user_id", "event_type")
+    result = compare_frames(got.toPandas(), want.toPandas())
+    assert result.ok, result.detail
