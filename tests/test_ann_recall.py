@@ -1,0 +1,30 @@
+"""Recall of the bucketed (IVF-shaped) kNN vs the exact brute-force
+path — approximate operators need a measured quality number, not just
+'it runs' (the coarse 8-seed quantizer on random-ish fixture vectors is
+a weak partitioner, so the floor here is deliberately modest; a trained
+k-means quantizer with multi-probe raises it)."""
+
+from __future__ import annotations
+
+from flink_streaming_example_spark.plans.registry import all_specs
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_ivf_recall_vs_exact(spark):
+    specs = all_specs()
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in specs["q_knn_cosine"].fn(spark, SF_DIR).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in specs["q_knn_ivf"].fn(spark, SF_DIR).collect()
+    }
+    assert len(exact) == 50  # 10 queries x top-5
+    recall = len(exact & approx) / len(exact)
+    # deterministic (fixed seeds, fixed fixtures): measured 0.78 at
+    # sf0.01 — far above the ~1% random baseline; floor set with margin
+    assert len(approx) == 50
+    assert recall >= 0.5, f"IVF recall collapsed: {recall:.2f}"
+    print(f"IVF recall@5 vs exact: {recall:.2f}")
