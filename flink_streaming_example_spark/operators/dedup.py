@@ -222,8 +222,13 @@ FROM pairs
 
 
 def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ngram_pairs_from(load_table(spark, sf_dir, "documents"))
+
+
+def _ngram_pairs_from(docs: DataFrame) -> DataFrame:
     """Prefix-blocked exact 5-gram Jaccard pairs >= 0.4 with the raw
-    similarity (shared by q_dedup_ngram and q_dedup_clusters).
+    similarity (shared by q_dedup_ngram, q_dedup_clusters, and the
+    clean-corpus pipeline).
 
     Shingle sets stay STRING sets because the oracle's Jaccard is over
     string shingles — hashing (as q_dedup_near does) would only be
@@ -231,7 +236,6 @@ def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides of the pair join (an explode+collect_set rewrite was tried
     and measured SLOWER here — the 5M-row shuffle costs more than the
     in-place array transform)."""
-    docs = load_table(spark, sf_dir, "documents")
     shingles = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.length("text") - 4, F.lit(1))),
@@ -323,7 +327,17 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     large-star/small-star variant for O(log n) rounds; the oracle is a
     recursive-CTE transitive closure, exact because components are
     small."""
-    edges = _ngram_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b").persist()
+    edges = _ngram_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    return cc_min_labels(edges)
+
+
+def cc_min_labels(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components by iterative min-label propagation over an
+    undirected edge list (doc_id_a, doc_id_b) -> (doc_id, cluster_id)
+    for every node with at least one edge.  O(diameter) rounds; see
+    q_dedup_clusters docstring for the large-star/small-star swap at
+    scale."""
+    edges = edges.persist()
     und = edges.selectExpr("doc_id_a AS src", "doc_id_b AS dst").unionByName(
         edges.selectExpr("doc_id_b AS src", "doc_id_a AS dst")
     ).persist()
@@ -333,7 +347,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cluster_id", F.col("doc_id"))
         .persist()
     )
-    for _ in range(20):
+    for _ in range(max_iter):
         nb_min = (
             und.join(labels, und.dst == labels.doc_id)
             .groupBy("src")

@@ -1,0 +1,112 @@
+"""End-to-end LLM training-data pipeline (the composed use-case all
+the §2.9 operators exist for): quality filter -> exact dedup ->
+near-dup cluster dedup -> corpus stats, as ONE oracle-checked query.
+
+Stage order matters and is mirrored exactly in the oracle:
+1. quality gate: keep docs with >= 30 whitespace tokens;
+2. exact dedup: min-doc_id survivor per normalized text;
+3. near-dup dedup over the SURVIVORS: 5-gram Jaccard >= 0.4 pairs
+   (prefix-blocked), connected components, keep each component's min
+   doc_id (transitively-correct survivor election — cc_min_labels);
+4. report the cleaned corpus per language.
+
+Scale shape: stages 1-2 are scan + one windowed shuffle; stage 3 is
+the blocked pair join + O(diameter) label-propagation rounds over the
+(tiny) edge set; stage 4 is a partial+final aggregate.  Nothing is
+all-pairs, nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_streaming_example_spark.operators.dedup import (
+    _ngram_pairs_from,
+    cc_min_labels,
+)
+from flink_streaming_example_spark.plans.registry import register
+from flink_streaming_example_spark.sources.tables import load_table
+
+_MIN_TOKENS = 30
+
+_CLEAN_CORPUS_ORACLE = f"""
+WITH RECURSIVE quality AS (
+  SELECT doc_id, text, lang
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= {_MIN_TOKENS}
+), exact_survivors AS (
+  SELECT doc_id, text, lang FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY lower(trim(text)) ORDER BY doc_id
+    ) AS rn
+    FROM quality
+  ) WHERE rn = 1
+), sh AS (
+  SELECT doc_id, substring(text, 1, 40) AS block,
+    list_distinct([substring(text, i, 5)
+                   FOR i IN range(1, greatest(length(text) - 3, 2))]) AS shingles
+  FROM exact_survivors
+), pairs AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id
+  WHERE (CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+         / len(list_distinct(list_concat(a.shingles, b.shingles)))) >= 0.4
+), und AS (
+  SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_id_b AS src, doc_id_a AS dst FROM pairs
+), reach(src, dst) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM und)
+  UNION
+  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+), labels AS (
+  SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+), clean AS (
+  SELECT s.doc_id, s.text, s.lang
+  FROM exact_survivors s LEFT JOIN labels l ON s.doc_id = l.doc_id
+  WHERE l.doc_id IS NULL OR l.cluster_id = s.doc_id
+)
+SELECT
+  lang,
+  COUNT(*) AS n_docs,
+  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+  MIN(doc_id) AS first_doc
+FROM clean
+GROUP BY lang
+"""
+
+
+@register(
+    "q_clean_corpus", oracle=_CLEAN_CORPUS_ORACLE, tags=("pipeline", "flagship")
+)
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pipeline (module docstring) — every stage is an
+    operator that also has its own standalone oracle-checked key."""
+    docs = load_table(spark, sf_dir, "documents")
+    quality = docs.filter(
+        F.size(F.split(F.col("text"), " ")) >= _MIN_TOKENS
+    ).select("doc_id", "text", "lang")
+
+    w = Window.partitionBy(F.lower(F.trim(F.col("text")))).orderBy("doc_id")
+    exact_survivors = (
+        quality.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .persist()
+    )
+
+    edges = _ngram_pairs_from(exact_survivors).select("doc_id_a", "doc_id_b")
+    labels = cc_min_labels(edges)
+    clean = exact_survivors.join(labels, "doc_id", "left").filter(
+        F.col("cluster_id").isNull()
+        | (F.col("cluster_id") == F.col("doc_id"))
+    )
+
+    return clean.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias(
+            "total_tokens"
+        ),
+        F.min("doc_id").alias("first_doc"),
+    )
