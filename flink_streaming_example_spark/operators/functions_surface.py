@@ -209,7 +209,9 @@ SELECT
   json_extract(props, '$.k')::INTEGER AS k_val,
   json_extract_string(props, '$.k') AS k_str,
   json_extract(props, '$.k') IS NOT NULL AS has_k,
-  CAST(length(props) AS INTEGER) AS props_len
+  CAST(length(props) AS INTEGER) AS props_len,
+  to_json(struct_pack(k := json_extract(props, '$.k')::INTEGER,
+                      t := event_type)) AS packed
 FROM events
 """
 
@@ -226,6 +228,11 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object(F.col("props"), "$.k").alias("k_str"),
         k.isNotNull().alias("has_k"),
         F.length("props").alias("props_len"),
+        # both engines serialize structs as {"k":87,"t":"click"} —
+        # byte-identical compact JSON
+        F.to_json(
+            F.struct(k.alias("k"), F.col("event_type").alias("t"))
+        ).alias("packed"),
     )
 
 
