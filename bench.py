@@ -44,7 +44,13 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             df = spec.fn(spark, SF_DIR)
-            df.collect()
+            # Full materialization on the driver, via Arrow batch
+            # transfer (what any real consumer uses); row-at-a-time
+            # collect() would add pure pickling overhead to the timing.
+            try:
+                df.toPandas()
+            except Exception:
+                df.collect()
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as e:  # keep timing the rest, but surface it
             timings[name] = -1.0

@@ -216,6 +216,167 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("rn") <= 5)
 
 
+_KMEANS_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), seeds AS (
+  SELECT vec_id AS seed_id, v AS sv FROM e WHERE vec_id < 8
+), a0 AS (
+  SELECT vec_id, seed_id AS bucket FROM (
+    SELECT e.vec_id, s.seed_id,
+      ROW_NUMBER() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY
+          CAST(FLOOR(
+            (list_dot_product(e.v, e.v)
+             - 2 * list_dot_product(e.v, s.sv)
+             + list_dot_product(s.sv, s.sv)) * 1000000.0 + 0.5
+          ) AS DOUBLE) / 1000000.0,
+          s.seed_id
+      ) AS rn
+    FROM e, seeds s
+  ) WHERE rn = 1
+), ex AS (
+  SELECT a0.bucket, e.vec_id, i AS pos, CAST(e.v[i] AS DOUBLE) AS x
+  FROM e JOIN a0 USING (vec_id), (SELECT unnest(range(1, 65)) AS i)
+), c1 AS (
+  SELECT bucket, pos,
+    CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS c
+  FROM ex GROUP BY bucket, pos
+), c1v AS (
+  SELECT bucket, list(c ORDER BY pos) AS cv FROM c1 GROUP BY bucket
+), a1 AS (
+  SELECT vec_id, b AS bucket FROM (
+    SELECT e.vec_id, c.bucket AS b,
+      ROW_NUMBER() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY
+          CAST(FLOOR(
+            (list_dot_product(e.v, e.v)
+             - 2 * list_dot_product(e.v, c.cv)
+             + list_dot_product(c.cv, c.cv)) * 1000000.0 + 0.5
+          ) AS DOUBLE) / 1000000.0,
+          c.bucket
+      ) AS rn
+    FROM e, c1v c
+  ) WHERE rn = 1
+), n AS (
+  SELECT e.vec_id, e.v, sqrt(list_dot_product(e.v, e.v)) AS nrm, a1.bucket
+  FROM e JOIN a1 USING (vec_id)
+), scored AS (
+  SELECT
+    q.vec_id AS query_id,
+    c.vec_id AS neighbor_id,
+    CAST(FLOOR(
+      (list_dot_product(q.v, c.v) / (q.nrm * c.nrm)) * 10000.0 + 0.5
+    ) AS DOUBLE) / 10000.0 AS cos_sim
+  FROM n q JOIN n c ON q.bucket = c.bucket
+   AND q.vec_id < 10 AND c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INTEGER) AS rn
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+  ) AS rn
+  FROM scored
+)
+WHERE rn <= 5
+"""
+
+
+def _argmin_bucket(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assign each vector to its nearest centroid by L2² (1e-6-rounded,
+    centroid-id tiebreaker): one broadcast crossJoin + windowed argmin —
+    the coarse-quantizer assignment step shared by seeded and trained
+    centroids.  cents: (bucket, cv)."""
+    d2 = (
+        _dot("v", "v")
+        - F.lit(2.0) * _dot("v", "cv")
+        + _dot("cv", "cv")
+    )
+    d2r = F.floor(d2 * F.lit(1000000.0) + F.lit(0.5)).cast("double") / F.lit(
+        1000000.0
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2r"), F.col("bucket"))
+    return (
+        base.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", "bucket", d2r.alias("d2r"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "bucket")
+    )
+
+
+@register("q_knn_kmeans", oracle=_KMEANS_ORACLE, tags=("similarity", "approx"))
+def q_knn_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3c: IVF with k-means-TRAINED centroids — one Lloyd step from
+    the 8 seed vectors (assign -> per-dimension mean -> re-assign),
+    then the same bucketed top-k as q_knn_ivf.  This completes the
+    'swap in trained centroids' path q_knn_ivf documents: the
+    assignment operator (_argmin_bucket) is literally shared.
+
+    Determinism (so even the trained path is oracle-checkable): the
+    Lloyd mean is an exact decimal sum divided by the count (merge-order
+    independent, bit-identical in DuckDB), assignments rank the
+    1e-6-rounded L2² with a centroid-id tiebreaker.
+
+    Scale shape (100 TB): training touches each vector twice (two
+    broadcast-assignment scans, no pair shuffle); the per-dimension
+    mean shuffles #buckets x 64 rows — constant in corpus size.  More
+    Lloyd rounds repeat the same two operators."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", _as_double("embedding").alias("v"))
+    seeds = base.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("bucket"), F.col("v").alias("cv")
+    )
+    a0 = _argmin_bucket(base, seeds)
+    # Lloyd step: new centroid = per-dimension decimal-exact mean
+    ex = a0.select("bucket", F.posexplode("v").alias("pos", "x"))
+    c1 = ex.groupBy("bucket", "pos").agg(
+        (
+            F.sum(F.col("x").cast("decimal(30,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    c1v = c1.groupBy("bucket").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s["c"],
+        ).alias("cv")
+    )
+    e = _argmin_bucket(base, c1v).withColumn("nrm", F.sqrt(_dot("v", "v")))
+    q = (
+        e.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            F.col("bucket").alias("qbucket"),
+        )
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            e,
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _round4(_dot("qv", "v") / (F.col("qn") * F.col("nrm"))).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.select(
+        "query_id", "neighbor_id", "cos_sim", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 5)
+
+
 _CENTROID_ORACLE = """
 WITH ex AS (
   SELECT label, vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS x

@@ -101,3 +101,32 @@ def test_print_sink_constructs(spark):
     src = streams.events_file_replay(spark, "/root/testdata/sf0.001")
     writer = streams.print_sink(src.select(F.col("event_id")))
     assert writer is not None
+
+
+def test_rocksdb_state_store_provider(spark, sf_dir):
+    """The 100 TB state-store story, proven: the same stateful
+    streaming query (windowed agg + session-window agg) runs on the
+    RocksDB provider — the off-heap, spill-to-disk store sized for
+    large keyed state — and produces results identical to the default
+    HDFS-backed in-memory store."""
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    baseline = {
+        name: _SPECS[name].fn(spark, sf_dir).toPandas()
+        for name in ("q_streaming_tumbling", "q_streaming_session")
+    }
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, rocksdb)
+    try:
+        for name, expected in baseline.items():
+            got = _SPECS[name].fn(spark, sf_dir).toPandas()
+            result = compare_frames(got, expected)
+            assert result.ok, f"{name} under RocksDB: {result.detail}"
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
