@@ -1,0 +1,142 @@
+"""User-defined function surface (SURVEY.md §2.10): the Spark
+equivalents of Flink's three extension points, each proven against the
+DuckDB oracle so the *mechanism* — Arrow batch transfer, grouped-agg
+merge, table-function lateral join — is verified, not just the math.
+
+  Flink MapFunction        -> q_udf_scalar   (vectorized pandas UDF)
+  Flink AggregateFunction  -> q_udaf_grouped (GROUPED_AGG pandas UDF)
+  Flink TableFunction      -> q_udtf_tokens  (Python UDTF, 1→N lateral)
+
+Policy reminder (§2.10): builtin expressions ALWAYS win in the hot
+path — every function here is deliberately also SQL-expressible so the
+Python path itself is hash-checkable.  These keys exist because a user
+porting Flink jobs will bring custom Java/Python logic that has no
+builtin twin; this is the surface they port it onto.
+
+Determinism notes: the scalar UDF mirrors the engine-wide
+floor-half-up rounding before emitting doubles; the UDAF reduces
+integers (order-independent); the UDTF emits per-doc token counts in
+sorted token order (output order is irrelevant to the order-insensitive
+hash, but sorting keeps reruns byte-identical).
+
+Scale notes (100 TB): all three run as Arrow-batched (UDF/UDAF) or
+row-stream (UDTF) Python workers per partition — embarrassingly
+parallel, no extra shuffle beyond the declared groupBy/lateral.  The
+UDAF's partial aggregation happens Python-side per partition group;
+for very hot keys pre-aggregate with builtins first (the salted
+pattern in functions/skew.py).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_streaming_example_spark.plans.registry import register
+from flink_streaming_example_spark.sources.tables import load_table
+
+_UDF_SCALAR_ORACLE = """
+SELECT
+  doc_id,
+  lang,
+  CAST(FLOOR(
+    (CAST(len(string_split(text, ' ')) AS DOUBLE) / (1.0 + length(text)))
+    * 1000000.0 + 0.5
+  ) AS DOUBLE) / 1000000.0 AS density
+FROM documents
+"""
+
+
+@register("q_udf_scalar", oracle=_UDF_SCALAR_ORACLE, tags=("udf", "python"))
+def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 MapFunction equivalent: a vectorized (Arrow series-to-
+    series) pandas UDF computing token density = #tokens / (1+chars).
+    One Arrow batch per partition chunk, no per-row Python overhead."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def token_density(text: pd.Series) -> pd.Series:
+        toks = text.str.split(" ").str.len().astype("float64")
+        raw = toks / (1.0 + text.str.len().astype("float64"))
+        return np.floor(raw * 1000000.0 + 0.5) / 1000000.0
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", token_density(F.col("text")).alias("density")
+    )
+
+
+_UDAF_ORACLE = """
+SELECT
+  lang,
+  COUNT(*) AS n_docs,
+  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("q_udaf_grouped", oracle=_UDAF_ORACLE, tags=("udf", "python"))
+def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 AggregateFunction equivalent: a GROUPED_AGG pandas UDF
+    (series -> scalar per group) summing per-doc token counts.  The
+    reduction is over integers, so partition merge order cannot move
+    the result — the UDAF mechanism is hash-checkable."""
+
+    @F.pandas_udf("long")
+    def sum_tokens(n: pd.Series) -> int:
+        return int(n.sum())
+
+    @F.pandas_udf("long")
+    def count_rows(n: pd.Series) -> int:
+        return int(len(n))
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_counts = docs.select(
+        "lang", F.size(F.split(F.col("text"), " ")).alias("n_tok")
+    )
+    # Spark disallows mixing GROUPED_AGG pandas UDFs with JVM
+    # aggregates in one agg(), so the count is a pandas UDAF too.
+    return with_counts.groupBy("lang").agg(
+        count_rows(F.col("n_tok")).alias("n_docs"),
+        sum_tokens(F.col("n_tok")).alias("total_tokens"),
+    )
+
+
+_UDTF_ORACLE = """
+SELECT doc_id, token, COUNT(*) AS n
+FROM (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+)
+GROUP BY doc_id, token
+"""
+
+
+@register("q_udtf_tokens", oracle=_UDTF_ORACLE, tags=("udf", "python"))
+def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 TableFunction equivalent: a Python UDTF (Spark 4) emitting
+    one row per distinct token per document with its in-doc count —
+    the 1→N lateral-join shape of Flink's collector.collect() loop,
+    driven through SQL `LATERAL` exactly as a user would."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, token string, n bigint")
+    class TokenCounts:
+        def eval(self, doc_id: int, text: str):
+            from collections import Counter
+
+            for tok, cnt in sorted(Counter(text.split(" ")).items()):
+                yield doc_id, tok, cnt
+
+    spark.udtf.register("token_counts", TokenCounts)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "udtf_documents"
+    )
+    return spark.sql(
+        """
+        SELECT t.doc_id, t.token, t.n
+        FROM udtf_documents, LATERAL token_counts(doc_id, text) t
+        """
+    )

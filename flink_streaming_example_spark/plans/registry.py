@@ -38,6 +38,7 @@ _OPERATOR_MODULES: tuple[str, ...] = (
     "flink_streaming_example_spark.operators.similarity",
     "flink_streaming_example_spark.operators.text_analysis",
     "flink_streaming_example_spark.operators.multimodal",
+    "flink_streaming_example_spark.operators.udfs",
     "flink_streaming_example_spark.operators.pipeline",
     "flink_streaming_example_spark.streaming.queries",
 )
