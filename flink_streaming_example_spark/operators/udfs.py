@@ -122,7 +122,10 @@ def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     driven through SQL `LATERAL` exactly as a user would."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="doc_id bigint, token string, n bigint")
+    # Arrow-optimized: rows cross to Python as Arrow batches, keeping
+    # the 1→N path off row-at-a-time pickling (and visible in the plan
+    # as an Arrow stage, which the plan gate enforces).
+    @udtf(returnType="doc_id bigint, token string, n bigint", useArrow=True)
     class TokenCounts:
         def eval(self, doc_id: int, text: str):
             from collections import Counter
