@@ -233,3 +233,24 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"), stable_sum("l_quantity", "sum_qty")
     )
+
+
+@register("q_approx_distinct", oracle=None, tags=("agg", "approx"))
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4-approx: per-key approx_count_distinct (HyperLogLog++, rsd
+    2%) next to the exact count — the 100 TB form of count distinct:
+    a fixed-size sketch merge replaces the partial-dedup shuffle, so
+    memory stays constant however many distinct users a key has.
+
+    Rows-only key: the HLL estimate is deterministic for a given input
+    and rsd but engine-specific, so no DuckDB twin exists; the
+    accuracy contract (estimate within 5x rsd of exact on every key)
+    is asserted in tests/test_parity.py::test_approx_distinct_accuracy."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct(F.col("user_id")).alias("n_users_exact"),
+        F.approx_count_distinct(F.col("user_id"), rsd=0.02).alias(
+            "n_users_approx"
+        ),
+    )

@@ -117,6 +117,61 @@ def test_stateful_counter_accumulates_across_batches(spark, sharded_events_dir):
     assert result.ok, result.detail
 
 
+def test_checkpoint_recovery_exactly_once(spark):
+    """Kill-and-restart semantics: a dedup query drains half the
+    stream, stops, then restarts FROM THE SAME CHECKPOINT against a
+    directory that now also holds the second half plus fresh duplicate
+    copies of both halves.  Exactly-once requires the restarted run to
+    (a) not re-read files the offset log already committed and (b)
+    restore the dedup state so duplicates of already-seen keys stay
+    suppressed — emitting exactly the second half, nothing else."""
+    src = tempfile.mkdtemp(prefix="events_recov_")
+    ckpt = tempfile.mkdtemp(prefix="recov_ckpt_")
+    out = tempfile.mkdtemp(prefix="recov_out_")
+    raw = spark.read.schema(SCHEMAS["events"]).parquet(
+        f"{SF_DIR}/events.parquet"
+    )
+    h1 = raw.filter(F.col("event_id") % 2 == 0)
+    h2 = raw.filter(F.col("event_id") % 2 == 1)
+    h1.write.mode("overwrite").parquet(src)
+
+    def run():
+        # memory sink can't recover a checkpoint; the parquet sink is
+        # the fault-tolerant one (commit log dedupes output files too)
+        ev = _replay(spark, src)
+        deduped = (
+            ev.withWatermark("ts", "40 days")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .select("event_id", "user_id", "event_type")
+        )
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out).toPandas()
+
+    first = run()
+    assert len(first) == h1.count()
+    # "crash": the query object is gone; only the checkpoint remains.
+    # New files arrive: the other half, plus duplicates of everything.
+    h2.write.mode("append").parquet(src)
+    h1.write.mode("append").parquet(src)
+    h2.write.mode("append").parquet(src)
+    total = run()
+    assert len(total) == raw.count(), (
+        f"after restart the sink holds {len(total)} rows, want "
+        f"{raw.count()} — offset log or dedup state did not survive"
+    )
+    result = compare_frames(
+        total, raw.select("event_id", "user_id", "event_type").toPandas()
+    )
+    assert result.ok, result.detail
+
+
 def test_streaming_dedup_across_batches_with_duplicates(spark):
     # duplicate the whole stream into two shard sets: every event
     # arrives twice, in different micro-batches — dedup state must

@@ -82,4 +82,7 @@ def test_rows_only_keys_are_minority():
     oracle_free = [n for n, s in _SPECS.items() if s.oracle is None]
     # Every rows-only key must be justifiable (approximate/pseudo-random
     # ops); keep the list explicit so additions are deliberate.
-    assert set(oracle_free) <= {"q_dedup_near"}, oracle_free
+    assert set(oracle_free) <= {
+        "q_dedup_near",  # banded-MinHash signature: xxhash64 has no DuckDB twin
+        "q_approx_distinct",  # HLL estimate is engine-specific; error bound tested
+    }, oracle_free
