@@ -132,3 +132,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """All fixture tables keyed by name."""
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def load_text_table(
+    spark: SparkSession, path: str, name: str, format: str = "csv"
+) -> DataFrame:
+    """S1-variants: the same declared-schema discipline over text
+    landing formats (CSV with header, or JSON lines) — what a Flink
+    example's readTextFile/CsvReaderFormat maps to.  Schema is always
+    the declared one, never inferred: at 100 TB, sampling-based
+    inference is a full extra pass and a type-drift hazard.
+
+    PERMISSIVE mode with a _corrupt-free assumption is NOT used:
+    FAILFAST surfaces malformed rows immediately instead of silently
+    nulling them (roundtrip parity proven in tests/test_sources.py)."""
+    if name not in SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    ensure_session_confs(spark)
+    reader = spark.read.schema(SCHEMAS[name]).option("mode", "FAILFAST")
+    if format == "csv":
+        return reader.option("header", "true").csv(path)
+    if format == "json":
+        return reader.json(path)
+    raise ValueError(f"unsupported text format {format!r}")

@@ -5,6 +5,8 @@ in the fixture set."""
 
 from __future__ import annotations
 
+import pytest
+
 from flink_streaming_example_spark.sources.tables import (
     SCHEMAS,
     TABLE_NAMES,
@@ -38,3 +40,31 @@ def test_events_ts_matches_duckdb_cast(spark, duck, sf_dir):
     ).df()
     result = compare_frames(spark_pdf, oracle_pdf)
     assert result.ok, result.detail
+
+
+@pytest.mark.parametrize("format", ["csv", "json"])
+def test_text_format_roundtrip(spark, sf_dir, format, tmp_path):
+    """CSV/JSON landing formats under the same declared schema produce
+    value-identical tables to the parquet path (S1-variants)."""
+    from flink_streaming_example_spark.sources.tables import load_text_table
+
+    want = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / f"orders_{format}")
+    w = want.write.mode("overwrite")
+    (w.option("header", "true").csv(out) if format == "csv" else w.json(out))
+    got = load_text_table(spark, out, "orders", format=format)
+    result = compare_frames(got.toPandas(), want.toPandas())
+    assert result.ok, result.detail
+
+
+def test_text_format_failfast_on_malformed(spark, tmp_path):
+    from flink_streaming_example_spark.sources.tables import load_text_table
+
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "part.csv").write_text(
+        "o_orderkey,o_custkey,o_orderstatus,o_totalprice,o_orderdate,o_orderpriority\n"
+        "not_a_number,1,O,10.5,1995-01-01,1-URGENT\n"
+    )
+    with pytest.raises(Exception, match="Malformed|FAILFAST"):
+        load_text_table(spark, str(bad), "orders", format="csv").collect()
