@@ -191,3 +191,64 @@ def test_streaming_dedup_across_batches_with_duplicates(spark):
     want = raw.select("event_id", "user_id", "event_type")
     result = compare_frames(got.toPandas(), want.toPandas())
     assert result.ok, result.detail
+
+
+def test_broadcast_rules_update_between_runs(spark):
+    """P3 dynamic rules: Flink's broadcast-state pattern updates rules
+    while the job runs.  The Spark form — a stream-static join whose
+    static side is re-planned every micro-batch — is proven here
+    deterministically: run 1 enriches the first half of the stream
+    with rules v1; the rules table is overwritten; run 2 (same
+    checkpoint) enriches only the newly-arrived second half, and every
+    new row carries a v2 label."""
+    src = tempfile.mkdtemp(prefix="events_rules_")
+    rules_dir = tempfile.mkdtemp(prefix="rules_")
+    ckpt = tempfile.mkdtemp(prefix="rules_ckpt_")
+    out = tempfile.mkdtemp(prefix="rules_out_")
+    raw = spark.read.schema(SCHEMAS["events"]).parquet(
+        f"{SF_DIR}/events.parquet"
+    )
+    h1 = raw.filter(F.col("event_id") % 2 == 0)
+    h2 = raw.filter(F.col("event_id") % 2 == 1)
+    types = ["click", "view", "purchase", "signup", "error"]
+
+    def write_rules(version: str):
+        spark.createDataFrame(
+            [(t, f"{version}:{t}") for t in types],
+            "event_type string, rule_label string",
+        ).write.mode("overwrite").parquet(rules_dir)
+
+    def run():
+        ev = _replay(spark, src)
+        rules = spark.read.schema(
+            "event_type string, rule_label string"
+        ).parquet(rules_dir)
+        enriched = ev.join(F.broadcast(rules), "event_type").select(
+            "event_id", "event_type", "rule_label"
+        )
+        q = (
+            enriched.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out)
+
+    h1.write.mode("overwrite").parquet(src)
+    write_rules("v1")
+    after1 = run()
+    assert after1.count() == h1.count()
+    assert after1.filter(~F.col("rule_label").startswith("v1:")).count() == 0
+
+    write_rules("v2")
+    h2.write.mode("append").parquet(src)
+    after2 = run()
+    assert after2.count() == h1.count() + h2.count()
+    # every newly-enriched row used the updated rules
+    v2_rows = after2.filter(F.col("rule_label").startswith("v2:"))
+    assert v2_rows.count() == h2.count()
+    assert {
+        r.event_id % 2 for r in v2_rows.select("event_id").collect()
+    } == {1}
