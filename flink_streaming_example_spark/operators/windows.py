@@ -227,7 +227,9 @@ SELECT
   CAST(ROW_NUMBER() OVER w_total AS INTEGER) AS rn,
   CAST(RANK() OVER w_price AS INTEGER) AS rnk,
   CAST(DENSE_RANK() OVER w_price AS INTEGER) AS drnk,
-  CAST(NTILE(4) OVER w_total AS INTEGER) AS quartile
+  CAST(NTILE(4) OVER w_total AS INTEGER) AS quartile,
+  PERCENT_RANK() OVER w_price AS prank,
+  CUME_DIST() OVER w_price AS cdist
 FROM part
 WINDOW
   w_total AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey),
@@ -253,6 +255,9 @@ def q_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w_price).alias("rnk"),
         F.dense_rank().over(w_price).alias("drnk"),
         F.ntile(4).over(w_total).alias("quartile"),
+        # exact small-integer ratios — identical doubles in both engines
+        F.percent_rank().over(w_price).alias("prank"),
+        F.cume_dist().over(w_price).alias("cdist"),
     )
 
 

@@ -97,6 +97,18 @@ def events_file_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+def documents_file_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 (replay path, text corpus): stream the documents fixture —
+    the bounded stand-in for a document-ingest topic, feeding the
+    streaming word count and any streaming text-pipeline operator."""
+    ensure_session_confs(spark)
+    return (
+        spark.readStream.schema(SCHEMAS["documents"])
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def kafka_source(
     spark: SparkSession,
     bootstrap_servers: str,

@@ -137,10 +137,10 @@ def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 def load_text_table(
     spark: SparkSession, path: str, name: str, format: str = "csv"
 ) -> DataFrame:
-    """S1-variants: the same declared-schema discipline over text
-    landing formats (CSV with header, or JSON lines) — what a Flink
-    example's readTextFile/CsvReaderFormat maps to.  Schema is always
-    the declared one, never inferred: at 100 TB, sampling-based
+    """S1-variants: the same declared-schema discipline over alternate
+    landing formats (CSV with header, JSON lines, or ORC) — what a
+    Flink example's readTextFile/CsvReaderFormat maps to.  Schema is
+    always the declared one, never inferred: at 100 TB, sampling-based
     inference is a full extra pass and a type-drift hazard.
 
     PERMISSIVE mode with a _corrupt-free assumption is NOT used:
@@ -154,4 +154,6 @@ def load_text_table(
         return reader.option("header", "true").csv(path)
     if format == "json":
         return reader.json(path)
+    if format == "orc":
+        return reader.orc(path)
     raise ValueError(f"unsupported text format {format!r}")

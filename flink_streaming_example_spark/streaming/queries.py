@@ -35,7 +35,10 @@ from flink_streaming_example_spark.functions.stable import (
     stable_sum,
 )
 from flink_streaming_example_spark.plans.registry import register
-from flink_streaming_example_spark.sources.streams import events_file_replay
+from flink_streaming_example_spark.sources.streams import (
+    documents_file_replay,
+    events_file_replay,
+)
 
 _run_ids = itertools.count()
 
@@ -110,6 +113,37 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(agg, spark, output_mode="complete")
+
+
+_STREAM_WORDCOUNT_ORACLE = """
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+GROUP BY token
+"""
+
+
+@register(
+    "q_streaming_wordcount",
+    oracle=_STREAM_WORDCOUNT_ORACLE,
+    tags=("streaming", "flagship"),
+)
+def q_streaming_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4a-streaming: word count executed as a streaming job — the
+    literal flink-streaming-example identity query (socket/Kafka text
+    in, running token counts out), here over the bounded documents
+    replay with complete-mode running counts.  Unbounded-vocabulary
+    note (100 TB): token state grows with distinct tokens; production
+    caps it with a watermarked time window (W1) or drops to
+    update-mode + downstream compaction."""
+    docs = documents_file_replay(spark, sf_dir)
+    counts = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return run_to_memory(counts, spark, output_mode="complete")
 
 
 _STREAM_DEDUP_ORACLE = """

@@ -42,7 +42,7 @@ def test_events_ts_matches_duckdb_cast(spark, duck, sf_dir):
     assert result.ok, result.detail
 
 
-@pytest.mark.parametrize("format", ["csv", "json"])
+@pytest.mark.parametrize("format", ["csv", "json", "orc"])
 def test_text_format_roundtrip(spark, sf_dir, format, tmp_path):
     """CSV/JSON landing formats under the same declared schema produce
     value-identical tables to the parquet path (S1-variants)."""
@@ -51,7 +51,12 @@ def test_text_format_roundtrip(spark, sf_dir, format, tmp_path):
     want = load_table(spark, sf_dir, "orders")
     out = str(tmp_path / f"orders_{format}")
     w = want.write.mode("overwrite")
-    (w.option("header", "true").csv(out) if format == "csv" else w.json(out))
+    if format == "csv":
+        w.option("header", "true").csv(out)
+    elif format == "json":
+        w.json(out)
+    else:
+        w.orc(out)
     got = load_text_table(spark, out, "orders", format=format)
     result = compare_frames(got.toPandas(), want.toPandas())
     assert result.ok, result.detail
