@@ -2,9 +2,18 @@
 rows-only alike) at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
 and prints ONE JSON line the driver records as BENCH_r{N}.json.
 
-Each query is executed to completion (collect) on a single shared
-SparkSession — session startup is excluded from per-query time but a
-cold "first job" warmup is run so JIT/codegen costs don't land on q1.
+Each query is executed to completion (Arrow toPandas) on a single
+shared SparkSession — session startup is excluded from per-query time
+but a cold "first job" warmup is run so JIT/codegen costs don't land
+on q1.  Cached blocks left by a query (dedup/cc intermediates) are
+cleared between keys so one key's cache pressure can't skew the next.
+
+Output-size contract: the driver captures only the LAST 2000 bytes of
+stdout (observed in BENCH_r02: a full per-query dict overflowed that
+window and the line became unparseable).  The printed line therefore
+keeps the headline metric plus as many of the SLOWEST queries as fit a
+~1700-char budget; the complete per-query dict is always written to
+BENCH_DETAIL.json at the repo root.
 
 A query that raises is reported in an ``errors`` list in the JSON line
 and makes the process exit nonzero, so a half-broken round can never
@@ -24,6 +33,30 @@ from flink_streaming_example_spark.plans.registry import all_specs
 from flink_streaming_example_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DETAIL_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+)
+LINE_BUDGET = 1700  # headline JSON line must stay well under 2000 bytes
+
+
+def compact_line(payload: dict, timings: dict[str, float]) -> str:
+    """Serialize the headline line, trimming ``queries`` to the slowest
+    keys that keep the whole line under LINE_BUDGET bytes."""
+    by_cost = sorted(timings, key=lambda k: timings[k], reverse=True)
+    kept: dict[str, float] = {}
+    payload = dict(payload, detail="BENCH_DETAIL.json")
+    for name in by_cost:
+        candidate = dict(kept)
+        candidate[name] = timings[name]
+        trial = dict(payload)
+        trial["queries"] = candidate
+        trial["queries_omitted"] = len(timings) - len(candidate)
+        if len(json.dumps(trial, separators=(",", ":"))) > LINE_BUDGET:
+            break
+        kept = candidate
+    payload["queries"] = kept
+    payload["queries_omitted"] = len(timings) - len(kept)
+    return json.dumps(payload, separators=(",", ":"))
 
 
 def main() -> None:
@@ -51,29 +84,35 @@ def main() -> None:
                 df.toPandas()
             except Exception:
                 df.collect()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            timings[name] = round(time.perf_counter() - t0, 2)
         except Exception as e:  # keep timing the rest, but surface it
             timings[name] = -1.0
             errors.append(name)
             print(f"# bench error {name}: {e}", file=sys.stderr)
+        finally:
+            # Drop any cached blocks the query left behind so memory
+            # pressure doesn't accumulate across the ~90-key run.
+            spark.catalog.clearCache()
 
-    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    total = round(sum(t for t in timings.values() if t >= 0), 2)
     try:
         sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
         sf = None
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "errors": errors,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "errors": errors,
+        "n_errors": len(errors),
+    }
+    with open(DETAIL_PATH, "w") as fh:
+        json.dump(dict(payload, queries=timings), fh, indent=1, sort_keys=True)
+    # n_errors carries the full count; the printed list itself is capped
+    # so a mass-failure round can't overflow the driver's capture window.
+    print(compact_line(dict(payload, errors=errors[:20]), timings))
     if errors:
         sys.exit(1)
 
