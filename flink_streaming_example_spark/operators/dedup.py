@@ -27,6 +27,9 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import math
+import warnings
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -364,9 +367,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cc_min_labels(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     """Connected components by iterative min-label propagation over an
     undirected edge list (doc_id_a, doc_id_b) -> (doc_id, cluster_id)
-    for every node with at least one edge.  O(diameter) rounds; see
-    q_dedup_clusters docstring for the large-star/small-star swap at
-    scale."""
+    for every node with at least one edge.  Converges in O(diameter)
+    rounds; runs at least ``max_iter`` rounds (batched 3 per
+    convergence check) and emits a RuntimeWarning if the fixpoint was
+    not reached.  See q_dedup_clusters docstring for the
+    large-star/small-star swap at scale."""
     edges = edges.persist()
     und = edges.selectExpr("doc_id_a AS src", "doc_id_b AS dst").unionByName(
         edges.selectExpr("doc_id_b AS src", "doc_id_a AS dst")
@@ -405,7 +410,8 @@ def cc_min_labels(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     # and driver round-trips drop K-fold (each one is a full job
     # launch — the dominant cost when the edge set is small).
     rounds_per_check = 3
-    for _ in range(max(1, max_iter // rounds_per_check)):
+    changed = -1
+    for _ in range(math.ceil(max_iter / rounds_per_check)):
         cur = labels
         for _ in range(rounds_per_check):
             cur = propagate(cur)
@@ -415,6 +421,24 @@ def cc_min_labels(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # A silent partial result would mis-cluster components with
+        # diameter > max_iter; surface it — callers with genuinely
+        # huge-diameter graphs should raise max_iter or switch to
+        # large-star/small-star.
+        warnings.warn(
+            f"cc_min_labels: not converged after {max_iter} propagation "
+            f"rounds ({changed} labels still improving); labels may be "
+            "partially propagated",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    # labels is materialized (counted) above, so the inputs' cached
+    # blocks are no longer needed — drop them instead of letting them
+    # accumulate across a multi-query session (the final labels cache
+    # is the result itself and is cleared by the session harnesses).
+    edges.unpersist()
+    und.unpersist()
     return labels.select("doc_id", "cluster_id")
 
 

@@ -54,7 +54,15 @@ def run_to_memory(
     fixture replays carry tiny keyed state, so we scope the partition
     count down for the run — per-instance checkpoint/commit overhead
     dominates otherwise.  (On a real cluster size this to the keyed
-    cardinality / executor count instead.)"""
+    cardinality / executor count instead.)
+
+    CONCURRENCY CAVEAT: shuffle partitions is a session-global conf
+    with no per-query override in Structured Streaming, so the
+    lowered value is visible to anything else PLANNING a query on
+    this session while the stream drains.  All harnesses here run
+    keys sequentially (bench.py, run_oracle_check, the driver), which
+    is the supported mode; do not build batch plans concurrently with
+    a draining streaming key on the same session."""
     name = f"stream_result_{next(_run_ids)}"
     conf_key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(conf_key)
@@ -278,21 +286,22 @@ GROUP BY user_id, win_id
 """
 
 
-@register(
-    "q_streaming_count_window",
-    oracle=_STREAM_COUNT_WINDOW_ORACLE,
-    tags=("streaming",),
-)
-def q_streaming_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W4-streaming: count windows (every 5 events per key) — the one
-    window Flink has and Structured Streaming lacks (no count
-    triggers), implemented exactly as SURVEY prescribes: a per-key
-    counter in keyed state.  Full windows are emitted as their 5th
-    event arrives; the trailing partial window is flushed by an
-    event-time timer when the watermark passes the end of input (the
-    Flink `onTimer` flush pattern).  Sums are accumulated in exact
-    decimal inside the state function, mirroring functions/stable.py,
-    so the emitted values hash-match the batch oracle."""
+def count_windows_stream(ev: DataFrame, flush_after_ms: int) -> DataFrame:
+    """Keyed count windows (every 5 events per key) over a watermarked
+    event stream — a per-key counter in applyInPandasWithState keyed
+    state, full windows emitted as their 5th event arrives.
+
+    ``flush_after_ms``: epoch-ms the trailing-partial flush timer aims
+    at — must lie strictly between the last data batch's watermark and
+    the final (end-of-input) watermark, i.e. pass global ``max(ts) - 1``
+    of the bounded replay.  A timer at watermark+1 instead would fire
+    MID-stream for any key absent from one micro-batch, flushing a
+    bogus partial and resetting that key's window numbering (wrong
+    win_ids once the key reappears); end-of-input is the only point
+    where "no more data for this key" is actually known.  Spark fires
+    event-time timers when timeout < watermark, and the bounded replay
+    runs a final no-data batch at watermark = max(ts), so max(ts) - 1
+    fires exactly once, at the end."""
     import decimal
 
     import pandas as pd
@@ -353,20 +362,20 @@ def q_streaming_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 part_n, acc = 0, decimal.Decimal(0)
         state.update((n_seen, part_n, str(acc)))
-        # flush the trailing partial when the watermark passes end of
-        # input; ts=1ms is always > the initial watermark (0) and <
-        # the final one (bounded single-batch replay)
-        state.setTimeoutTimestamp(1)
+        # Aim at end-of-input (see docstring); the max() guard keeps
+        # the call valid (must exceed the current watermark) even if a
+        # degenerate replay puts nearly all event time in one batch.
+        state.setTimeoutTimestamp(
+            max(flush_after_ms, state.getCurrentWatermarkMs() + 1)
+        )
         yield pd.DataFrame(
             out, columns=["user_id", "win_id", "n_events", "sum_value"]
         )
 
-    ev = (
-        events_file_replay(spark, sf_dir)
-        .withWatermark("ts", "0 seconds")
-        .select("user_id", "ts", "event_id", "value")
+    ev = ev.withWatermark("ts", "0 seconds").select(
+        "user_id", "ts", "event_id", "value"
     )
-    windows = ev.groupBy("user_id").applyInPandasWithState(
+    return ev.groupBy("user_id").applyInPandasWithState(
         count_windows,
         outputStructType=(
             "user_id long, win_id long, n_events long, sum_value double"
@@ -374,6 +383,44 @@ def q_streaming_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         stateStructType="n_seen long, part_n long, part_sum string",
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def events_flush_point_ms(spark: SparkSession, sf_dir: str) -> int:
+    """Epoch-ms just before the events fixture's max ts — the
+    end-of-input flush target for bounded-replay timers (the session
+    timezone is pinned UTC, so the NTZ wall clock IS the instant)."""
+    from datetime import timezone
+
+    from flink_streaming_example_spark.sources.tables import load_table
+
+    max_ts = (
+        load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    )
+    return int(max_ts.replace(tzinfo=timezone.utc).timestamp() * 1000) - 1
+
+
+@register(
+    "q_streaming_count_window",
+    oracle=_STREAM_COUNT_WINDOW_ORACLE,
+    tags=("streaming",),
+)
+def q_streaming_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4-streaming: count windows (every 5 events per key) — the one
+    window Flink has and Structured Streaming lacks (no count
+    triggers), implemented exactly as SURVEY prescribes: a per-key
+    counter in keyed state.  Full windows are emitted as their 5th
+    event arrives; the trailing partial window is flushed by an
+    event-time timer when the watermark passes the end of input (the
+    Flink `onTimer` flush pattern; see count_windows_stream for why
+    the timer aims at end-of-input, not watermark+1).  Sums are
+    accumulated in exact decimal inside the state function, mirroring
+    functions/stable.py, so the emitted values hash-match the batch
+    oracle.  Multi-micro-batch state composition is proven in
+    tests/test_multibatch.py over a 6-shard replay."""
+    windows = count_windows_stream(
+        events_file_replay(spark, sf_dir),
+        events_flush_point_ms(spark, sf_dir),
     )
     return run_to_memory(windows, spark, output_mode="append")
 

@@ -102,7 +102,13 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> Compare
 def run_oracle_check(spark, con, spec: QuerySpec, sf_dir: str) -> CompareResult:
     """Exercise one registered query exactly the way the driver does."""
     sdf = spec.fn(spark, sf_dir)
-    spark_pdf = sdf.toPandas()
+    try:
+        spark_pdf = sdf.toPandas()
+    finally:
+        # Queries that persist() intermediates (dedup/cc family) leave
+        # cached blocks behind; across an 80+-key parametrized session
+        # those accumulate — clear between keys, as bench.py does.
+        spark.catalog.clearCache()
     if spec.oracle is None:
         # Rows-only keys must still produce something: >0 rows and a
         # non-empty schema (a vacuous len>=0 check would green-light a

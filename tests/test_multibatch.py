@@ -252,3 +252,67 @@ def test_broadcast_rules_update_between_runs(spark):
     assert {
         r.event_id % 2 for r in v2_rows.select("event_id").collect()
     } == {1}
+
+
+@pytest.fixture(scope="module")
+def time_ordered_shards_dir(spark, sharded_events_dir) -> str:
+    """The range-sharded events with STAGGERED mtimes so the streaming
+    file source (which orders files by modification time, not name)
+    replays micro-batches in event-time order.  Count windows need
+    this: they are arrival-order-defined, and the batch oracle defines
+    the order as (ts, event_id) — same contract as a Kafka topic
+    partitioned by key with time-ordered production.  A single bulk
+    write gives every shard the same mtime and the replay order is
+    arbitrary: the watermark then jumps to global max on whichever
+    batch drew the latest shard, making all other shards late data."""
+    import glob as _glob
+    import os
+    import time as _time
+
+    base = _time.time() - 3600
+    # part-0000k holds the k-th ts range (repartitionByRange assigns
+    # ascending ranges to ascending partition ids)
+    for k, f in enumerate(sorted(_glob.glob(f"{sharded_events_dir}/part-*"))):
+        os.utime(f, (base + k, base + k))
+    return sharded_events_dir
+
+
+def test_count_windows_across_micro_batches(spark, time_ordered_shards_dir):
+    """Regression for the flush-timer bug: a constant 1 ms timeout is
+    only valid while the watermark is 0, so any multi-batch replay
+    threw IllegalArgumentException; and a watermark-relative timeout
+    would flush partials mid-stream for keys absent from one batch.
+    The fixed timer aims at end-of-input — this 6-shard replay must
+    both run to completion and hash-match the batch count windows."""
+    from pyspark.sql import Window
+
+    from flink_streaming_example_spark.streaming.queries import (
+        count_windows_stream,
+        events_flush_point_ms,
+    )
+
+    ev = _replay(spark, time_ordered_shards_dir)
+    windows = count_windows_stream(ev, events_flush_point_ms(spark, SF_DIR))
+    got, batches = _drain(spark, windows, "append")
+    assert batches >= N_SHARDS
+
+    numbered = load_table(spark, SF_DIR, "events").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ),
+    )
+    want = (
+        numbered.groupBy(
+            "user_id",
+            F.floor((F.col("rn") - 1) / 5).cast("long").alias("win_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(30,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    result = compare_frames(got.toPandas(), want.toPandas())
+    assert result.ok, result.detail
