@@ -254,3 +254,126 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users_approx"
         ),
     )
+
+
+_CUBE_ORACLE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+  COUNT(*) AS n,
+  {sql_stable_sum("l_quantity", "sum_qty")}
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register("q_cube", oracle=_CUBE_ORACLE, tags=("agg",))
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: cube — all 2^k grouping sets in one Expand + agg pass, with
+    explicit grouping() markers so NULL-as-subtotal is distinguishable
+    from NULL-as-value (the standard rollup/cube ambiguity)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.count(F.lit(1)).alias("n"),
+        stable_sum("l_quantity", "sum_qty"),
+    )
+
+
+_GROUPING_SETS_ORACLE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  COUNT(*) AS n,
+  {sql_stable_sum("l_quantity", "sum_qty")}
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+"""
+
+
+@register("q_grouping_sets", oracle=_GROUPING_SETS_ORACLE, tags=("agg",))
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: explicit GROUPING SETS — the general form rollup/cube are
+    sugar for; Spark only exposes it through SQL, so the loaded table
+    is registered as a temp view and the query is declared in SQL
+    (same Catalyst Expand plan as rollup/cube)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_gs"
+    )
+    return spark.sql(
+        f"""
+        SELECT
+          l_returnflag,
+          l_linestatus,
+          COUNT(*) AS n,
+          {sql_stable_sum("l_quantity", "sum_qty")}
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+_PIVOT_ORACLE = """
+SELECT source,
+  COUNT(CASE WHEN lang = 'de' THEN 1 END) AS n_de,
+  COUNT(CASE WHEN lang = 'en' THEN 1 END) AS n_en,
+  COUNT(CASE WHEN lang = 'es' THEN 1 END) AS n_es,
+  COUNT(CASE WHEN lang = 'fr' THEN 1 END) AS n_fr,
+  COUNT(CASE WHEN lang = 'zh' THEN 1 END) AS n_zh
+FROM documents
+GROUP BY source
+"""
+
+_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+@register("q_pivot", oracle=_PIVOT_ORACLE, tags=("agg",))
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: rows-to-columns with an EXPLICIT value list — without it
+    Spark must first collect the distinct pivot values to the driver
+    (an extra job, and nondeterministic column order); with it the
+    pivot is a single pass, exactly the conditional aggregation the
+    oracle writes out longhand.  Count of missing combinations is 0,
+    not NULL (matching DuckDB's COUNT(CASE...))."""
+    docs = load_table(spark, sf_dir, "documents")
+    pv = (
+        docs.groupBy("source")
+        .pivot("lang", _LANGS)
+        .agg(F.count(F.lit(1)))
+    )
+    return pv.select(
+        "source",
+        *[
+            F.coalesce(F.col(lang), F.lit(0)).alias(f"n_{lang}")
+            for lang in _LANGS
+        ],
+    )
+
+
+_UNPIVOT_ORACLE = """
+SELECT p_partkey, attr, val FROM (
+  SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val FROM part
+  UNION ALL
+  SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+)
+"""
+
+
+@register("q_unpivot", oracle=_UNPIVOT_ORACLE, tags=("agg",))
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: columns-to-rows via the native unpivot operator
+    (one Expand node, no union-of-scans — the oracle's UNION ALL form
+    reads the table twice, the Expand form once; at 100 TB that's the
+    difference that matters)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey", "p_retailprice", F.col("p_size").cast("double").alias("p_size")
+    ).unpivot(
+        ids=["p_partkey"],
+        values=["p_retailprice", "p_size"],
+        variableColumnName="attr",
+        valueColumnName="val",
+    )
