@@ -619,3 +619,119 @@ def q_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_to_memory(counted, spark, output_mode="update")
+
+
+_STREAM_CEP_ORACLE = """
+WITH typed AS (
+  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+  FROM events
+), marked AS (
+  SELECT *,
+    last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      AS last_click_ts,
+    last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      AS last_view_ts
+  FROM typed
+)
+SELECT user_id, event_id AS purchase_id, last_click_ts, last_view_ts,
+       ts AS purchase_ts
+FROM marked
+WHERE event_type = 'purchase'
+  AND last_click_ts IS NOT NULL AND last_view_ts IS NOT NULL
+  AND last_click_ts < last_view_ts
+  AND last_click_ts >= ts - INTERVAL 7 DAY
+"""
+
+
+def cep_funnel_stream(ev: DataFrame) -> DataFrame:
+    """P4-streaming: the click -> view -> purchase funnel as a real
+    keyed automaton — per-key state is just the latest click/view
+    timestamps (the whole NFA for a fixed 3-step last-match pattern),
+    so state is O(1) per user however long the stream runs; matches
+    emit immediately on the purchase event (no timers, append mode).
+
+    Same ordering contract as count_windows_stream: events for a key
+    must arrive in (ts, event_id) order across micro-batches (sorted
+    within each batch here; a keyed Kafka topic provides it across
+    batches — tests/test_multibatch.py proves the composition on a
+    time-ordered 6-shard replay)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    seven_days_us = 7 * 86400 * 1_000_000
+
+    def detect(key, pdfs, state: GroupState):
+        (user_id,) = key
+        last_click, last_view = state.get if state.exists else (None, None)
+        pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        ts = pdf["ts"]
+        if getattr(ts.dtype, "tz", None) is not None:
+            ts = ts.dt.tz_convert("UTC").dt.tz_localize(None)
+        # normalize to µs regardless of the serializer's unit (ns vs µs
+        # differs across Arrow/pandas versions; a raw astype(int64)
+        # would silently shift the 7-day window by 1000x)
+        us = ts.astype("datetime64[us]").astype("int64")
+        out = []
+        for ts_us, event_id, etype in zip(us, pdf["event_id"], pdf["event_type"]):
+            if (
+                etype == "purchase"
+                and last_click is not None
+                and last_view is not None
+                and last_click < last_view
+                and last_click >= ts_us - seven_days_us
+            ):
+                out.append((user_id, event_id, last_click, last_view, ts_us))
+            elif etype == "click":
+                last_click = ts_us
+            elif etype == "view":
+                last_view = ts_us
+        state.update((last_click, last_view))
+        frame = pd.DataFrame(
+            out,
+            columns=[
+                "user_id",
+                "purchase_id",
+                "last_click_ts",
+                "last_view_ts",
+                "purchase_ts",
+            ],
+        )
+        for c in ("last_click_ts", "last_view_ts", "purchase_ts"):
+            frame[c] = pd.to_datetime(frame[c], unit="us")
+        yield frame
+
+    return ev.select(
+        "user_id", "event_id", "event_type", "ts"
+    ).groupBy("user_id").applyInPandasWithState(
+        detect,
+        outputStructType=(
+            "user_id long, purchase_id long, last_click_ts timestamp, "
+            "last_view_ts timestamp, purchase_ts timestamp"
+        ),
+        stateStructType="last_click long, last_view long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@register("q_streaming_cep", oracle=_STREAM_CEP_ORACLE, tags=("streaming",))
+def q_streaming_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4-streaming: fixed-pattern CEP executed through the streaming
+    engine (cep_funnel_stream) — hash-matches the batch q_cep_funnel
+    oracle on the bounded replay."""
+    matched = run_to_memory(
+        cep_funnel_stream(events_file_replay(spark, sf_dir)),
+        spark,
+        output_mode="append",
+    )
+    return matched.select(
+        "user_id",
+        "purchase_id",
+        F.col("last_click_ts").cast("timestamp_ntz").alias("last_click_ts"),
+        F.col("last_view_ts").cast("timestamp_ntz").alias("last_view_ts"),
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+    )

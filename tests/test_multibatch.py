@@ -316,3 +316,29 @@ def test_count_windows_across_micro_batches(spark, time_ordered_shards_dir):
     )
     result = compare_frames(got.toPandas(), want.toPandas())
     assert result.ok, result.detail
+
+
+def test_cep_funnel_across_micro_batches(spark, time_ordered_shards_dir):
+    """P4-streaming: the funnel automaton's two-timestamp state must
+    compose across micro-batches — a click in shard 1 matched by a
+    view in shard 3 and a purchase in shard 5 only appears if state
+    survives; hash-matches the batch window-chain form."""
+    from flink_streaming_example_spark.plans.registry import all_specs
+    from flink_streaming_example_spark.streaming.queries import (
+        cep_funnel_stream,
+    )
+
+    ev = _replay(spark, time_ordered_shards_dir)
+    matched = cep_funnel_stream(ev)
+    got, batches = _drain(spark, matched, "append")
+    assert batches >= N_SHARDS
+    got = got.select(
+        "user_id",
+        "purchase_id",
+        F.col("last_click_ts").cast("timestamp_ntz").alias("last_click_ts"),
+        F.col("last_view_ts").cast("timestamp_ntz").alias("last_view_ts"),
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+    )
+    want = all_specs()["q_cep_funnel"].fn(spark, SF_DIR)
+    result = compare_frames(got.toPandas(), want.toPandas())
+    assert result.ok, result.detail
