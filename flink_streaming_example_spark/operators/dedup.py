@@ -383,7 +383,7 @@ def cc_min_labels(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     labels = (
         und.groupBy(F.col("src").alias("doc_id"))
         .agg(F.least(F.first("src"), F.min("dst")).alias("cluster_id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     def propagate(cur: DataFrame) -> DataFrame:
         nb_min = (
@@ -409,16 +409,22 @@ def cc_min_labels(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     # nothing" certifies the fixpoint regardless of earlier rounds,
     # and driver round-trips drop K-fold (each one is a full job
     # launch — the dominant cost when the edge set is small).
+    #
+    # localCheckpoint (not persist) is load-bearing: persist caches
+    # DATA but keeps the logical plan, so each batch would nest 3 more
+    # joins into an ever-deeper tree — by ~20 batches Catalyst's
+    # planning/codegen of the accumulated tree OOMs the driver even on
+    # a 30-node graph.  Checkpointing truncates lineage every batch,
+    # keeping plan depth constant however many rounds the diameter
+    # needs (the standard iterative-algorithm pattern on Spark).
     rounds_per_check = 3
     changed = -1
     for _ in range(math.ceil(max_iter / rounds_per_check)):
         cur = labels
         for _ in range(rounds_per_check):
             cur = propagate(cur)
-        new_labels = cur.persist()
-        changed = new_labels.filter(F.col("chg")).count()
-        labels.unpersist()
-        labels = new_labels
+        labels = cur.localCheckpoint(eager=True)
+        changed = labels.filter(F.col("chg")).count()
         if changed == 0:
             break
     if changed != 0:
@@ -594,4 +600,51 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return replicated.groupBy("pair_id").applyInPandas(
         score_block_pair, schema="vec_id_a long, vec_id_b long, cos_sim double"
+    )
+
+
+_FUZZY_ORACLE = """
+WITH b AS (
+  SELECT doc_id, substring(text, 1, 40) AS block,
+         substring(text, 1, 120) AS head
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.head, b.head) AS INTEGER) AS edit_dist
+FROM b a JOIN b b ON a.block = b.block AND a.doc_id < b.doc_id
+WHERE levenshtein(a.head, b.head) <= 20
+"""
+
+
+@register("q_dedup_fuzzy", oracle=_FUZZY_ORACLE, tags=("dedup",))
+def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2e: edit-distance near-dup pairs — Levenshtein over a fixed
+    120-char head, prefix-blocked like the n-gram path so no pair
+    leaves its 40-char-prefix bucket (never all-pairs).  Edit distance
+    is exactly specified, so Spark's levenshtein and DuckDB's agree
+    value-for-value.  At scale the head-window bound matters twice:
+    it caps the O(len^2) DP cost per pair AND keeps the comparison
+    local to the first screenful of text, where near-dup docs diverge
+    least; pair with simhash/minhash for whole-document recall."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id",
+        F.substring("text", 1, 40).alias("block"),
+        F.substring("text", 1, 120).alias("head"),
+    )
+    a = b.select(
+        F.col("doc_id").alias("id_a"),
+        "block",
+        F.col("head").alias("head_a"),
+    )
+    bb = b.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("block").alias("block_b"),
+        F.col("head").alias("head_b"),
+    )
+    return (
+        a.join(bb, (a.block == bb.block_b) & (a.id_a < bb.id_b))
+        .withColumn("edit_dist", F.levenshtein("head_a", "head_b"))
+        .filter(F.col("edit_dist") <= 20)
+        .select("id_a", "id_b", "edit_dist")
     )

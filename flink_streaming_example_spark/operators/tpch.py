@@ -343,3 +343,128 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty",
         )
     )
+
+
+_Q7_ORACLE = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+  {sql_stable_sum("l_extendedprice * (1 - l_discount)", "revenue")}
+FROM supplier
+JOIN lineitem ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("q_tpch_q7", oracle=_Q7_ORACLE, tags=("tpch", "join"))
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bilateral trade between two nations
+    by ship year — the self-join-on-nation case (nation enters twice
+    under different roles), with the disjunctive nation-pair predicate
+    evaluated after both broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | (
+        (F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3")
+    )
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            stable_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
+    )
+
+
+_Q8_ORACLE = f"""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+  {sql_rounded(
+      "(100.0 * CAST(SUM(CASE WHEN n2.n_name = 'NATION_3' "
+      "THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)) "
+      "ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE)) "
+      "/ CAST(SUM(CAST(l_extendedprice * (1 - l_discount) "
+      "AS DECIMAL(30,6))) AS DOUBLE)",
+      "mkt_share_pct",
+      6,
+  )}
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region    ON n1.n_regionkey = r_regionkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+GROUP BY o_year
+"""
+
+
+@register("q_tpch_q8", oracle=_Q8_ORACLE, tags=("tpch", "join"))
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): one nation's revenue share of
+    PROMO-part sales to one region's customers, per order year — the
+    deepest join tree in the suite (8 relations, nation twice).  The
+    share is a conditional-decimal-sum quotient, bit-deterministic
+    cross-engine as in Q14."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "AMERICA"
+    )
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        _DEC
+    )
+    national = (
+        F.when(F.col("supp_nation") == "NATION_3", disc_price)
+        .otherwise(F.lit(0).cast(_DEC))
+    )
+    q = (F.lit(100.0) * F.sum(national).cast("double")) / F.sum(
+        disc_price
+    ).cast("double")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(rounded(q, "mkt_share_pct", 6))
+    )
