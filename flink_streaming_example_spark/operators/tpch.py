@@ -468,3 +468,49 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(rounded(q, "mkt_share_pct", 6))
     )
+
+
+_Q17_ORACLE = """
+WITH avg_qty AS (
+  SELECT l_partkey AS pk,
+    0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+           / COUNT(l_quantity)) AS threshold
+  FROM lineitem GROUP BY pk
+)
+SELECT COUNT(*) AS n_small,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,6))), 2) AS DOUBLE)
+    AS total_price
+FROM lineitem JOIN avg_qty ON l_partkey = pk
+WHERE l_quantity < threshold
+"""
+
+
+@register("q_tpch_q17", oracle=_Q17_ORACLE, tags=("tpch", "join"))
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): each line compared
+    against 0.2x its part's average quantity — the correlated scalar
+    subquery, planned as aggregate-then-rejoin on the fact's own key.
+    The threshold is an exact-decimal-sum quotient (order-independent,
+    IEEE-identical in both engines) so the boundary comparison is
+    deterministic cross-engine.  At 100 TB the per-part aggregate is a
+    map-side-combined shuffle on l_partkey and rejoins the fact on the
+    same key — with lineitem bucketed by l_partkey both sides
+    co-locate and the rejoin is shuffle-free."""
+    li = load_table(spark, sf_dir, "lineitem")
+    thresholds = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast(_DEC)).cast("double")
+                / F.count("l_quantity")
+            )
+        ).alias("threshold")
+    )
+    return (
+        li.join(thresholds, li.l_partkey == thresholds.pk)
+        .filter(F.col("l_quantity") < F.col("threshold"))
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            stable_sum("l_extendedprice", "total_price"),
+        )
+    )

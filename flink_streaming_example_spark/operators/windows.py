@@ -357,3 +357,60 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 3)
     )
+
+
+_GAP_FILL_ORACLE = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         COUNT(*) AS n
+  FROM events GROUP BY user_id, day
+), bounds AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id
+), spine AS (
+  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+  FROM bounds
+)
+SELECT s.user_id, s.day, COALESCE(d.n, 0) AS n_events,
+  last_value(d.n IGNORE NULLS)
+    OVER (PARTITION BY s.user_id ORDER BY s.day) AS n_filled
+FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+"""
+
+
+@register("q_gap_fill", oracle=_GAP_FILL_ORACLE, tags=("window", "timeseries"))
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap fill: per-user daily activity counts
+    densified onto a complete day spine (sequence + explode — each
+    user's spine generates from its own min/max, no driver loop), with
+    missing days as zeros AND as last-observation-carried-forward
+    (conditional last-value window).  The spine explode is the
+    time-series twin of flatMap; forward fill is the W9 analytic
+    surface doing real work.  At 100 TB the spine is generated, not
+    stored — rows materialize only at the final join, partitioned by
+    the same user_id key as the aggregate feeding it."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    joined = spine.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        F.last("n", ignorenulls=True).over(w).alias("n_filled"),
+    )
