@@ -1,0 +1,121 @@
+"""Reproducible sampling and sequence packing for training-data
+pipelines (SURVEY.md §2.9 mandate, beyond the reference surface).
+
+Random-seed sampling is NOT reproducible across engines, partitionings
+or reruns; content-hash bucketing is: bucket = md5(doc_id) mod 100, a
+pure function of the row.  The same rule assigns train/val/test splits
+so a document can never migrate between splits when the corpus grows —
+the property LLM data pipelines actually need (leakage-free splits),
+and md5 is the one digest Spark and DuckDB share bit-for-bit, so it is
+fully oracle-checkable.
+
+Packing assigns documents to fixed-token-budget training sequences via
+an exclusive running sum per language shard — a single window cumsum,
+no sequential driver loop; docs may straddle a boundary (the
+streaming-append packing used when sequences are concatenated and
+re-chunked downstream).  Strict no-straddle greedy packing is
+order-sequential (non-associative) and would serialize the corpus; the
+cumsum form is the scalable choice and is exactly mirrorable in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_streaming_example_spark.plans.registry import register
+from flink_streaming_example_spark.sources.tables import load_table
+
+_PACK_BUDGET = 512
+
+_SAMPLE_ORACLE = """
+WITH bucketed AS (
+  SELECT doc_id, lang,
+    CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         AS BIGINT) % 100 AS bucket
+  FROM documents
+), labeled AS (
+  SELECT lang,
+    CASE WHEN bucket < 80 THEN 'train'
+         WHEN bucket < 90 THEN 'val'
+         ELSE 'test' END AS split
+  FROM bucketed
+)
+SELECT lang, split, COUNT(*) AS n_docs
+FROM labeled
+GROUP BY lang, split
+"""
+
+
+@register("q_sample_hash", oracle=_SAMPLE_ORACLE, tags=("sampling", "llm"))
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/val/test split (80/10/10 by
+    md5(doc_id) mod 100) — reproducible across engines, partitionings
+    and corpus growth, unlike seeded random sampling (module
+    docstring).  Output is the per-language split distribution."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_PACK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT doc_id, lang, n_tokens,
+    CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+        / {_PACK_BUDGET}.0) AS BIGINT) AS pack_id
+  FROM toks
+)
+SELECT lang, pack_id, COUNT(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+FROM packed
+GROUP BY lang, pack_id
+"""
+
+
+@register("q_pack_sequences", oracle=_PACK_ORACLE, tags=("sampling", "llm"))
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: documents assigned to fixed-budget (512
+    token) training sequences per language shard via an exclusive running
+    token sum (one window cumsum — parallel across shards, ordered by
+    doc_id within; module docstring explains the straddle trade-off
+    vs sequential greedy packing).  Output is per-pack document and
+    token counts."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pack_id = F.floor(
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")) / float(_PACK_BUDGET)
+    ).cast("long")
+    return (
+        toks.withColumn("pack_id", pack_id)
+        .groupBy("lang", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("pack_tokens"),
+        )
+    )
