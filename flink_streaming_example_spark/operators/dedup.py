@@ -417,12 +417,19 @@ def cc_min_labels(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     # a 30-node graph.  Checkpointing truncates lineage every batch,
     # keeping plan depth constant however many rounds the diameter
     # needs (the standard iterative-algorithm pattern on Spark).
-    rounds_per_check = 3
+    # First check after ONE round: the 1-hop-min init already settles
+    # small-diameter graphs (the common near-dup case — pairs and tiny
+    # cliques), so the typical call pays one propagation join instead
+    # of three; only graphs that are still improving move to 3-round
+    # batches.
+    rounds_done = 0
     changed = -1
-    for _ in range(math.ceil(max_iter / rounds_per_check)):
+    while rounds_done < max_iter:
+        batch = 1 if rounds_done == 0 else 3
         cur = labels
-        for _ in range(rounds_per_check):
+        for _ in range(batch):
             cur = propagate(cur)
+        rounds_done += batch
         labels = cur.localCheckpoint(eager=True)
         changed = labels.filter(F.col("chg")).count()
         if changed == 0:
