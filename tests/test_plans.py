@@ -45,7 +45,7 @@ def test_no_python_row_path_no_cartesian(spark, name):
 
 
 @pytest.mark.parametrize(
-    "name", ["q_groupby_report", "q_filter", "q_star_join"]
+    "name", ["q_groupby_report", "q_filter", "q_star_join", "q_tpch_q6"]
 )
 def test_filter_pushdown_reaches_scan(spark, name):
     plan = _plan(spark, name)
