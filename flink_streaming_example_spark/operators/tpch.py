@@ -514,3 +514,168 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_sum("l_extendedprice", "total_price"),
         )
     )
+
+
+_Q13_ORACLE = """
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+   AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+@register("q_tpch_q13", oracle=_Q13_ORACLE, tags=("tpch", "join"))
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): LEFT JOIN with a
+    residual predicate ON THE JOIN (not a post-filter — that would
+    drop no-order customers), then a two-level aggregate: count per
+    customer, histogram of counts.  The second aggregate's key space
+    is tiny, so the second shuffle is near-free."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+_Q15_ORACLE = f"""
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+    {sql_stable_sum("l_extendedprice * (1 - l_discount)", "total_revenue")}
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY supplier_no
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN rev ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+
+@register("q_tpch_q15", oracle=_Q15_ORACLE, tags=("tpch", "join"))
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): quarterly revenue per supplier, then
+    the supplier(s) hitting the maximum — the scalar-aggregate
+    subquery, planned as a 1-row broadcast cross join against the
+    (already small) per-supplier aggregate.  Revenue is stable-rounded
+    so the equality against the max picks the same set both engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1997-04-01 00:00:00"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        stable_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")),
+            "total_revenue",
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        supp.join(rev, supp.s_suppkey == rev.supplier_no)
+        .join(F.broadcast(mx), F.col("total_revenue") == F.col("max_revenue"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+_Q19_ORACLE = f"""
+SELECT COUNT(*) AS n_lines,
+  {sql_stable_sum("l_extendedprice * (1 - l_discount)", "revenue")}
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 40)
+"""
+
+
+@register("q_tpch_q19", oracle=_Q19_ORACLE, tags=("tpch", "join"))
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): the disjunction-of-conjunctions
+    predicate spanning both join sides — Catalyst pushes the derived
+    per-side envelopes (l_quantity in [1,40], p_brand in the two
+    values) below the join and keeps the exact OR as a post-join
+    filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 21)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 40)
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            stable_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            ),
+        )
+    )
+
+
+_Q22_ORACLE = """
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+    AS cutoff
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey, COUNT(*) AS numcust,
+  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(30,6))), 2) AS DOUBLE)
+    AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > cutoff
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey
+"""
+
+
+@register("q_tpch_q22", oracle=_Q22_ORACLE, tags=("tpch", "join"))
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity), adapted: above-average-
+    balance customers with no RECENT orders (every fixture customer
+    has some order, so the original's no-orders-ever set is empty) —
+    scalar-average subquery as a 1-row broadcast cross join, then an
+    anti join against the recent-orders keys.  The cutoff is an exact
+    decimal quotient, deterministic cross-engine."""
+    cust = load_table(spark, sf_dir, "customer")
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= _ts("2000-01-01 00:00:00")
+    )
+    cutoff = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast(_DEC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("cutoff")
+        )
+    )
+    return (
+        cust.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("c_acctbal") > F.col("cutoff"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            stable_sum("c_acctbal", "totacctbal"),
+        )
+    )
