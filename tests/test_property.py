@@ -1,0 +1,124 @@
+"""Property-based cross-engine fuzzing (hypothesis) for the two
+subtlest parity contracts: stable float aggregation and the
+session-window boundary.  The fixture-based tests pin known adversarial
+cases; these generate new ones every run within bounded budgets."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from flink_streaming_example_spark.functions.stable import (
+    sql_stable_sum,
+    stable_sum,
+)
+from flink_streaming_example_spark.testing import compare_frames
+
+# |x| < 1e12 keeps the decimal(30,6) sum far from overflow while still
+# exercising magnitude spread; include exact halfway values by
+# construction (k + 0.005 class) since random doubles never hit them.
+_vals = st.one_of(
+    st.floats(
+        min_value=-1e12,
+        max_value=1e12,
+        allow_nan=False,
+        allow_infinity=False,
+    ),
+    st.integers(min_value=-10_000, max_value=10_000).map(
+        lambda k: k / 100.0 + 0.005
+    ),
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_vals, min_size=1, max_size=60), st.randoms())
+def test_stable_sum_order_free_and_engine_equal(spark, values, rnd):
+    """stable_sum must give the SAME double for any input order in
+    Spark, and that double must equal DuckDB's over the same rows."""
+    shuffled = list(values)
+    rnd.shuffle(shuffled)
+    pdf = pd.DataFrame({"v": values})
+    pdf_shuf = pd.DataFrame({"v": shuffled})
+    got = (
+        spark.createDataFrame(pdf).agg(stable_sum("v", "s")).collect()[0].s
+    )
+    got_shuf = (
+        spark.createDataFrame(pdf_shuf)
+        .agg(stable_sum("v", "s"))
+        .collect()[0]
+        .s
+    )
+    assert got == got_shuf  # permutation invariance, bit-exact
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.execute(f"SELECT {sql_stable_sum('v', 's')} FROM t").fetchone()[0]
+    assert got == want  # cross-engine, bit-exact
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=400), min_size=1, max_size=50
+    )
+)
+def test_session_window_matches_gaps_and_islands(spark, offsets):
+    """session_window vs the gaps-and-islands oracle on arbitrary
+    second-offset patterns — including exact-gap collisions (offsets
+    are whole seconds, gap is 60s, so diff == gap occurs often): an
+    event at exactly last+gap must EXTEND the session (strict > in the
+    oracle)."""
+    base = 1_700_000_000
+    rows = pd.DataFrame(
+        {
+            "uid": [1] * len(offsets),
+            "ts": pd.to_datetime(
+                [(base + o * 30) * 10**9 for o in sorted(offsets)]
+            ),
+        }
+    )
+    sdf = spark.createDataFrame(rows)
+    got = (
+        sdf.groupBy(F.session_window(F.col("ts"), "60 seconds"), "uid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("session_window.start").alias("s_start"),
+            "uid",
+            "n",
+        )
+    )
+    con = duckdb.connect()
+    con.register("e", rows)
+    want = con.execute(
+        """
+        WITH flagged AS (
+          SELECT uid, ts,
+            CASE WHEN lag(ts) OVER (PARTITION BY uid ORDER BY ts) IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY uid ORDER BY ts)
+                     > INTERVAL 60 SECOND
+                 THEN 1 ELSE 0 END AS new_s
+          FROM e
+        ), numbered AS (
+          SELECT *, SUM(new_s) OVER (
+            PARTITION BY uid ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM flagged
+        )
+        SELECT min(ts) AS s_start, uid, COUNT(*) AS n
+        FROM numbered GROUP BY uid, sid
+        """
+    ).df()
+    result = compare_frames(got.toPandas(), want)
+    assert result.ok, result.detail
