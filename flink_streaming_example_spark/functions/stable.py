@@ -53,11 +53,15 @@ def stable_sum(c: str | Column, alias: str, scale: int = 2) -> Column:
     return F.round(F.sum(_col(c).cast(_DEC)), scale).cast("double").alias(alias)
 
 
-def sql_stable_sum(expr: str, alias: str, scale: int = 2) -> str:
+def sql_stable_sum_expr(expr: str, scale: int = 2) -> str:
+    """The bare stable-sum expression, no alias — for HAVING/WHERE."""
     return (
         f"CAST(ROUND(SUM(CAST(({expr}) AS DECIMAL(30,6))), {scale}) AS DOUBLE)"
-        f" AS {alias}"
     )
+
+
+def sql_stable_sum(expr: str, alias: str, scale: int = 2) -> str:
+    return f"{sql_stable_sum_expr(expr, scale)} AS {alias}"
 
 
 def stable_avg(c: str | Column, alias: str, scale: int = 2) -> Column:

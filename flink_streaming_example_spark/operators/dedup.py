@@ -364,6 +364,21 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc_min_labels(edges)
 
 
+def _release_checkpoint(df: DataFrame) -> None:
+    """Free a superseded localCheckpoint's blocks deterministically.
+
+    localCheckpoint persists an internal RDD OUTSIDE the SQL
+    CacheManager, so spark.catalog.clearCache() cannot touch it and
+    the blocks otherwise linger until both Python and JVM GC plus the
+    ContextCleaner happen to run.  The LogicalRDD accessor is internal
+    API — verified on PySpark 4.1; on any failure we fall back to that
+    lazy GC path (correctness is unaffected either way)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def cc_min_labels(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     """Connected components by iterative min-label propagation over an
     undirected edge list (doc_id_a, doc_id_b) -> (doc_id, cluster_id)
@@ -422,6 +437,8 @@ def cc_min_labels(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     # cliques), so the typical call pays one propagation join instead
     # of three; only graphs that are still improving move to 3-round
     # batches.
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     rounds_done = 0
     changed = -1
     while rounds_done < max_iter:
@@ -430,19 +447,21 @@ def cc_min_labels(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         for _ in range(batch):
             cur = propagate(cur)
         rounds_done += batch
+        superseded = labels
         labels = cur.localCheckpoint(eager=True)
+        _release_checkpoint(superseded)
         changed = labels.filter(F.col("chg")).count()
         if changed == 0:
             break
     if changed != 0:
         # A silent partial result would mis-cluster components with
-        # diameter > max_iter; surface it — callers with genuinely
-        # huge-diameter graphs should raise max_iter or switch to
-        # large-star/small-star.
+        # diameter > the executed rounds; surface it — callers with
+        # genuinely huge-diameter graphs should raise max_iter or
+        # switch to large-star/small-star.
         warnings.warn(
-            f"cc_min_labels: not converged after {max_iter} propagation "
-            f"rounds ({changed} labels still improving); labels may be "
-            "partially propagated",
+            f"cc_min_labels: not converged after {rounds_done} "
+            f"propagation rounds ({changed} labels still improving); "
+            "labels may be partially propagated",
             RuntimeWarning,
             stacklevel=2,
         )

@@ -30,6 +30,7 @@ from flink_streaming_example_spark.functions.stable import (
     rounded,
     sql_rounded,
     sql_stable_sum,
+    sql_stable_sum_expr,
     stable_sum,
 )
 from flink_streaming_example_spark.plans.registry import register
@@ -304,7 +305,7 @@ WITH big AS (
     {sql_stable_sum("l_quantity", "sum_qty")}
   FROM lineitem
   GROUP BY l_orderkey
-  HAVING {sql_stable_sum("l_quantity", "x").replace(" AS x", "")} > {_Q18_QTY}
+  HAVING {sql_stable_sum_expr("l_quantity")} > {_Q18_QTY}
 )
 SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
 FROM big

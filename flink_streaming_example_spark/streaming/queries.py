@@ -301,7 +301,17 @@ def count_windows_stream(ev: DataFrame, flush_after_ms: int) -> DataFrame:
     where "no more data for this key" is actually known.  Spark fires
     event-time timers when timeout < watermark, and the bounded replay
     runs a final no-data batch at watermark = max(ts), so max(ts) - 1
-    fires exactly once, at the end."""
+    fires exactly once, at the end.
+
+    PRECISION CONTRACT: watermarks are millisecond-truncated, so the
+    replay must not advance the watermark into the final MILLISECOND
+    before the last data batch — i.e. no earlier micro-batch may carry
+    an event in the same ms as the global max ts.  Single-file replays
+    satisfy this trivially; time-range-sharded replays satisfy it
+    whenever shard boundaries are > 1 ms apart (the test fixture's are
+    hours apart).  A replay violating it would fire the flush early
+    for keys straddling that millisecond — the same indistinguishable-
+    by-watermark limit Flink's onTimer has at watermark granularity."""
     import decimal
 
     import pandas as pd
@@ -621,30 +631,10 @@ def q_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(counted, spark, output_mode="update")
 
 
-_STREAM_CEP_ORACLE = """
-WITH typed AS (
-  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
-  FROM events
-), marked AS (
-  SELECT *,
-    last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
-      OVER (PARTITION BY user_id ORDER BY ts, event_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-      AS last_click_ts,
-    last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
-      OVER (PARTITION BY user_id ORDER BY ts, event_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-      AS last_view_ts
-  FROM typed
+from flink_streaming_example_spark.operators.cep import (  # noqa: E402
+    _FUNNEL_ORACLE as _STREAM_CEP_ORACLE,
 )
-SELECT user_id, event_id AS purchase_id, last_click_ts, last_view_ts,
-       ts AS purchase_ts
-FROM marked
-WHERE event_type = 'purchase'
-  AND last_click_ts IS NOT NULL AND last_view_ts IS NOT NULL
-  AND last_click_ts < last_view_ts
-  AND last_click_ts >= ts - INTERVAL 7 DAY
-"""
+
 
 
 def cep_funnel_stream(ev: DataFrame) -> DataFrame:

@@ -105,9 +105,11 @@ def run_oracle_check(spark, con, spec: QuerySpec, sf_dir: str) -> CompareResult:
     try:
         spark_pdf = sdf.toPandas()
     finally:
-        # Queries that persist() intermediates (dedup/cc family) leave
+        # Queries that persist() intermediates (the dedup family) leave
         # cached blocks behind; across an 80+-key parametrized session
         # those accumulate — clear between keys, as bench.py does.
+        # (cc_min_labels' localCheckpoint blocks live OUTSIDE the SQL
+        # cache and are released inside cc_min_labels itself.)
         spark.catalog.clearCache()
     if spec.oracle is None:
         # Rows-only keys must still produce something: >0 rows and a
