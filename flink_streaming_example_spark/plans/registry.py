@@ -34,6 +34,7 @@ _OPERATOR_MODULES: tuple[str, ...] = (
     "flink_streaming_example_spark.operators.joins",
     "flink_streaming_example_spark.operators.setops",
     "flink_streaming_example_spark.operators.tpch",
+    "flink_streaming_example_spark.operators.tpch_full",
     "flink_streaming_example_spark.operators.cep",
     "flink_streaming_example_spark.operators.sampling",
     "flink_streaming_example_spark.operators.functions_surface",
