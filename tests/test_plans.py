@@ -45,7 +45,8 @@ def test_no_python_row_path_no_cartesian(spark, name):
 
 
 @pytest.mark.parametrize(
-    "name", ["q_groupby_report", "q_filter", "q_star_join", "q_tpch_q6"]
+    "name",
+    ["q_groupby_report", "q_filter", "q_star_join", "q_tpch_q6", "q_tpch_q1"],
 )
 def test_filter_pushdown_reaches_scan(spark, name):
     plan = _plan(spark, name)
@@ -70,11 +71,35 @@ def test_projection_pruned_to_read_schema(spark):
     }, f"scan reads {cols}"
 
 
-@pytest.mark.parametrize("name,min_bhj", [("q_join_inner", 1), ("q_star_join", 3)])
+@pytest.mark.parametrize(
+    "name,min_bhj",
+    [("q_join_inner", 1), ("q_star_join", 3), ("q_tpch_q9", 1)],
+)
 def test_dimension_joins_broadcast(spark, name, min_bhj):
     plan = _plan(spark, name)
     assert plan.count("BroadcastHashJoin") >= min_bhj, (
         f"{name}: expected >= {min_bhj} broadcast joins\n{plan}"
+    )
+
+
+@pytest.mark.parametrize(
+    "name,table,max_scans",
+    [
+        # Q21's EXISTS/NOT-EXISTS pair is folded into one keyed
+        # aggregation — the textbook formulation re-scans the fact
+        # twice for the correlated subqueries; ours must not.
+        ("q_tpch_q21", "lineitem", 1),
+        # Q2's correlated min-cost subquery is aggregate-then-rejoin:
+        # the supply-pair derivation is the only lineitem pass.
+        ("q_tpch_q2", "lineitem", 1),
+    ],
+)
+def test_fact_scanned_once(spark, name, table, max_scans):
+    plan = _plan(spark, name)
+    scans = re.findall(r"Scan parquet[^\n]*", plan)
+    fact_scans = [s for s in scans if table in s]
+    assert len(fact_scans) <= max_scans, (
+        f"{name}: {len(fact_scans)} scans of {table}\n{plan}"
     )
 
 
