@@ -1,0 +1,294 @@
+"""Training-corpus curation operators beyond dedup/similarity
+(SURVEY.md §2.9 mandate — the steps a production pretraining pipeline
+runs between raw crawl and tokenizer):
+
+- benchmark decontamination (q_decontaminate): n-gram overlap between
+  the training pool and a held-out eval split, the standard guard
+  against test-set leakage.  Gram matching is an equi-join on the
+  gram (hashable to a 64-bit key at scale) with the eval side orders
+  of magnitude smaller — a broadcast join at 100 TB, never all-pairs.
+- domain mixing (q_domain_mix): per-domain downsampling to target
+  rates via content-hash bucketing — the reweighting step that shapes
+  the corpus mixture.  Hash-bucket sampling (not rand()) keeps the
+  kept-set a pure function of the row: reproducible across engines,
+  partitionings, reruns and corpus growth.
+- pattern scrubbing (q_pattern_scrub): regex redaction of sensitive
+  spans (email / phone patterns, plus a fixture-exercised demo
+  pattern — the synthetic corpus contains no real PII, so the email
+  and phone rules run for real but match zero spans; the demo rule
+  proves the counting/replacement plumbing end-to-end).  Pure
+  per-row expressions: no shuffle at all, trivially scales.
+- repetition/quality gating (q_gopher_quality): the Gopher-style
+  signal family — word count bounds, distinct-word ratio, top-word
+  fraction, stopword fraction — computed via ONE explode+groupBy
+  (a single shuffle keyed by doc_id; per-doc O(n^2) higher-order
+  array scans were rejected as the interpreted slow path).
+
+All four are exact-arithmetic (ints and int-ratio doubles) and fully
+oracle-checkable in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_streaming_example_spark.plans.registry import register
+from flink_streaming_example_spark.sources.tables import load_table
+
+# ~2% held-out eval split: md5 bucket >= _EVAL_BUCKET (same md5
+# bucketing rule as sampling.q_sample_hash — a pure function of
+# doc_id, so the eval membership is stable as the corpus grows).
+_EVAL_BUCKET = 98
+
+_DECON_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, source, lower(text) AS t,
+    CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         AS BIGINT) % 100 AS bucket
+  FROM documents
+), toks AS (
+  SELECT doc_id, source, bucket, string_split(t, ' ') AS w FROM b
+), grams AS (
+  SELECT doc_id, source, bucket,
+    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(1, len(w) - 2)) AS i
+  ) g
+), eval_grams AS (
+  SELECT DISTINCT gram FROM grams WHERE bucket >= {_EVAL_BUCKET}
+), train AS (
+  SELECT doc_id, source FROM b WHERE bucket < {_EVAL_BUCKET}
+), hits AS (
+  SELECT DISTINCT g.doc_id, g.gram
+  FROM grams g JOIN eval_grams e USING (gram)
+  WHERE g.bucket < {_EVAL_BUCKET}
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_gram_hits FROM hits GROUP BY doc_id
+)
+SELECT t.source,
+  COUNT(*) AS n_train,
+  COUNT(p.doc_id) AS n_contaminated,
+  CAST(COALESCE(SUM(p.n_gram_hits), 0) AS BIGINT) AS n_gram_hits
+FROM train t LEFT JOIN per_doc p USING (doc_id)
+GROUP BY t.source
+"""
+
+
+@register("q_decontaminate", oracle=_DECON_ORACLE, tags=("llm", "datapipe"))
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word 3-gram with the held-out eval split (md5 bucket >= 98), the
+    n-gram-overlap rule pretraining pipelines use against test-set
+    leakage.  The distinct eval-gram set is tiny relative to the
+    corpus and is broadcast into the gram join; per-source output is
+    train size, contaminated count and total distinct gram hits."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    toks = docs.select(
+        "doc_id",
+        "source",
+        bucket.alias("bucket"),
+        F.split(F.lower(F.col("text")), " ").alias("w"),
+    )
+    # Word 3-grams, 0-based F.get over a 0..n-3 index sequence (the
+    # oracle's 1-based w[i]..w[i+2] shifted down by one).
+    grams = toks.select(
+        "doc_id",
+        "source",
+        "bucket",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - 3),
+                lambda i: F.concat_ws(
+                    " ", F.get("w", i), F.get("w", i + 1), F.get("w", i + 2)
+                ),
+            )
+        ).alias("gram"),
+    )
+    eval_grams = (
+        grams.filter(F.col("bucket") >= _EVAL_BUCKET).select("gram").distinct()
+    )
+    hits = (
+        grams.filter(F.col("bucket") < _EVAL_BUCKET)
+        .join(F.broadcast(eval_grams), "gram")
+        .select("doc_id", "gram")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_gram_hits"))
+    )
+    train = toks.filter(F.col("bucket") < _EVAL_BUCKET).select("doc_id", "source")
+    return (
+        train.join(hits, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.count("n_gram_hits").alias("n_contaminated"),
+            F.coalesce(F.sum("n_gram_hits"), F.lit(0))
+            .cast("long")
+            .alias("n_gram_hits"),
+        )
+    )
+
+
+_MIX_ORACLE = """
+WITH rated AS (
+  SELECT doc_id, source,
+    CASE WHEN CAST(substring(source, 4) AS INTEGER) % 2 = 0
+         THEN 50 ELSE 100 END AS rate,
+    CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         AS BIGINT) % 100 AS bucket
+  FROM documents
+)
+SELECT source,
+  COUNT(*) AS n_total,
+  COUNT(CASE WHEN bucket < rate THEN 1 END) AS n_kept
+FROM rated
+GROUP BY source
+"""
+
+
+@register("q_domain_mix", oracle=_MIX_ORACLE, tags=("llm", "datapipe"))
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing: downsample even-numbered sources to a 50% target
+    rate (odd sources kept whole) by comparing the md5 doc_id bucket
+    against the per-domain rate — deterministic stratified sampling
+    with zero shuffle before the final count (module docstring: why
+    hash buckets, not rand())."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.when(
+        F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(50)
+    ).otherwise(F.lit(100))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return (
+        docs.select("source", rate.alias("rate"), bucket.alias("bucket"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(F.col("bucket") < F.col("rate"), 1)).alias("n_kept"),
+        )
+    )
+
+
+# Email/phone regexes restricted to syntax Java regex and RE2 share
+# (char classes, bounded repeats, \b) so both engines compile the
+# exact same automaton.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+?[0-9][0-9() -]{6,}[0-9]"
+_DEMO_RE = r"\b(customer|value)\b"
+
+_SCRUB_ORACLE = f"""
+SELECT doc_id,
+  len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_email,
+  len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phone,
+  len(regexp_extract_all(text, '{_DEMO_RE}')) AS n_demo,
+  md5(regexp_replace(regexp_replace(regexp_replace(text,
+      '{_EMAIL_RE}', '<EMAIL>', 'g'),
+      '{_PHONE_RE}', '<PHONE>', 'g'),
+      '{_DEMO_RE}', '<ID>', 'g')) AS scrubbed_md5
+FROM documents
+"""
+
+
+@register("q_pattern_scrub", oracle=_SCRUB_ORACLE, tags=("llm", "datapipe"))
+def q_pattern_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style pattern scrubbing: count and redact email / phone /
+    demo-pattern spans per document (module docstring: the synthetic
+    corpus has no real PII, so the demo rule exercises the plumbing).
+    Row-local expressions only — no shuffle; the md5 of the scrubbed
+    text pins replacement semantics bit-for-bit against the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ),
+        _DEMO_RE,
+        "<ID>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_EMAIL_RE)).cast("long").alias("n_email"),
+        F.regexp_count("text", F.lit(_PHONE_RE)).cast("long").alias("n_phone"),
+        F.regexp_count("text", F.lit(_DEMO_RE)).cast("long").alias("n_demo"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+_STOPWORDS = ("the", "a")
+
+_GOPHER_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS word
+  FROM documents
+), wc AS (
+  SELECT doc_id, source, word, COUNT(*) AS c
+  FROM words GROUP BY doc_id, source, word
+), sig AS (
+  SELECT doc_id, source,
+    CAST(SUM(c) AS BIGINT) AS n_words,
+    COUNT(*) AS n_distinct,
+    CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_word_frac,
+    CAST(COALESCE(SUM(CASE WHEN word IN {_STOPWORDS} THEN c END), 0)
+         AS DOUBLE) / SUM(c) AS stopword_frac
+  FROM wc GROUP BY doc_id, source
+)
+SELECT source,
+  COUNT(*) AS n_docs,
+  COUNT(CASE WHEN n_words BETWEEN 20 AND 100000
+              AND CAST(n_distinct AS DOUBLE) / n_words >= 0.2
+              AND top_word_frac <= 0.12
+         THEN 1 END) AS n_pass
+FROM sig
+GROUP BY source
+"""
+
+
+@register("q_gopher_quality", oracle=_GOPHER_ORACLE, tags=("llm", "datapipe"))
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality gating: per-document word
+    count, distinct-word ratio, top-word fraction and stopword
+    fraction from one explode+groupBy(doc_id, word) shuffle, then a
+    threshold gate (20 <= words <= 100k, distinct ratio >= 0.2,
+    top-word fraction <= 0.12) aggregated per source.  Ratios are
+    exact int-division doubles — deterministic, no float-sum order
+    sensitivity."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"),
+    )
+    wc = words.groupBy("doc_id", "source", "word").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    sig = wc.groupBy("doc_id", "source").agg(
+        F.sum("c").cast("long").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        (F.max("c").cast("double") / F.sum("c")).alias("top_word_frac"),
+        (
+            F.coalesce(
+                F.sum(F.when(F.col("word").isin(*_STOPWORDS), F.col("c"))),
+                F.lit(0),
+            ).cast("double")
+            / F.sum("c")
+        ).alias("stopword_frac"),
+    )
+    passed = (
+        F.col("n_words").between(20, 100000)
+        & (F.col("n_distinct").cast("double") / F.col("n_words") >= 0.2)
+        & (F.col("top_word_frac") <= 0.12)
+    )
+    return sig.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(passed, 1)).alias("n_pass"),
+    )
