@@ -474,6 +474,108 @@ def cc_min_labels(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels.select("doc_id", "cluster_id")
 
 
+def cc_large_star_small_star(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    edge rewrites (Kiveris et al., "Connected Components in MapReduce
+    and Beyond") — the O(log n)-round algorithm this module's
+    docstrings point to for mega-components, where min-label
+    propagation's O(diameter) rounds are the bottleneck.
+
+    Edges are kept oriented big->small and deduplicated; one round is:
+
+    - large-star: for each node u, every strictly-larger neighbor v
+      is re-pointed at m(u) = min(neighborhood(u) + {u});
+    - small-star: for each big endpoint u of the oriented edges,
+      every smaller neighbor (and u itself) is re-pointed at the
+      minimum of that smaller-neighborhood.
+
+    Both are groupBy(node) + join — the same shuffle shape as one
+    propagation round — but the REWRITE contracts path length
+    doubly-exponentially, so star-shaped components (every node edged
+    to its component min) emerge in O(log n) rounds regardless of
+    diameter.  Each round is localCheckpointed (constant plan depth;
+    see cc_min_labels on why persist() alone OOMs the planner) and
+    convergence = the oriented edge set reached a fixpoint (counts
+    equal and set difference empty).  Returns the same contract as
+    cc_min_labels: (doc_id, cluster_id = component min) for every
+    node with at least one edge."""
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    cur = (
+        edges.select(
+            F.greatest("doc_id_a", "doc_id_b").alias("src"),
+            F.least("doc_id_a", "doc_id_b").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    converged = False
+    for _ in range(max_iter):
+        und = cur.unionByName(
+            cur.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        # large-star: m = min over the full neighborhood (and self);
+        # each undirected edge contributes exactly once, from its
+        # smaller endpoint's side (v > u below).
+        lmins = und.groupBy("src").agg(
+            F.least(F.first("src"), F.min("dst")).alias("m")
+        )
+        large = (
+            und.join(lmins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .distinct()
+        )
+        # small-star over the re-oriented edges: all dst < src, so the
+        # neighborhood min IS min(dst); re-point every smaller
+        # neighbor and src itself at it (self-loops dropped).
+        smins = large.groupBy("src").agg(F.min("dst").alias("m"))
+        sm = large.join(smins, "src")
+        small = (
+            sm.filter(F.col("dst") != F.col("m"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .unionByName(sm.select("src", F.col("m").alias("dst")))
+            .distinct()
+        )
+        superseded = cur
+        cur = small.localCheckpoint(eager=True)
+        # Fixpoint check on the materialized sets: equal cardinality
+        # plus empty one-sided difference <=> equal sets (both are
+        # distinct).  Two cheap jobs over checkpointed inputs.
+        if cur.count() == superseded.count() and cur.exceptAll(
+            superseded
+        ).isEmpty():
+            _release_checkpoint(superseded)
+            converged = True
+            break
+        _release_checkpoint(superseded)
+    if not converged:
+        warnings.warn(
+            f"cc_large_star_small_star: edge set not a fixpoint after "
+            f"{max_iter} rounds; labels may be partially contracted",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    und = cur.unionByName(
+        cur.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return und.groupBy(F.col("src").alias("doc_id")).agg(
+        F.least(F.first("src"), F.min("dst")).alias("cluster_id")
+    )
+
+
+@register("q_dedup_clusters_lss", oracle=_CLUSTERS_ORACLE, tags=("dedup",))
+def q_dedup_clusters_lss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2e-scale: the same cluster election as q_dedup_clusters —
+    identical oracle — computed by large-star/small-star contraction
+    instead of min-label propagation: the algorithm of record when a
+    component's diameter (not the corpus size) is the round driver,
+    e.g. chain-shaped near-dup families in crawl data."""
+    edges = _ngram_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    return cc_large_star_small_star(edges)
+
+
 def _simhash_bits() -> int:
     return 32
 

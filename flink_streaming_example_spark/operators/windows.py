@@ -414,3 +414,50 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
         F.last("n", ignorenulls=True).over(w).alias("n_filled"),
     )
+
+
+_TIME_ROLLUP_ORACLE = f"""
+SELECT event_type, granularity, bucket_start,
+  COUNT(*) AS n_events, {sql_stable_sum("value", "sum_value")}
+FROM (
+  SELECT event_type, 'hour' AS granularity,
+    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_start, value
+  FROM events
+  UNION ALL
+  SELECT event_type, 'day' AS granularity,
+    date_trunc('day', CAST(ts AS TIMESTAMP)) AS bucket_start, value
+  FROM events
+)
+GROUP BY event_type, granularity, bucket_start
+"""
+
+
+@register("q_time_rollup", oracle=_TIME_ROLLUP_ORACLE, tags=("window",))
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: hourly AND daily
+    continuous-aggregate tiers of the event stream from ONE fact scan
+    — GROUPING SETS over the two date_trunc derivations (a single
+    Expand + hash aggregate; the oracle's UNION ALL formulation would
+    scan the fact table once per tier, which is exactly what this
+    plan avoids at 100 TB).  The coarser tier costs no extra scan
+    because Expand duplicates rows map-side, pre-shuffle partial
+    aggregation collapses them, and the shuffle carries only
+    (type x bucket) group cells."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "events_rollup"
+    )
+    return spark.sql(
+        f"""
+        SELECT event_type,
+          CASE WHEN h IS NOT NULL THEN 'hour' ELSE 'day' END AS granularity,
+          COALESCE(h, d) AS bucket_start,
+          COUNT(*) AS n_events,
+          {sql_stable_sum("value", "sum_value")}
+        FROM (
+          SELECT event_type, value,
+            date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d
+          FROM events_rollup
+        )
+        GROUP BY event_type, GROUPING SETS ((event_type, h), (event_type, d))
+        """
+    )
