@@ -62,13 +62,18 @@ def compact_line(payload: dict, timings: dict[str, float]) -> str:
 def main() -> None:
     spark = get_spark("flink-streaming-example-spark-bench")
     specs = all_specs()
-    # Warm the JVM: codegen, and the parquet datasource init path (the
-    # first parquet job pays several seconds of one-time setup).
+    # Warm the JVM: codegen, the parquet datasource init path, and
+    # every fixture table's footer/schema read — first-touch costs are
+    # one-time session setup, not per-query work, and without this
+    # they land on whichever key is alphabetically first per table.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    try:
-        spark.read.parquet(f"{SF_DIR}/region.parquet").collect()
-    except Exception:
-        pass
+    from flink_streaming_example_spark.sources.tables import TABLE_NAMES
+
+    for t in TABLE_NAMES:
+        try:
+            spark.read.parquet(f"{SF_DIR}/{t}.parquet").limit(1).collect()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     errors: list[str] = []

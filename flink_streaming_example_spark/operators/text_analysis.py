@@ -179,26 +179,24 @@ GROUP BY bigram
 
 @register("q_bigrams", oracle=_BIGRAMS_ORACLE, tags=("text",))
 def q_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L4f: n-gram (bigram) frequencies — posexplode tokens, pair each
-    with its lead() in document order, one hash aggregate.  (The
-    array-indexing formulation is shuffle-free but runs in interpreted
-    higher-order functions — measured ~4× slower than this
-    codegen'd explode + per-doc window; the n-gram generalization
-    chains n-1 leads.)"""
-    from pyspark.sql import Window
-
+    """L4f: n-gram (bigram) frequencies — zip each token array with
+    its own tail (slice + arrays_zip, all codegen'd array natives, no
+    lambda HOF), explode the pairs, one hash aggregate.  Shuffle-free
+    until the final bigram count: A/B vs the posexplode +
+    lead()-window form measured 0.7 vs 1.0 s warm at sf0.1 — the
+    window's per-doc shuffle+sort buys nothing the tail-zip doesn't
+    already give.  (A transform(sequence(...)) indexing formulation
+    is also shuffle-free but runs interpreted — measured ~4× slower.)
+    The n-gram generalization zips n shifted slices."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias("pos", "tok"),
+    t = F.split(F.lower(F.col("text")), " ")
+    pairs = F.arrays_zip(
+        F.slice(t, 1, F.size(t) - 1), F.slice(t, 2, F.size(t) - 1)
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
     return (
-        toks.select(
-            F.col("tok"), F.lead("tok").over(w).alias("nxt")
-        )
-        .filter(F.col("nxt").isNotNull())
-        .select(F.concat_ws(" ", "tok", "nxt").alias("bigram"))
+        docs.filter(F.size(t) > 1)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.concat_ws(" ", F.col("p.0"), F.col("p.1")).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -28,3 +28,22 @@ def test_ivf_recall_vs_exact(spark):
     assert len(approx) == 50
     assert recall >= 0.5, f"IVF recall collapsed: {recall:.2f}"
     print(f"IVF recall@5 vs exact: {recall:.2f}")
+
+
+def test_lsh_buckets_and_recall(spark):
+    """q_knn_lsh: top-3-in-bucket hits must overlap the exact top-5
+    far above the ~1% random-pair baseline (measured 7/30 at sf0.01
+    with 4 planes; floor set with margin), and results must exist —
+    a degenerate all-one-bucket signature would silently fall back to
+    brute force, an over-fine one would return nothing."""
+    specs = all_specs()
+    exact_top5 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in specs["q_knn_cosine"].fn(spark, SF_DIR).collect()
+    }
+    lsh = specs["q_knn_lsh"].fn(spark, SF_DIR).collect()
+    approx = {(r["query_id"], r["neighbor_id"]) for r in lsh}
+    # <=10 queries x top-3; sparse buckets may cut a query short
+    assert 0 < len(approx) <= 30
+    hit = len(approx & exact_top5)
+    assert hit / len(approx) >= 0.1, f"LSH precision collapsed: {hit}/{len(approx)}"
