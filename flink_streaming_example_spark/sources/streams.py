@@ -82,19 +82,31 @@ def rate_source(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
 def events_file_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4 (replay path): stream the events fixture through the file
     source — the broker-less stand-in for a Kafka topic; identical
-    downstream pipeline, same ns->µs conversion as the batch loader."""
+    downstream pipeline, same footer-sniffed timestamp-unit handling as
+    the batch loader (sources/tables.py)."""
+    from flink_streaming_example_spark.sources.tables import (
+        _preflight,
+        _read_schema_for,
+    )
+    from pyspark.sql import types as T
+
     ensure_session_confs(spark)
+    path = f"{sf_dir}/events.parquet"
+    read_schema = _read_schema_for("events", path)
+    _preflight(path, "events", read_schema)
     # The streaming file source takes a directory; glob-filter to the
     # events file so sibling tables aren't picked up.
     df = (
-        spark.readStream.schema(SCHEMAS["events"])
+        spark.readStream.schema(read_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
     # TIMESTAMP (not NTZ): watermarks require an instant type; the
     # session timezone is pinned UTC so wall-clock values match the
     # batch loader's NTZ column exactly.
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(read_schema["ts"].dataType, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def documents_file_replay(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -6,15 +6,30 @@ this matches the reference's static-schema discipline (Flink
 schema inference over many thousands of files.
 
 Timestamp handling (SURVEY.md §1.2): the fixture timestamps are
-tz-naive; `lineitem`/`orders` carry ms-precision (reads as
-TIMESTAMP_NTZ), while `events.ts` is ns-precision, which Spark cannot
-read natively — we read it as epoch-nanos long
-(`spark.sql.legacy.parquet.nanosAsLong`) and truncate to µs with integer
-division, which matches DuckDB's `CAST(ts AS TIMESTAMP)` exactly
-(verified value-for-value in tests/test_sources.py).
+tz-naive.  `events.ts` has historically shipped in different parquet
+physical units (TIMESTAMP(NANOS) in earlier fixture generations,
+TIMESTAMP(MICROS) now), so the loader sniffs the footer's declared unit
+(one cached pyarrow footer read per table per process) and picks the
+matching read path:
+
+ - us/ms: read natively as TIMESTAMP_NTZ — no conversion needed.
+ - ns: Spark cannot read TIMESTAMP(NANOS) natively
+   ([PARQUET_TYPE_ILLEGAL]); read as epoch-nanos long
+   (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to µs with
+   integer division, matching DuckDB's `CAST(ts AS TIMESTAMP)`.
+
+Every load also runs a schema-drift preflight: each declared column must
+exist in the parquet footer with a read-compatible physical type, else
+`SchemaDriftError` is raised with the exact mismatch.  Silently-wrong
+values (the failure mode a hard-coded unit assumption produces when the
+fixture drifts) are the worst possible outcome at 100 TB — fail loud.
 """
 
 from __future__ import annotations
+
+import functools
+import glob
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -23,6 +38,10 @@ from pyspark.sql import types as T
 from flink_streaming_example_spark.session import ensure_session_confs
 
 _NTZ = T.TimestampNTZType()
+
+
+class SchemaDriftError(RuntimeError):
+    """Declared schema no longer matches the parquet footer."""
 
 
 def _struct(*fields: tuple[str, T.DataType]) -> T.StructType:
@@ -85,7 +104,7 @@ SCHEMAS: dict[str, T.StructType] = {
     ),
     "events": _struct(
         ("event_id", T.LongType()),
-        ("ts", T.LongType()),  # epoch nanos; converted below
+        ("ts", _NTZ),  # physical unit sniffed from footer; see _read_schema_for
         ("user_id", T.LongType()),
         ("event_type", T.StringType()),
         ("value", T.DoubleType()),
@@ -108,19 +127,148 @@ SCHEMAS: dict[str, T.StructType] = {
 TABLE_NAMES: tuple[str, ...] = tuple(SCHEMAS)
 
 
+@functools.lru_cache(maxsize=256)
+def _footer_schema(path: str):
+    """One parquet footer read per path per process (pyarrow).
+
+    For a directory of part-files the first file's footer stands for
+    all of them — the writers here (driver fixtures, our own sinks)
+    write uniform schemas; a truly mixed-schema directory would fail the
+    preflight on whichever file is sampled, which is the desired loud
+    failure.
+    """
+    import pyarrow.parquet as pq
+
+    target = path
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            raise SchemaDriftError(f"no parquet files under {path!r}")
+        target = parts[0]
+    return pq.read_schema(target)
+
+
+def _arrow_compatible(arrow_t, spark_t: T.DataType) -> bool:
+    """Is the declared Spark read type exactly right for this physical
+    arrow/parquet type?  Strict on purpose: widening or unit-mangling
+    reads are exactly the silent drift this guard exists to catch."""
+    import pyarrow as pa
+
+    if pa.types.is_int32(arrow_t):
+        return isinstance(spark_t, T.IntegerType)
+    if pa.types.is_int64(arrow_t):
+        return isinstance(spark_t, T.LongType)
+    if pa.types.is_string(arrow_t) or pa.types.is_large_string(arrow_t):
+        return isinstance(spark_t, T.StringType)
+    if pa.types.is_float64(arrow_t):
+        return isinstance(spark_t, T.DoubleType)
+    if pa.types.is_float32(arrow_t):
+        return isinstance(spark_t, T.FloatType)
+    if pa.types.is_boolean(arrow_t):
+        return isinstance(spark_t, T.BooleanType)
+    if pa.types.is_binary(arrow_t) or pa.types.is_large_binary(arrow_t):
+        return isinstance(spark_t, T.BinaryType)
+    if pa.types.is_date(arrow_t):
+        return isinstance(spark_t, T.DateType)
+    if pa.types.is_timestamp(arrow_t):
+        if arrow_t.unit == "ns":
+            # Spark reads TIMESTAMP(NANOS) only as long via nanosAsLong.
+            return isinstance(spark_t, T.LongType)
+        return isinstance(spark_t, (T.TimestampNTZType, T.TimestampType))
+    if pa.types.is_list(arrow_t) or pa.types.is_large_list(arrow_t):
+        return isinstance(spark_t, T.ArrayType) and _arrow_compatible(
+            arrow_t.value_type, spark_t.elementType
+        )
+    if pa.types.is_struct(arrow_t):
+        if not isinstance(spark_t, T.StructType):
+            return False
+        names = {f.name: f.type for f in arrow_t}
+        return all(
+            f.name in names and _arrow_compatible(names[f.name], f.dataType)
+            for f in spark_t.fields
+        )
+    return False
+
+
+def _preflight(path: str, name: str, schema: T.StructType) -> None:
+    """Assert the declared read schema matches the footer; raise loud.
+
+    Footer-extra columns are fine (column pruning skips them); a
+    declared column that is missing or physically different is not.
+    """
+    footer = _footer_schema(path)
+    footer_types = {f.name: f.type for f in footer}
+    for field in schema.fields:
+        if field.name not in footer_types:
+            raise SchemaDriftError(
+                f"table {name!r}: declared column {field.name!r} missing "
+                f"from parquet footer at {path!r} "
+                f"(footer has: {sorted(footer_types)})"
+            )
+        arrow_t = footer_types[field.name]
+        if not _arrow_compatible(arrow_t, field.dataType):
+            raise SchemaDriftError(
+                f"table {name!r}: column {field.name!r} is "
+                f"{arrow_t} in the parquet footer at {path!r} but declared "
+                f"{field.dataType.simpleString()} — the fixture schema has "
+                f"drifted; update SCHEMAS/_read_schema_for rather than "
+                f"reading silently-wrong values"
+            )
+
+
+def ts_unit(sf_dir: str, name: str = "events", column: str = "ts") -> str:
+    """Physical timestamp unit ('s'|'ms'|'us'|'ns') of a fixture column,
+    from the cached parquet footer."""
+    import pyarrow as pa
+
+    t = _footer_schema(f"{sf_dir}/{name}.parquet").field(column).type
+    if not pa.types.is_timestamp(t):
+        raise SchemaDriftError(
+            f"table {name!r}: column {column!r} is {t}, not a parquet "
+            f"timestamp — cannot pick a read path"
+        )
+    return t.unit
+
+
+def _read_schema_for(name: str, path: str) -> T.StructType:
+    """Physical read schema: the declared schema, except a ns-unit
+    events.ts must be read as epoch-nanos long (nanosAsLong)."""
+    schema = SCHEMAS[name]
+    if name == "events":
+        import pyarrow as pa
+
+        t = _footer_schema(path).field("ts").type
+        if pa.types.is_timestamp(t) and t.unit == "ns":
+            schema = T.StructType(
+                [
+                    T.StructField("ts", T.LongType(), True)
+                    if f.name == "ts"
+                    else f
+                    for f in schema.fields
+                ]
+            )
+    return schema
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table with its declared schema.
 
     Filters/projections applied downstream reach the parquet scan
     (predicate pushdown + column pruning are preserved — the only
-    post-read transform is the events timestamp conversion, which is a
-    deterministic per-row projection).
+    post-read transform is the ns-unit events timestamp conversion,
+    which is a deterministic per-row projection and only exists when
+    the footer really is TIMESTAMP(NANOS)).
     """
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     ensure_session_confs(spark)
-    df = spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
+    path = f"{sf_dir}/{name}.parquet"
+    read_schema = _read_schema_for(name, path)
+    _preflight(path, name, read_schema)
+    df = spark.read.schema(read_schema).parquet(path)
+    if name == "events" and isinstance(
+        read_schema["ts"].dataType, T.LongType
+    ):
         # ns -> µs truncation via integer division (floor; all fixture
         # timestamps are post-epoch).  Matches DuckDB CAST(ts AS TIMESTAMP).
         df = df.withColumn(

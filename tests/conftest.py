@@ -20,6 +20,26 @@ def spark():
     yield spark
 
 
+@pytest.fixture(scope="session", autouse=True)
+def _events_ts_canary(spark):
+    """Fail the whole suite fast if the events timestamp read path is
+    poisoned (the round-3 fixture regeneration changed the parquet unit
+    and every event-time query silently collapsed to 1970).  One cheap
+    aggregate here beats 121 parity keys burning minutes on a broken
+    source."""
+    from flink_streaming_example_spark.sources.tables import load_table
+
+    bad = (
+        load_table(spark, SF_DIR, "events")
+        .filter("ts <= timestamp'1971-01-01'")
+        .count()
+    )
+    assert bad == 0, (
+        f"{bad} events at/before 1971 — the loader's timestamp-unit "
+        f"handling no longer matches the fixture (see sources/tables.py)"
+    )
+
+
 @pytest.fixture(scope="session")
 def duck():
     con = duckdb.connect()

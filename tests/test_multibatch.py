@@ -21,7 +21,7 @@ N_SHARDS = 6
 @pytest.fixture(scope="module")
 def sharded_events_dir(spark) -> str:
     out = tempfile.mkdtemp(prefix="events_shards_")
-    raw = spark.read.schema(SCHEMAS["events"]).parquet(f"{SF_DIR}/events.parquet")
+    raw = load_table(spark, SF_DIR, "events")
     # shard by time order so micro-batches roughly advance event time
     raw.orderBy("ts").repartitionByRange(N_SHARDS, "ts").write.mode(
         "overwrite"
@@ -30,12 +30,14 @@ def sharded_events_dir(spark) -> str:
 
 
 def _replay(spark, path):
+    # the sharded dirs are always Spark-written from the NTZ frame, so
+    # the physical unit is always us; watermarks need an instant type.
     df = (
         spark.readStream.schema(SCHEMAS["events"])
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
     )
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _drain(spark, sdf, mode):
@@ -128,9 +130,7 @@ def test_checkpoint_recovery_exactly_once(spark):
     src = tempfile.mkdtemp(prefix="events_recov_")
     ckpt = tempfile.mkdtemp(prefix="recov_ckpt_")
     out = tempfile.mkdtemp(prefix="recov_out_")
-    raw = spark.read.schema(SCHEMAS["events"]).parquet(
-        f"{SF_DIR}/events.parquet"
-    )
+    raw = load_table(spark, SF_DIR, "events")
     h1 = raw.filter(F.col("event_id") % 2 == 0)
     h2 = raw.filter(F.col("event_id") % 2 == 1)
     h1.write.mode("overwrite").parquet(src)
@@ -177,7 +177,7 @@ def test_streaming_dedup_across_batches_with_duplicates(spark):
     # arrives twice, in different micro-batches — dedup state must
     # suppress the second copy
     out = tempfile.mkdtemp(prefix="events_dup_")
-    raw = spark.read.schema(SCHEMAS["events"]).parquet(f"{SF_DIR}/events.parquet")
+    raw = load_table(spark, SF_DIR, "events")
     raw.write.mode("overwrite").parquet(out)
     raw.write.mode("append").parquet(out)
     ev = _replay(spark, out)
@@ -205,9 +205,7 @@ def test_broadcast_rules_update_between_runs(spark):
     rules_dir = tempfile.mkdtemp(prefix="rules_")
     ckpt = tempfile.mkdtemp(prefix="rules_ckpt_")
     out = tempfile.mkdtemp(prefix="rules_out_")
-    raw = spark.read.schema(SCHEMAS["events"]).parquet(
-        f"{SF_DIR}/events.parquet"
-    )
+    raw = load_table(spark, SF_DIR, "events")
     h1 = raw.filter(F.col("event_id") % 2 == 0)
     h2 = raw.filter(F.col("event_id") % 2 == 1)
     types = ["click", "view", "purchase", "signup", "error"]

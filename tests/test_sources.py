@@ -24,11 +24,62 @@ def test_all_tables_load_with_declared_schema(spark, sf_dir):
 
 
 def test_events_ts_post_epoch(spark, sf_dir):
-    # The ns->µs conversion uses `div 1000`, which truncates toward
-    # zero — identical to floor only for non-negative inputs.  Pin the
-    # assumption: every raw ns timestamp is post-epoch.
-    raw = spark.read.schema(SCHEMAS["events"]).parquet(f"{sf_dir}/events.parquet")
-    assert raw.filter("ts <= 0").count() == 0
+    # Every fixture timestamp must be post-epoch.  For a ns-unit fixture
+    # this pins the `div 1000` truncate-toward-zero == floor assumption;
+    # for a native-unit fixture it catches a collapsed-to-1970 read
+    # (exactly the drift bug the round-3 fixture regeneration exposed).
+    df = load_table(spark, sf_dir, "events")
+    assert df.filter("ts <= timestamp'1971-01-01'").count() == 0
+
+
+def test_events_ts_unit_sniffed(sf_dir):
+    # The loader must read the unit from the footer, not assume it.
+    from flink_streaming_example_spark.sources.tables import ts_unit
+
+    assert ts_unit(sf_dir, "events", "ts") in ("s", "ms", "us", "ns")
+
+
+def test_preflight_raises_on_drift(spark, sf_dir, tmp_path):
+    """A fixture whose physical type silently drifts must fail loud
+    (SchemaDriftError), never read wrong values."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_streaming_example_spark.sources.tables import (
+        SchemaDriftError,
+        _footer_schema,
+        load_table,
+    )
+
+    # A wrong-typed `events` file: ts as plain int64 (no timestamp
+    # annotation) — neither the native nor the nanosAsLong path applies.
+    bad_dir = tmp_path / "bad_sf"
+    bad_dir.mkdir()
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1], pa.int64()),
+            "ts": pa.array([123], pa.int64()),
+            "user_id": pa.array([1], pa.int64()),
+            "event_type": pa.array(["click"], pa.string()),
+            "value": pa.array([1.0], pa.float64()),
+            "props": pa.array(["{}"], pa.string()),
+        }
+    )
+    pq.write_table(tbl, bad_dir / "events.parquet")
+    with pytest.raises(SchemaDriftError):
+        load_table(spark, str(bad_dir), "events")
+
+    # A column gone missing must also fail loud.
+    cust = tbl.set_column(
+        1, "ts", pa.array([123456], pa.timestamp("us"))
+    ).drop_columns(["props"])
+    cust_dir = tmp_path / "bad_sf2"
+    cust_dir.mkdir()
+    pq.write_table(cust, cust_dir / "events.parquet")
+    _footer_schema.cache_clear()
+    with pytest.raises(SchemaDriftError, match="missing"):
+        load_table(spark, str(cust_dir), "events")
+    _footer_schema.cache_clear()
 
 
 def test_events_ts_matches_duckdb_cast(spark, duck, sf_dir):
