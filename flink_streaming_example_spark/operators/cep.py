@@ -52,15 +52,11 @@ WHERE event_type = 'purchase'
 """
 
 
-@register("q_cep_funnel", oracle=_FUNNEL_ORACLE, tags=("cep", "window"))
-def q_cep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P4 (fixed pattern): click -> view -> purchase funnel within 7
-    days per user, via conditional last-value window chains (module
-    docstring has the exact match semantics and the NFA escape hatch
-    for dynamic patterns)."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", "event_type", "ts"
-    )
+def funnel_matches(ev: DataFrame) -> DataFrame:
+    """The funnel automaton over any (user_id, event_id, event_type, ts)
+    frame — split out so tie-heavy synthetic inputs can be pinned in
+    tests (equal timestamps make the frame order depend on the
+    (ts, event_id) tiebreak, which must agree with the oracle)."""
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -96,3 +92,15 @@ def q_cep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").alias("purchase_ts"),
         )
     )
+
+
+@register("q_cep_funnel", oracle=_FUNNEL_ORACLE, tags=("cep", "window"))
+def q_cep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 (fixed pattern): click -> view -> purchase funnel within 7
+    days per user, via conditional last-value window chains (module
+    docstring has the exact match semantics and the NFA escape hatch
+    for dynamic patterns)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    return funnel_matches(ev)
