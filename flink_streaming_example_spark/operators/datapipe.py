@@ -292,3 +292,104 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.count(F.when(passed, 1)).alias("n_pass"),
     )
+
+
+_BOILERPLATE_N = 5  # word n-gram width
+_BOILERPLATE_MIN_DOCS = 3
+
+_BOILERPLATE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest([array_to_string(t[i:i+{_BOILERPLATE_N - 1}], ' ')
+                 FOR i IN range(1, len(t) - {_BOILERPLATE_N - 2})]) AS ngram
+  FROM toks
+  WHERE len(t) >= {_BOILERPLATE_N}
+)
+SELECT ngram,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM grams
+GROUP BY ngram
+HAVING COUNT(DISTINCT doc_id) >= {_BOILERPLATE_MIN_DOCS}
+"""
+
+
+@register("q_boilerplate_ngrams", oracle=_BOILERPLATE_ORACLE, tags=("datapipe",))
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-internal boilerplate detection: word 5-grams shared by >= 3
+    distinct docs — the signal behind template/boilerplate stripping
+    (nav bars, license headers, injected near-dup prefixes) that
+    line-level dedup does on newline-structured corpora.
+
+    Spark side is the shuffle-free tail-zip (slice + arrays_zip, all
+    codegen'd — same A/B-measured pattern as q_bigrams) exploded into
+    ONE hash aggregate computing both the occurrence count and the
+    distinct-doc count.  At 100 TB the aggregate is the only shuffle
+    and partial aggregation collapses the per-partition duplicates
+    first; the >= 3-docs filter is a HAVING on the aggregate, so
+    nothing rescans."""
+    n = _BOILERPLATE_N
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.lower(F.col("text")), " ")
+    width = F.size(t) - (n - 1)
+    zipped = F.arrays_zip(*[F.slice(t, 1 + k, width) for k in range(n)])
+    grams = (
+        docs.filter(F.size(t) >= n)
+        .select("doc_id", F.explode(zipped).alias("g"))
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", *[F.col(f"g.{k}") for k in range(n)]
+            ).alias("ngram"),
+        )
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= _BOILERPLATE_MIN_DOCS)
+    )
+
+
+_SOURCE_PROFILE_ORACLE = """
+SELECT
+  source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  CAST(FLOOR(quantile_cont(n_chars, 0.5) * 1000000.0 + 0.5) AS DOUBLE)
+    / 1000000.0 AS median_chars,
+  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+  CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM documents
+GROUP BY source
+"""
+
+
+@register("q_source_profile", oracle=_SOURCE_PROFILE_ORACLE, tags=("datapipe",))
+def q_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile — the triage report a curation run
+    starts from (which crawls/feeds dominate, how long their docs are,
+    language spread): doc count, total/median chars, distinct langs.
+
+    Exact linear-interpolated median via `percentile` (matches DuckDB
+    quantile_cont; approx_percentile is the 100 TB swap and the reason
+    the column is 1e-6-rounded).  One partial+final hash aggregate,
+    grouped on the low-cardinality source key."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        (
+            F.floor(
+                F.percentile(F.col("n_chars"), F.lit(0.5)) * F.lit(1000000.0)
+                + F.lit(0.5)
+            ).cast("double")
+            / F.lit(1000000.0)
+        ).alias("median_chars"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+    )

@@ -556,3 +556,59 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "query_id", "neighbor_id", "cos_sim", F.row_number().over(w).alias("rn")
     ).filter(F.col("rn") <= 3)
+
+
+_QUANTIZE_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) AS maxabs
+  FROM e
+), q AS (
+  SELECT vec_id,
+         127.0 / maxabs AS scale,
+         list_transform(v, x -> CAST(FLOOR(x * (127.0 / maxabs) + 0.5)
+                                     AS BIGINT)) AS qv
+  FROM s
+)
+SELECT
+  vec_id,
+  CAST(FLOOR(scale * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS scale_r,
+  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+  CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS q_norm2,
+  CAST(list_max(qv) AS BIGINT) AS q_max,
+  CAST(list_min(qv) AS BIGINT) AS q_min
+FROM q
+"""
+
+
+@register("q_embed_quantize", oracle=_QUANTIZE_ORACLE, tags=("similarity",))
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3e: symmetric int8 vector quantization — per-vector scale
+    127/max|x|, elementwise half-up rounding — the 4x memory/bandwidth
+    reduction that makes billion-vector ANN shards fit executor memory
+    (scan the int8 vectors, rescale only the top-k rerank candidates).
+
+    The check emits integer invariants of the quantized vector
+    (sum, L2^2, min, max) plus the 1e-6-rounded scale: integers are
+    bit-deterministic across engines, so the parity check proves the
+    quantization grid itself, not a float tolerance.  All expressions
+    are codegen'd array natives (transform/aggregate) — no Python."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(v, F.abs))
+    scale = F.lit(127.0) / maxabs
+    qv = F.transform(v, lambda x: F.floor(x * scale + F.lit(0.5)).cast("long"))
+    zero = F.lit(0).cast("long")
+    return emb.select(
+        "vec_id",
+        (
+            F.floor(scale * F.lit(1000000.0) + F.lit(0.5)).cast("double")
+            / F.lit(1000000.0)
+        ).alias("scale_r"),
+        F.aggregate(qv, zero, lambda acc, x: acc + x).alias("q_sum"),
+        F.aggregate(qv, zero, lambda acc, x: acc + x * x).alias("q_norm2"),
+        F.array_max(qv).alias("q_max"),
+        F.array_min(qv).alias("q_min"),
+    )

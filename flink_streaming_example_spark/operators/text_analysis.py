@@ -322,3 +322,99 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("en")
         .alias("guessed_lang"),
     )
+
+
+_BM25_TERMS = ("spark", "table", "join")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+_BM25_ORACLE = f"""
+WITH dl AS (
+  SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl
+  FROM documents
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         SUM(dl) / COUNT(*) AS avgdl
+  FROM dl
+), tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        FROM documents)
+  WHERE token IN ('spark', 'table', 'join')
+  GROUP BY doc_id, token
+), df AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+)
+SELECT
+  tf.doc_id,
+  CAST(FLOOR(SUM(
+    ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+    * tf.tf * ({_BM25_K1} + 1.0)
+    / (tf.tf + {_BM25_K1}
+       * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
+  ) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS bm25
+FROM tf
+JOIN df USING (token)
+JOIN dl USING (doc_id)
+CROSS JOIN stats
+GROUP BY tf.doc_id
+"""
+
+
+@register("q_bm25", oracle=_BM25_ORACLE, tags=("text",))
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4i: BM25 retrieval scoring for a fixed query ('spark table
+    join') — the lexical ranking half of a retrieval pipeline, next to
+    the embedding kNN family.
+
+    Okapi BM25 with k1=1.2, b=0.75: per-(doc, term) tf restricted to
+    the query terms BEFORE the aggregate (predicate on the exploded
+    token stream — at 100 TB the filter prunes the shuffle to query
+    terms only), document length and corpus avgdl from one cheap
+    aggregate each (broadcast 1-row), idf = ln(1 + (N-df+0.5)/(df+0.5)).
+    The summed score is half-up-rounded at 1e-6 (ln is the only libm
+    call; same policy as q_tfidf)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    )
+    dl = docs.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.col("text")), " ")).cast("long").alias("dl"),
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        tokens.filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    term_score = (
+        idf
+        * F.col("tf")
+        * (_BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.floor(F.sum(term_score) * F.lit(1000000.0) + F.lit(0.5))
+                .cast("double")
+                / F.lit(1000000.0)
+            ).alias("bm25")
+        )
+    )
