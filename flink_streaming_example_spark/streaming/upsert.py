@@ -1,0 +1,177 @@
+"""Keyed upsert (latest-wins) sink — the Flink upsert/retract sink class
+(e.g. upsert-kafka, JDBC upsert) over a plain parquet table, built on
+foreachBatch (SURVEY.md §2.1 S9) + bucket-partitioned dynamic overwrite.
+
+Semantics: the sink maintains one row per key; each micro-batch's rows
+replace older rows for the same key (ordered by a version column, batch
+wins ties).  Flink expresses this as an upsert stream on a primary key;
+Structured Streaming has no built-in keyed table sink, so the Spark-first
+form is a foreachBatch MERGE:
+
+ 1. the batch's keys are hashed into a fixed bucket column;
+ 2. only the AFFECTED buckets of the existing table are read back
+    (partition pruning on the bucket directory — a batch touching k of
+    N buckets rescans ~k/N of the table, not all of it);
+ 3. existing ∪ batch is reduced to latest-per-key (row_number over
+    version desc, batch-provenance tiebreak);
+ 4. the affected buckets are atomically replaced via dynamic partition
+    overwrite (`partitionOverwriteMode=dynamic` — untouched buckets'
+    directories are not rewritten).
+
+At 100 TB the same shape holds: buckets bound the rewrite amplification
+(pick N so a bucket ~ a few GB), and a lakehouse table format
+(Delta/Iceberg MERGE INTO) replaces step 4's directory swap with a
+transactional commit — the plan (prune -> latest-per-key -> replace) is
+identical.  Exactly-once: the checkpoint WAL replays a failed batch;
+the overwrite is idempotent because latest-per-key is deterministic.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import DataStreamWriter
+
+_N_BUCKETS = 16
+
+
+def _latest_per_key(
+    df: DataFrame, key_cols: list[str], version_col: str
+) -> DataFrame:
+    # provenance: batch rows (is_new=1) beat existing rows on version
+    # ties, so a replayed batch converges to the same table.
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(version_col).desc(), F.col("_is_new").desc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_is_new")
+    )
+
+
+def upsert_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    path: str,
+    key_cols: list[str],
+    version_col: str,
+    n_buckets: int = _N_BUCKETS,
+) -> None:
+    """MERGE one (micro-)batch into the keyed parquet table at ``path``."""
+    if not batch_df.take(1):
+        return
+    bucket = F.pmod(F.hash(*key_cols), F.lit(n_buckets)).cast("int")
+    new = batch_df.withColumn("_bucket", bucket).withColumn(
+        "_is_new", F.lit(1)
+    )
+    affected = [r._bucket for r in new.select("_bucket").distinct().collect()]
+    merged = new
+    if os.path.isdir(path) and any(
+        e.startswith("_bucket=") for e in os.listdir(path)
+    ):
+        existing = (
+            spark.read.parquet(path)
+            # partition pruning: only affected bucket dirs are scanned
+            .filter(F.col("_bucket").isin(affected))
+            .withColumn("_is_new", F.lit(0))
+        )
+        merged = new.unionByName(existing)
+    out = _latest_per_key(merged, key_cols, version_col)
+    # dynamic mode replaces exactly the buckets present in `out`
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_bucket")
+        .parquet(path)
+    )
+
+
+def upsert_sink(
+    df: DataFrame,
+    path: str,
+    key_cols: list[str],
+    version_col: str,
+    checkpoint: str,
+    n_buckets: int = _N_BUCKETS,
+) -> DataStreamWriter:
+    """S9-upsert: streaming latest-wins keyed table sink (module
+    docstring has the merge plan and the lakehouse swap at scale)."""
+    spark = df.sparkSession
+
+    def merge(batch_df: DataFrame, _batch_id: int) -> None:
+        upsert_batch(
+            spark, batch_df, path, key_cols, version_col, n_buckets
+        )
+
+    return df.writeStream.foreachBatch(merge).option(
+        "checkpointLocation", checkpoint
+    )
+
+
+def read_upsert_table(spark: SparkSession, path: str) -> DataFrame:
+    """The keyed table's current state (one row per key)."""
+    return spark.read.parquet(path).drop("_bucket")
+
+
+_UPSERT_ORACLE = """
+SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+FROM (
+  SELECT user_id, event_id, ts, event_type, value,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def _register_streaming_upsert() -> None:
+    from flink_streaming_example_spark.plans.registry import register
+    from flink_streaming_example_spark.sources.streams import (
+        events_file_replay,
+    )
+
+    @register(
+        "q_streaming_upsert", oracle=_UPSERT_ORACLE, tags=("streaming",)
+    )
+    def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """S9-upsert: the events stream merged into a latest-wins keyed
+        table (one row per user), read back after the bounded replay
+        drains.  Multi-batch state composition and bucket-pruned
+        rewrites are pinned in tests/test_upsert.py; here the driver
+        checks the end-state table against the batch latest-per-key
+        window."""
+        import tempfile
+
+        ev = events_file_replay(spark, sf_dir).select(
+            "user_id", "event_id", "ts", "event_type", "value"
+        )
+        table = tempfile.mkdtemp(prefix="upsert_q_")
+        q = (
+            upsert_sink(
+                ev,
+                table,
+                key_cols=["user_id"],
+                version_col="ts",
+                checkpoint=tempfile.mkdtemp(prefix="upsert_q_ckpt_"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = read_upsert_table(spark, table)
+        # ties: fixture (user_id, ts) are unique; event_id ordering in
+        # the oracle is the deterministic tiebreak mirror.
+        return got.select(
+            "user_id",
+            "event_id",
+            F.col("ts").cast("timestamp_ntz").alias("ts"),
+            "event_type",
+            "value",
+        )
+
+
+_register_streaming_upsert()
