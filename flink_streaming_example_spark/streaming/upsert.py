@@ -59,14 +59,28 @@ def upsert_batch(
     key_cols: list[str],
     version_col: str,
     n_buckets: int = _N_BUCKETS,
+    tombstone_col: str | None = None,
 ) -> None:
-    """MERGE one (micro-)batch into the keyed parquet table at ``path``."""
+    """MERGE one (micro-)batch into the keyed parquet table at ``path``.
+
+    With ``tombstone_col`` (a boolean column), the stream is a full CDC
+    changelog (Flink retract/upsert stream with DELETEs): a true-valued
+    row whose version wins removes the key from the table.  The
+    tombstone must survive the latest-per-key election (not be dropped
+    on ingest) so a later out-of-order UPDATE with an older version
+    stays dead — it is filtered only at write time."""
     if not batch_df.take(1):
         return
     bucket = F.pmod(F.hash(*key_cols), F.lit(n_buckets)).cast("int")
     new = batch_df.withColumn("_bucket", bucket).withColumn(
         "_is_new", F.lit(1)
     )
+    if tombstone_col is None:
+        new = new.withColumn("_dead", F.lit(False))
+    else:
+        new = new.withColumn(
+            "_dead", F.coalesce(F.col(tombstone_col), F.lit(False))
+        ).drop(tombstone_col)
     affected = [r._bucket for r in new.select("_bucket").distinct().collect()]
     merged = new
     if os.path.isdir(path) and any(
@@ -96,14 +110,22 @@ def upsert_sink(
     version_col: str,
     checkpoint: str,
     n_buckets: int = _N_BUCKETS,
+    tombstone_col: str | None = None,
 ) -> DataStreamWriter:
     """S9-upsert: streaming latest-wins keyed table sink (module
-    docstring has the merge plan and the lakehouse swap at scale)."""
+    docstring has the merge plan and the lakehouse swap at scale);
+    ``tombstone_col`` upgrades it to a full CDC changelog consumer."""
     spark = df.sparkSession
 
     def merge(batch_df: DataFrame, _batch_id: int) -> None:
         upsert_batch(
-            spark, batch_df, path, key_cols, version_col, n_buckets
+            spark,
+            batch_df,
+            path,
+            key_cols,
+            version_col,
+            n_buckets,
+            tombstone_col,
         )
 
     return df.writeStream.foreachBatch(merge).option(
@@ -112,8 +134,13 @@ def upsert_sink(
 
 
 def read_upsert_table(spark: SparkSession, path: str) -> DataFrame:
-    """The keyed table's current state (one row per key)."""
-    return spark.read.parquet(path).drop("_bucket")
+    """The keyed table's current state: one row per live key (tombstoned
+    keys are retained on disk to block out-of-order resurrection, but
+    excluded from the read view)."""
+    df = spark.read.parquet(path)
+    if "_dead" in df.columns:
+        df = df.filter(~F.col("_dead")).drop("_dead")
+    return df.drop("_bucket")
 
 
 _UPSERT_ORACLE = """

@@ -104,3 +104,39 @@ def test_upsert_batch_idempotent_and_prunes(spark, tmp_path):
     upsert_batch(spark, one, table, ["user_id"], "ts")
     got = read_upsert_table(spark, table)
     assert got.filter("value = 99999.0").count() >= 1
+
+
+def test_upsert_cdc_tombstones(spark, tmp_path):
+    """CDC changelog semantics: DELETE removes the key; a stale
+    out-of-order UPDATE (older version than the delete) must NOT
+    resurrect it; a genuinely newer INSERT re-creates it."""
+    table = str(tmp_path / "cdc")
+    schema = "k long, v string, ver long, deleted boolean"
+
+    def batch(rows):
+        return spark.createDataFrame(rows, schema)
+
+    def merge(rows):
+        upsert_batch(
+            spark, batch(rows), table, ["k"], "ver",
+            tombstone_col="deleted",
+        )
+
+    def state():
+        pdf = read_upsert_table(spark, table).toPandas()
+        return {int(r.k): (r.v, int(r.ver)) for _, r in pdf.iterrows()}
+
+    merge([(1, "a1", 1, False), (2, "b1", 1, False)])
+    assert state() == {1: ("a1", 1), 2: ("b1", 1)}
+
+    merge([(1, "a2", 2, False)])            # update
+    assert state() == {1: ("a2", 2), 2: ("b1", 1)}
+
+    merge([(1, None, 3, True)])             # delete key 1
+    assert state() == {2: ("b1", 1)}
+
+    merge([(1, "a-late", 2, False)])        # stale update after delete
+    assert state() == {2: ("b1", 1)}, "tombstone must block resurrection"
+
+    merge([(1, "a4", 4, False)])            # fresh insert wins
+    assert state() == {1: ("a4", 4), 2: ("b1", 1)}
