@@ -256,6 +256,38 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_approx_quantiles", oracle=None, tags=("agg", "approx"))
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-sketch: per-key approx_percentile (Greenwald-Khanna, accuracy
+    10000 -> 1e-4 rank error) for p50/p90/p99 of order totals, next to
+    the exact interpolated percentile — the 100 TB quantile form: a
+    bounded-size mergeable sketch instead of a global sort.
+
+    Rows-only key (the GK summary is engine-specific); the accuracy
+    contract — every approx quantile within the value span of ranks
+    p±1e-2 of the exact distribution — is asserted in
+    tests/test_parity.py::test_approx_quantiles_accuracy."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr(
+            "approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)"
+        ).alias("approx_q"),
+        F.expr(
+            "percentile(o_totalprice, array(0.5, 0.9, 0.99))"
+        ).alias("exact_q"),
+    ).select(
+        "o_orderpriority",
+        "n_orders",
+        F.col("approx_q")[0].alias("p50_approx"),
+        F.col("approx_q")[1].alias("p90_approx"),
+        F.col("approx_q")[2].alias("p99_approx"),
+        F.col("exact_q")[0].alias("p50_exact"),
+        F.col("exact_q")[1].alias("p90_exact"),
+        F.col("exact_q")[2].alias("p99_exact"),
+    )
+
+
 _CUBE_ORACLE = f"""
 SELECT
   l_returnflag,

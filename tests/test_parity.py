@@ -18,6 +18,28 @@ def test_oracle_parity(spark, duck, sf_dir, name):
     assert result.ok, f"{name}: {result.detail}"
 
 
+def test_approx_quantiles_accuracy(spark, duck, sf_dir):
+    """q_approx_quantiles is rows-only (the GK sketch has no DuckDB
+    twin); its contract is rank accuracy: each approx quantile must lie
+    within the exact value span of ranks p ± 0.01 (100x the configured
+    1e-4 bound) of the per-key distribution, checked against DuckDB."""
+    pdf = _SPECS["q_approx_quantiles"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    for _, row in pdf.iterrows():
+        for p, col in ((0.5, "p50_approx"), (0.9, "p90_approx"), (0.99, "p99_approx")):
+            lo_p, hi_p = max(p - 0.01, 0.0), min(p + 0.01, 1.0)
+            lo, hi = duck.execute(
+                "SELECT quantile_cont(o_totalprice, ?), "
+                "quantile_cont(o_totalprice, ?) FROM orders "
+                "WHERE o_orderpriority = ?",
+                [lo_p, hi_p, row["o_orderpriority"]],
+            ).fetchone()
+            assert lo <= row[col] <= hi, (
+                f"{row['o_orderpriority']} {col}: {row[col]} outside "
+                f"rank-window [{lo}, {hi}]"
+            )
+
+
 def test_approx_distinct_accuracy(spark, sf_dir):
     """q_approx_distinct is rows-only (HLL has no DuckDB twin); its
     real contract is the error bound: each key's estimate within 10%
