@@ -338,3 +338,81 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_id", "user_id")
         .agg(F.max("o_orderdate").alias("last_order_date"))
     )
+
+
+_ASOF_FWD_ORACLE = """
+SELECT e.event_id, e.user_id, MIN(o.o_orderdate) AS next_order_date
+FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e
+LEFT JOIN orders o
+  ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts
+GROUP BY e.event_id, e.user_id
+"""
+
+
+@register("q_asof_join_forward", oracle=_ASOF_FWD_ORACLE, tags=("join",))
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9b: forward as-of — for each event, the EARLIEST order of the
+    same key at-or-after the event time (the "next scheduled thing"
+    lookup: next maintenance window, next price change).  Same
+    key-equi + range + partial-aggregatable reduction shape as the
+    backward q_asof_join, with min() instead of max()."""
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        ev.join(
+            orders,
+            (ev.user_id == orders.o_custkey) & (orders.o_orderdate >= ev.ts),
+            "left",
+        )
+        .groupBy("event_id", "user_id")
+        .agg(F.min("o_orderdate").alias("next_order_date"))
+    )
+
+
+_ASOF_NEAREST_ORACLE = """
+WITH e AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+), spans AS (
+  SELECT e.event_id, e.user_id, e.ts, o.o_orderdate,
+         abs(date_diff('microseconds', o.o_orderdate, e.ts)) AS dist
+  FROM e LEFT JOIN orders o ON e.user_id = o.o_custkey
+), m AS (
+  SELECT event_id, user_id, MIN(dist) AS dist_us
+  FROM spans GROUP BY event_id, user_id
+)
+-- distance ties break toward the EARLIER date (MIN over the tied set),
+-- mirroring the Spark side's min_by on the (dist, o_orderdate) pair
+SELECT m.event_id, m.user_id,
+       MIN(s.o_orderdate) AS nearest_order_date,
+       CAST(m.dist_us AS BIGINT) AS dist_us
+FROM m JOIN spans s
+  ON s.event_id = m.event_id
+ AND s.dist IS NOT DISTINCT FROM m.dist_us
+GROUP BY m.event_id, m.user_id, m.dist_us
+"""
+
+
+@register("q_asof_join_nearest", oracle=_ASOF_NEAREST_ORACLE, tags=("join",))
+def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9c: nearest as-of — the same-key order closest in time on
+    EITHER side of the event (sensor-alignment semantics).  min_by over
+    the absolute µs distance; a deterministic tie needs a total order,
+    so distance ties are broken toward the EARLIER order date by
+    min-ing on the (dist, o_orderdate) pair — mirrored in the oracle
+    via arg_min's stable minimum on the same pair encoding.  Still
+    partial-aggregatable: one shuffle keyed by event."""
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    dist = F.abs(
+        F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+        - F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    joined = ev.join(
+        orders, ev.user_id == orders.o_custkey, "left"
+    ).select("event_id", "user_id", "o_orderdate", dist.alias("dist"))
+    return joined.groupBy("event_id", "user_id").agg(
+        F.min_by(
+            "o_orderdate", F.struct(F.col("dist"), F.col("o_orderdate"))
+        ).alias("nearest_order_date"),
+        F.min("dist").cast("long").alias("dist_us"),
+    )
