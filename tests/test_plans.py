@@ -110,4 +110,5 @@ def test_rows_only_keys_are_minority():
     assert set(oracle_free) <= {
         "q_dedup_near",  # banded-MinHash signature: xxhash64 has no DuckDB twin
         "q_approx_distinct",  # HLL estimate is engine-specific; error bound tested
+        "q_approx_quantiles",  # GK sketch is engine-specific; rank error tested
     }, oracle_free
