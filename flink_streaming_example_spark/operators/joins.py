@@ -24,7 +24,7 @@ variant is bounded by the watermark.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_streaming_example_spark.functions.stable import (
@@ -415,4 +415,78 @@ def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderdate", F.struct(F.col("dist"), F.col("o_orderdate"))
         ).alias("nearest_order_date"),
         F.min("dist").cast("long").alias("dist_us"),
+    )
+
+
+_SCD2_ORACLE = """
+WITH dim AS (
+  -- an SCD2 dimension derived from orders: each order opens a version
+  -- of the customer's "current priority" valid until the next order
+  SELECT o_custkey AS key,
+         o_orderpriority AS attr,
+         o_orderdate AS valid_from,
+         COALESCE(
+           lead(o_orderdate) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ),
+           TIMESTAMP '9999-12-31'
+         ) AS valid_to,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ) AS version
+  FROM orders
+), e AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+)
+SELECT e.event_id, e.user_id,
+       MAX(d.version) AS dim_version,
+       arg_max(d.attr, d.version) AS attr_at_event
+FROM e JOIN dim d
+  ON e.user_id = d.key
+ AND e.ts >= d.valid_from AND e.ts < d.valid_to
+GROUP BY e.event_id, e.user_id
+"""
+
+
+@register("q_scd2_join", oracle=_SCD2_ORACLE, tags=("join",))
+def q_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9d: SCD2 point-in-time join — each event looked up against the
+    dimension version whose [valid_from, valid_to) interval contains
+    the event time (the type-2 slowly-changing-dimension pattern every
+    warehouse enrichment runs).  The dimension is derived here from
+    orders via one lead() window (order n opens a version valid until
+    order n+1); ties on valid_from are disambiguated by version number
+    via max_by, mirrored by the oracle's arg_max.
+
+    Scale shape: the dim build is one window over the dimension's
+    natural key; the lookup is a key-equi join with the interval
+    predicate as a post-join filter — at 100 TB both sides shuffle on
+    the key once, and the per-key interval sets are small (bounded by
+    version churn), so no range-bucketing is needed; if churn were
+    unbounded, band the join on (key, month(valid_from))."""
+    orders = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    wv = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    dim = orders.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderpriority").alias("attr"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.coalesce(
+            F.lead("o_orderdate").over(wv),
+            F.lit("9999-12-31").cast("timestamp_ntz"),
+        ).alias("valid_to"),
+        F.row_number().over(wv).alias("version"),
+    )
+    return (
+        ev.join(
+            dim,
+            (ev.user_id == dim.key)
+            & (ev.ts >= dim.valid_from)
+            & (ev.ts < dim.valid_to),
+        )
+        .groupBy("event_id", "user_id")
+        .agg(
+            F.max("version").alias("dim_version"),
+            F.max_by("attr", "version").alias("attr_at_event"),
+        )
     )
