@@ -409,3 +409,34 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="attr",
         valueColumnName="val",
     )
+
+
+_HISTOGRAM_ORACLE = """
+SELECT
+  CAST(LEAST(FLOOR(o_totalprice / 50000.0), 11) AS BIGINT) AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+  CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+FROM orders
+GROUP BY bucket
+"""
+
+
+@register("q_histogram", oracle=_HISTOGRAM_ORACLE, tags=("agg",))
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-profile: fixed-width value histogram (12 x 50k buckets over
+    order totals, top bucket open-ended) — the distribution profile a
+    warehouse health check draws.  Bucketing is pure integer floor
+    arithmetic (bit-identical across engines, unlike width_bucket
+    variants with float edges); one partial+final hash aggregate on a
+    12-value key, so the shuffle carries at most 12 rows per
+    partition at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / F.lit(50000.0)), F.lit(11)
+    ).cast("long")
+    return orders.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.min("o_totalprice").cast("double").alias("lo"),
+        F.max("o_totalprice").cast("double").alias("hi"),
+    )

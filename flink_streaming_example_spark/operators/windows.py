@@ -461,3 +461,39 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY event_type, GROUPING SETS ((event_type, h), (event_type, d))
         """
     )
+
+
+_DELTA_ORACLE = """
+SELECT
+  event_id,
+  user_id,
+  value,
+  value - lag(value) OVER w AS delta,
+  CAST(date_diff('microseconds',
+                 lag(CAST(ts AS TIMESTAMP)) OVER w,
+                 CAST(ts AS TIMESTAMP)) AS BIGINT) AS gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+"""
+
+
+@register("q_delta_encode", oracle=_DELTA_ORACLE, tags=("window",))
+def q_delta_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-depth: per-key delta encoding — value diffs and inter-event
+    microsecond gaps in event order (the derivative view behind
+    rate-of-change alerting and the first step of delta compression;
+    both doubles come from single IEEE subtractions of identical
+    inputs, so no rounding shim is needed).  One shuffle keyed by
+    user_id, then a linear running-frame scan per key."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(w)
+        ).cast("long").alias("gap_us"),
+    )
