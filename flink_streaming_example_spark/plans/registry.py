@@ -121,29 +121,21 @@ def _verification_history() -> dict[str, tuple[int, bool]]:
     return seen
 
 
-# Keys the builder knows carried a since-fixed defect the driver's
-# bounded rotation never saw fail (round 3: the events.ts unit drift
-# silently broke every event-time key; most were last driver-checked in
-# rounds 1-2 while still green).  They must be re-shown green, so they
-# jump the rotation like an explicitly-recorded failure does.  Prune
-# entries once a later CORRECTNESS_r*.json records them passing.
-_MUST_REVERIFY: frozenset[str] = frozenset(
-    {
-        "q_tumbling_window",
-        "q_sliding_window",
-        "q_session_window",
-        "q_late_split",
-        "q_stream_join",
-        "q_interval_join",
-        "q_asof_join",
-        "q_inactivity_alert",
-        "q_streaming_tumbling",
-        "q_streaming_sliding",
-        "q_streaming_session",
-        "q_streaming_interval_join",
-        "q_streaming_cep",
-    }
-)
+# Keys whose implementation changed (or carried a since-fixed defect)
+# AFTER their latest green driver check: they jump the rotation like an
+# explicitly-recorded failure does, until a CORRECTNESS_r*.json from a
+# round NEWER than the mapped value records them passing.  (The round-3
+# events.ts cohort was re-shown green in CORRECTNESS_r04 and pruned;
+# the as-of family was rewritten to the union+last_value formulation in
+# round 5, so its r4 greens predate the current code.)  With the map
+# this small, the least-recently-verified ordering pushes the 35 keys
+# whose latest check predates the round-3 fixture regeneration — all
+# last checked in r2 — through the round-5 budget right behind them.
+_MUST_REVERIFY: dict[str, int] = {
+    "q_asof_join": 4,
+    "q_asof_join_forward": 4,
+    "q_asof_join_nearest": 4,
+}
 
 
 def all_specs() -> dict[str, QuerySpec]:
@@ -163,7 +155,7 @@ def all_specs() -> dict[str, QuerySpec]:
 
     def sort_key(n: str) -> tuple[int, int]:
         rnd, ok = hist.get(n, (-1, True))
-        if n in _MUST_REVERIFY and (n not in hist or rnd <= 3):
+        if n in _MUST_REVERIFY and (n not in hist or rnd <= _MUST_REVERIFY[n]):
             return (-2, order[n])
         return (-2 if not ok else rnd, order[n])
 

@@ -174,7 +174,14 @@ def _arrow_compatible(arrow_t, spark_t: T.DataType) -> bool:
         if arrow_t.unit == "ns":
             # Spark reads TIMESTAMP(NANOS) only as long via nanosAsLong.
             return isinstance(spark_t, T.LongType)
-        return isinstance(spark_t, (T.TimestampNTZType, T.TimestampType))
+        # tz must match the declared type exactly: a fixture drifting
+        # from tz-naive to instant-annotated (tz=UTC) timestamps would
+        # otherwise pass preflight while Spark silently reinterprets
+        # the column as NTZ wall-clock — the very drift class this
+        # guard exists to catch.
+        if arrow_t.tz is None:
+            return isinstance(spark_t, T.TimestampNTZType)
+        return isinstance(spark_t, T.TimestampType)
     if pa.types.is_list(arrow_t) or pa.types.is_large_list(arrow_t):
         return isinstance(spark_t, T.ArrayType) and _arrow_compatible(
             arrow_t.value_type, spark_t.elementType

@@ -42,6 +42,15 @@ from flink_streaming_example_spark.sources.streams import (
 
 _run_ids = itertools.count()
 
+# Debug hook (tests/test_plans.py): when True, run_to_memory records the
+# EXECUTED streaming physical plan (explainInternal of the terminated
+# query — IncrementalExecution's plan, with the state-store operators
+# materialized) and the final progress (stateOperators shape), so the
+# physical-plan gate covers streaming keys, not just batch.  Off by
+# default: plan-string generation per drain is pure overhead otherwise.
+_CAPTURE_STREAMING_PLANS = False
+_captured_streaming: list[tuple[str, dict | None]] = []
+
 
 def run_to_memory(
     df: DataFrame, spark: SparkSession, output_mode: str = "append"
@@ -66,6 +75,7 @@ def run_to_memory(
     name = f"stream_result_{next(_run_ids)}"
     conf_key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(conf_key)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
     try:
         if int(prev) > 8:
             spark.conf.set(conf_key, "8")
@@ -73,13 +83,24 @@ def run_to_memory(
             df.writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
         query.awaitTermination()
+        if _CAPTURE_STREAMING_PLANS:
+            # the terminated query's lastExecution is the incremental
+            # physical plan that actually ran the final micro-batch
+            _captured_streaming.append(
+                (query._jsq.explainInternal(True), query.lastProgress)
+            )
     finally:
         spark.conf.set(conf_key, prev)
+        import shutil
+
+        # the drained checkpoint is dead weight (the memory sink holds
+        # the result); leaving it leaks a WAL per key per bench run
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 

@@ -28,6 +28,7 @@ the overwrite is idempotent because latest-per-key is deterministic.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -35,6 +36,37 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter
 
 _N_BUCKETS = 16
+
+# Debug hook (tests/test_upsert.py): when True, upsert_batch records the
+# formatted physical plan of the pruned existing-table scan it actually
+# executes, so the bucket-pruning assertion inspects the real merge
+# path, not a hand-built lookalike.  Off by default — plan-string
+# generation per micro-batch is pure overhead in production.
+_CAPTURE_SCAN_PLANS = False
+_captured_scan_plans: list[str] = []
+
+_META_NAME = "_upsert_meta.json"
+
+
+def _check_bucketing(path: str, n_buckets: int) -> None:
+    """Persist n_buckets beside the table on first write; fail loud if a
+    later batch disagrees.  A silent n_buckets change rehashes keys into
+    different buckets, so a key's old row in an untouched bucket would
+    survive the merge and read_upsert_table would return duplicates."""
+    meta_path = os.path.join(path, _META_NAME)
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            stored = json.load(fh)["n_buckets"]
+        if stored != n_buckets:
+            raise ValueError(
+                f"upsert table at {path!r} was bucketed with "
+                f"n_buckets={stored}, got n_buckets={n_buckets}; "
+                f"rebucketing requires a full table rewrite"
+            )
+    else:
+        os.makedirs(path, exist_ok=True)
+        with open(meta_path, "w") as fh:
+            json.dump({"n_buckets": n_buckets}, fh)
 
 
 def _latest_per_key(
@@ -68,9 +100,11 @@ def upsert_batch(
     row whose version wins removes the key from the table.  The
     tombstone must survive the latest-per-key election (not be dropped
     on ingest) so a later out-of-order UPDATE with an older version
-    stays dead — it is filtered only at write time."""
+    stays dead — tombstones are retained on disk to block resurrection
+    and filtered only at read time (read_upsert_table)."""
     if not batch_df.take(1):
         return
+    _check_bucketing(path, n_buckets)
     bucket = F.pmod(F.hash(*key_cols), F.lit(n_buckets)).cast("int")
     new = batch_df.withColumn("_bucket", bucket).withColumn(
         "_is_new", F.lit(1)
@@ -92,6 +126,14 @@ def upsert_batch(
             .filter(F.col("_bucket").isin(affected))
             .withColumn("_is_new", F.lit(0))
         )
+        if _CAPTURE_SCAN_PLANS:
+            import contextlib
+            import io
+
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                existing.explain("formatted")
+            _captured_scan_plans.append(buf.getvalue())
         merged = new.unionByName(existing)
     out = _latest_per_key(merged, key_cols, version_col)
     # dynamic mode replaces exactly the buckets present in `out`
@@ -171,34 +213,45 @@ def _register_streaming_upsert() -> None:
         rewrites are pinned in tests/test_upsert.py; here the driver
         checks the end-state table against the batch latest-per-key
         window."""
+        import shutil
         import tempfile
 
         ev = events_file_replay(spark, sf_dir).select(
             "user_id", "event_id", "ts", "event_type", "value"
         )
         table = tempfile.mkdtemp(prefix="upsert_q_")
-        q = (
-            upsert_sink(
-                ev,
-                table,
-                key_cols=["user_id"],
-                version_col="ts",
-                checkpoint=tempfile.mkdtemp(prefix="upsert_q_ckpt_"),
+        ckpt = tempfile.mkdtemp(prefix="upsert_q_ckpt_")
+        try:
+            q = (
+                upsert_sink(
+                    ev,
+                    table,
+                    key_cols=["user_id"],
+                    version_col="ts",
+                    checkpoint=ckpt,
+                )
+                .trigger(availableNow=True)
+                .start()
             )
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        got = read_upsert_table(spark, table)
-        # ties: fixture (user_id, ts) are unique; event_id ordering in
-        # the oracle is the deterministic tiebreak mirror.
-        return got.select(
-            "user_id",
-            "event_id",
-            F.col("ts").cast("timestamp_ntz").alias("ts"),
-            "event_type",
-            "value",
-        )
+            q.awaitTermination()
+            got = read_upsert_table(spark, table)
+            # ties: fixture (user_id, ts) are unique; event_id ordering
+            # in the oracle is the deterministic tiebreak mirror.
+            result = got.select(
+                "user_id",
+                "event_id",
+                F.col("ts").cast("timestamp_ntz").alias("ts"),
+                "event_type",
+                "value",
+            )
+            # materialize off the temp files (one row per user — small)
+            # so both dirs can be removed before returning; without this
+            # every driver correctness/bench run leaks a merged copy of
+            # events to /tmp.
+            return result.localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(table, ignore_errors=True)
+            shutil.rmtree(ckpt, ignore_errors=True)
 
 
 _register_streaming_upsert()
