@@ -48,25 +48,59 @@ _captured_scan_plans: list[str] = []
 _META_NAME = "_upsert_meta.json"
 
 
+def write_upsert_meta(path: str, n_buckets: int) -> None:
+    """Record ``n_buckets`` beside the table, atomically (temp file +
+    os.replace — a crash mid-write can never leave truncated JSON that
+    every later batch chokes on).  Also the explicit backfill hook for
+    tables written before meta existed: the OPERATOR confirms the
+    original bucket count and stamps it; _check_bucketing refuses to
+    guess (see below)."""
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, _META_NAME + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"n_buckets": n_buckets}, fh)
+    os.replace(tmp, os.path.join(path, _META_NAME))
+
+
 def _check_bucketing(path: str, n_buckets: int) -> None:
     """Persist n_buckets beside the table on first write; fail loud if a
     later batch disagrees.  A silent n_buckets change rehashes keys into
     different buckets, so a key's old row in an untouched bucket would
-    survive the merge and read_upsert_table would return duplicates."""
+    survive the merge and read_upsert_table would return duplicates.
+
+    A pre-existing table WITHOUT meta is refused rather than adopted:
+    bucket-dir indices cannot distinguish e.g. an 8-bucket table from a
+    16-bucket one with only low buckets populated, so pinning the
+    caller's value could pin the WRONG one and make the duplicate-key
+    hazard permanently undetectable.  Backfill via write_upsert_meta
+    after confirming the original count."""
     meta_path = os.path.join(path, _META_NAME)
     if os.path.exists(meta_path):
-        with open(meta_path) as fh:
-            stored = json.load(fh)["n_buckets"]
+        try:
+            with open(meta_path) as fh:
+                stored = json.load(fh)["n_buckets"]
+        except (json.JSONDecodeError, KeyError) as exc:
+            raise ValueError(
+                f"upsert table meta at {meta_path!r} is corrupted "
+                f"({exc!r}); restore it with write_upsert_meta(path, "
+                f"n_buckets) using the table's original bucket count"
+            ) from exc
         if stored != n_buckets:
             raise ValueError(
                 f"upsert table at {path!r} was bucketed with "
                 f"n_buckets={stored}, got n_buckets={n_buckets}; "
                 f"rebucketing requires a full table rewrite"
             )
-    else:
-        os.makedirs(path, exist_ok=True)
-        with open(meta_path, "w") as fh:
-            json.dump({"n_buckets": n_buckets}, fh)
+        return
+    if os.path.isdir(path) and any(
+        e.startswith("_bucket=") for e in os.listdir(path)
+    ):
+        raise ValueError(
+            f"upsert table at {path!r} predates bucket metadata; "
+            f"confirm its original bucket count and stamp it with "
+            f"write_upsert_meta(path, n_buckets) before merging"
+        )
+    write_upsert_meta(path, n_buckets)
 
 
 def _latest_per_key(

@@ -12,14 +12,48 @@ import re
 import pytest
 
 from flink_streaming_example_spark.plans.registry import all_specs
+from flink_streaming_example_spark.streaming import queries as _sq
 from tests.conftest import SF_SMOKE_DIR
 
 _SPECS = all_specs()
 # Streaming specs execute a full query inside fn(); their returned
-# DataFrame is just the memory-sink table, so plan assertions on it
-# would be vacuous — they're covered by parity + equivalence tests.
+# DataFrame is just the memory-sink table, so .explain on it would be
+# vacuous.  They get their own gate below (test_streaming_plan_gate)
+# on the EXECUTED IncrementalExecution plan captured by run_to_memory.
 _BATCH = {
     n: s for n, s in _SPECS.items() if "streaming" not in s.tags
+}
+# q_streaming_upsert drains through foreachBatch, not run_to_memory;
+# its executed-plan gate (bucket-pruned merge scan) lives in
+# tests/test_upsert.py on the upsert module's own capture hook.
+_STREAMING = {
+    n: s
+    for n, s in _SPECS.items()
+    if "streaming" in s.tags and n != "q_streaming_upsert"
+}
+# Keys whose operator is a keyed Python state function — the ONE shape
+# Structured Streaming cannot express declaratively (count windows,
+# timers, NFA state).  Everything else must stay fully JVM-side.
+_STATE_FN_KEYS = {
+    "q_streaming_count_window",
+    "q_inactivity_alert",
+    "q_stateful_counter",
+    "q_streaming_cep",
+}
+# Expected state-store operator shape per key (lastProgress
+# stateOperators operatorName); stateless keys must carry NO state.
+_EXPECTED_STATE_OPS = {
+    "q_streaming_tumbling": ["stateStoreSave"],
+    "q_streaming_wordcount": ["stateStoreSave"],
+    "q_streaming_dedup": ["dedupeWithinWatermark"],
+    "q_streaming_session": ["sessionWindowStateStoreSaveExec"],
+    "q_streaming_sliding": ["stateStoreSave"],
+    "q_streaming_count_window": ["applyInPandasWithState"],
+    "q_streaming_enrich": [],
+    "q_streaming_interval_join": ["symmetricHashJoin"],
+    "q_inactivity_alert": ["applyInPandasWithState"],
+    "q_stateful_counter": ["applyInPandasWithState"],
+    "q_streaming_cep": ["applyInPandasWithState"],
 }
 
 
@@ -100,6 +134,58 @@ def test_fact_scanned_once(spark, name, table, max_scans):
     fact_scans = [s for s in scans if table in s]
     assert len(fact_scans) <= max_scans, (
         f"{name}: {len(fact_scans)} scans of {table}\n{plan}"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(_STREAMING), ids=sorted(_STREAMING))
+def test_streaming_plan_gate(spark, name):
+    """The streaming twin of test_no_python_row_path_no_cartesian, on
+    the plan that ACTUALLY ran: run_to_memory's capture hook records
+    the terminated query's IncrementalExecution plan + final progress,
+    and the gate asserts (a) no row-at-a-time Python, (b) Python only
+    for the keyed-state-function keys, (c) no cartesian product, and
+    (d) the state-store operator shape is exactly the intended one —
+    a key silently losing its watermark/state operator (unbounded
+    state at 100 TB) fails here."""
+    _sq._CAPTURE_STREAMING_PLANS = True
+    _sq._captured_streaming.clear()
+    try:
+        _STREAMING[name].fn(spark, SF_SMOKE_DIR)
+    finally:
+        _sq._CAPTURE_STREAMING_PLANS = False
+    assert len(_sq._captured_streaming) == 1, (
+        f"{name}: expected exactly one drained query, "
+        f"got {len(_sq._captured_streaming)}"
+    )
+    plan, progress = _sq._captured_streaming[0]
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python"
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    if name in _STATE_FN_KEYS:
+        assert "FlatMapGroupsInPandasWithState" in plan, (
+            f"{name}: expected keyed Python state function in plan"
+        )
+    else:
+        for node in (
+            "ArrowEvalPython",
+            "MapInPandas",
+            "FlatMapGroupsInPandas",
+        ):
+            assert node not in plan, f"{name}: unexpected Python stage {node}"
+    ops = [
+        o.get("operatorName")
+        for o in (progress or {}).get("stateOperators", [])
+    ]
+    assert ops == _EXPECTED_STATE_OPS[name], (
+        f"{name}: state operators {ops}, "
+        f"expected {_EXPECTED_STATE_OPS[name]}"
+    )
+
+
+def test_streaming_gate_covers_every_streaming_key():
+    # additions to the streaming surface must opt into the gate (or
+    # document their own, like q_streaming_upsert's scan-plan gate)
+    assert set(_STREAMING) == set(_EXPECTED_STATE_OPS), (
+        set(_STREAMING) ^ set(_EXPECTED_STATE_OPS)
     )
 
 

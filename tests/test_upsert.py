@@ -4,15 +4,19 @@ a replayed batch must converge to the same table (idempotence)."""
 
 from __future__ import annotations
 
+import os
 import tempfile
 
+import pytest
 from pyspark.sql import functions as F
 
+from flink_streaming_example_spark.streaming import upsert as upsert_mod
 from flink_streaming_example_spark.sources.tables import load_table
 from flink_streaming_example_spark.streaming.upsert import (
     read_upsert_table,
     upsert_batch,
     upsert_sink,
+    write_upsert_meta,
 )
 from flink_streaming_example_spark.testing import compare_frames
 
@@ -87,23 +91,62 @@ def test_upsert_batch_idempotent_and_prunes(spark, tmp_path):
     result = compare_frames(once, twice)
     assert result.ok, result.detail
 
-    # a single-key update only scans the affected bucket (pruned read);
-    # the update must carry a NEWER version than the key's current row
-    # to win (an older version is correctly ignored by latest-wins)
+    # a single-key update only scans the affected bucket (pruned read):
+    # capture the physical plan of the existing-table scan the merge
+    # ACTUALLY executes (not a hand-built lookalike) via the module's
+    # debug hook, and assert the bucket partition filter reached it.
+    # The update must carry a NEWER version than the key's current row
+    # to win (an older version is correctly ignored by latest-wins).
     one = (
         ev.filter("user_id = 1")
         .limit(1)
         .withColumn("value", F.lit(99999.0))
         .withColumn("ts", F.expr("timestamp'2030-01-01'"))
     )
-    existing = spark.read.parquet(table).filter(
-        F.col("_bucket").isin([0])
-    )
-    plan = existing._jdf.queryExecution().executedPlan().toString()
+    upsert_mod._CAPTURE_SCAN_PLANS = True
+    upsert_mod._captured_scan_plans.clear()
+    try:
+        upsert_batch(spark, one, table, ["user_id"], "ts")
+    finally:
+        upsert_mod._CAPTURE_SCAN_PLANS = False
+    assert len(upsert_mod._captured_scan_plans) == 1
+    plan = upsert_mod._captured_scan_plans[0]
     assert "PartitionFilters" in plan and "_bucket" in plan, plan[:1500]
-    upsert_batch(spark, one, table, ["user_id"], "ts")
     got = read_upsert_table(spark, table)
     assert got.filter("value = 99999.0").count() >= 1
+
+
+def test_upsert_meta_guards(spark, tmp_path):
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .limit(50)
+    )
+
+    # n_buckets drift after a green first write fails loud
+    t1 = str(tmp_path / "drift")
+    upsert_batch(spark, ev, t1, ["user_id"], "ts", n_buckets=8)
+    with pytest.raises(ValueError, match="n_buckets=8"):
+        upsert_batch(spark, ev, t1, ["user_id"], "ts", n_buckets=16)
+
+    # a pre-meta table (bucket dirs, no meta file) is refused, not
+    # silently adopted with the caller's possibly-wrong bucket count;
+    # the explicit write_upsert_meta backfill unblocks it
+    meta = os.path.join(t1, "_upsert_meta.json")
+    os.remove(meta)
+    with pytest.raises(ValueError, match="write_upsert_meta"):
+        upsert_batch(spark, ev, t1, ["user_id"], "ts", n_buckets=16)
+    write_upsert_meta(t1, 8)
+    upsert_batch(spark, ev, t1, ["user_id"], "ts", n_buckets=8)
+    got = read_upsert_table(spark, t1)
+    assert got.count() == got.select("user_id").distinct().count()
+
+    # truncated meta (crash mid-write of a non-atomic writer) gives a
+    # clear corrupted-meta error, not a bare json traceback
+    with open(meta, "w") as fh:
+        fh.write('{"n_bu')
+    with pytest.raises(ValueError, match="corrupted"):
+        upsert_batch(spark, ev, t1, ["user_id"], "ts", n_buckets=8)
 
 
 def test_upsert_cdc_tombstones(spark, tmp_path):
