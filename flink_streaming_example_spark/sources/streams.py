@@ -109,6 +109,27 @@ def events_file_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def orders_file_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 (replay path, orders topic): stream the orders fixture — the
+    bounded stand-in for a CDC/order-intake topic, feeding the
+    streaming as-of enrichment (streaming/queries.py::asof_stream).
+    Same footer preflight as the batch loader."""
+    from flink_streaming_example_spark.sources.tables import (
+        _preflight,
+        _read_schema_for,
+    )
+
+    ensure_session_confs(spark)
+    path = f"{sf_dir}/orders.parquet"
+    read_schema = _read_schema_for("orders", path)
+    _preflight(path, "orders", read_schema)
+    return (
+        spark.readStream.schema(read_schema)
+        .option("pathGlobFilter", "orders.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def documents_file_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4 (replay path, text corpus): stream the documents fixture —
     the bounded stand-in for a document-ingest topic, feeding the

@@ -729,6 +729,113 @@ def cep_funnel_stream(ev: DataFrame) -> DataFrame:
     )
 
 
+from flink_streaming_example_spark.operators.joins import (  # noqa: E402
+    _ASOF_ORACLE as _STREAM_ASOF_ORACLE,
+)
+
+
+def asof_union_stream(ev: DataFrame, orders: DataFrame) -> DataFrame:
+    """Stack the two topics into operators/joins.py::_asof_union's
+    keyed-timeline shape, times pre-converted to epoch-µs longs so the
+    keyed state function below never touches timestamp dtypes (Arrow
+    ns-vs-µs unit drift is the classic silent-1000x hazard —
+    cep_funnel_stream's normalization comment)."""
+    rights = orders.select(
+        F.col("o_custkey").alias("user_id"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("t_us"),
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    lefts = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        F.lit(1).alias("side"),
+        "event_id",
+    )
+    return rights.unionByName(lefts)
+
+
+def asof_stream(union_df: DataFrame) -> DataFrame:
+    """J9-streaming: backward as-of as a keyed two-input process
+    function — Flink's CoProcessFunction enrichment pattern.  Per-key
+    state is ONE value (the latest order time seen), so state is O(1)
+    per key however long the stream runs; each event emits immediately
+    with the current carry.  This is the streaming execution of exactly
+    the union + running-carry formulation the batch q_asof_join uses —
+    same timeline, same (t, side) ordering, so the bounded replay
+    hash-matches the batch oracle.
+
+    Ordering contract (same as count_windows_stream/cep_funnel_stream):
+    a key's rows must arrive in (t_us, side) order ACROSS micro-batches
+    — i.e. both topics keyed by user_id and time-ordered, with aligned
+    progress (a Kafka consumer reading both topics with aligned offsets
+    provides it; tests/test_multibatch.py proves the composition on
+    time-aligned shard replays).  Within a batch, rows are sorted here.
+    Forward/nearest as-of have no streaming twin on purpose: they need
+    FUTURE orders, i.e. watermark-delayed emission, which trades the
+    O(1) state for a buffer — the batch operators cover that
+    semantics."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def carry(key, pdfs, state: GroupState):
+        (user_id,) = key
+        last_us = state.get[0] if state.exists else None
+        pdf = pd.concat(list(pdfs)).sort_values(["t_us", "side"])
+        out_ids, out_carry = [], []
+        for t_us, side, event_id in zip(
+            pdf["t_us"], pdf["side"], pdf["event_id"]
+        ):
+            if side == 0:
+                last_us = int(t_us)
+            else:
+                out_ids.append(int(event_id))
+                out_carry.append(last_us)
+        if last_us is not None:
+            state.update((last_us,))
+        yield pd.DataFrame(
+            {
+                "event_id": pd.array(out_ids, dtype="Int64"),
+                "user_id": pd.array(
+                    [user_id] * len(out_ids), dtype="Int64"
+                ),
+                "last_order_us": pd.array(out_carry, dtype="Int64"),
+            }
+        )
+
+    return union_df.groupBy("user_id").applyInPandasWithState(
+        carry,
+        outputStructType="event_id long, user_id long, last_order_us long",
+        stateStructType="last_us long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@register("q_streaming_asof", oracle=_STREAM_ASOF_ORACLE, tags=("streaming",))
+def q_streaming_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9-streaming: the events topic enriched with each user's most
+    recent order, executed through the streaming engine (two file
+    replays -> union -> keyed O(1)-state carry); hash-matches the batch
+    q_asof_join oracle on the bounded replay."""
+    from flink_streaming_example_spark.sources.streams import (
+        orders_file_replay,
+    )
+
+    u = asof_union_stream(
+        events_file_replay(spark, sf_dir),
+        orders_file_replay(spark, sf_dir),
+    )
+    res = run_to_memory(asof_stream(u), spark, output_mode="append")
+    return res.select(
+        "event_id",
+        "user_id",
+        F.timestamp_micros(F.col("last_order_us"))
+        .cast("timestamp_ntz")
+        .alias("last_order_date"),
+    )
+
+
 @register("q_streaming_cep", oracle=_STREAM_CEP_ORACLE, tags=("streaming",))
 def q_streaming_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4-streaming: fixed-pattern CEP executed through the streaming

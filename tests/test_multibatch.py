@@ -316,6 +316,94 @@ def test_count_windows_across_micro_batches(spark, time_ordered_shards_dir):
     assert result.ok, result.detail
 
 
+def _write_time_aligned_shards(df, t_col, bounds, out_dir):
+    """Split df into len(bounds)-1 single-file shards on COMMON time
+    boundaries, mtime-staggered so the file source replays them in
+    order.  Empty shards still get a (0-row) file so the two topics'
+    shard sequences stay aligned batch-for-batch."""
+    import glob as _glob
+    import os
+    import shutil as _shutil
+    import time as _time
+
+    base = _time.time() - 3600
+    for k in range(len(bounds) - 1):
+        lo, hi = bounds[k], bounds[k + 1]
+        cond = (F.col(t_col) >= F.lit(lo)) & (
+            (F.col(t_col) < F.lit(hi))
+            if k < len(bounds) - 2
+            else (F.col(t_col) <= F.lit(hi))
+        )
+        tmp = tempfile.mkdtemp(prefix="asof_shard_tmp_")
+        df.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+        (part,) = _glob.glob(f"{tmp}/part-*.parquet")
+        dest = os.path.join(out_dir, f"shard-{k:02d}.parquet")
+        _shutil.move(part, dest)
+        os.utime(dest, (base + k, base + k))
+        _shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_asof_across_micro_batches(spark):
+    """J9-streaming: the O(1)-per-key order-time carry must compose
+    across micro-batches — an order in shard 1 must enrich an event in
+    shard 4 via state, while orders arriving in the same batch as a
+    later event still win via the in-batch (t, side) sort.  Both topics
+    are sharded on COMMON time boundaries (the aligned-progress
+    ordering contract in asof_stream's docstring) and replayed one file
+    per trigger; hash-matches the batch q_asof_join."""
+    from flink_streaming_example_spark.plans.registry import all_specs
+    from flink_streaming_example_spark.streaming.queries import (
+        asof_stream,
+        asof_union_stream,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    orders = load_table(spark, SF_DIR, "orders")
+    lo_e, hi_e = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    lo_o, hi_o = orders.agg(
+        F.min("o_orderdate"), F.max("o_orderdate")
+    ).collect()[0]
+    lo, hi = min(lo_e, lo_o), max(hi_e, hi_o)
+    bounds = [lo + (hi - lo) * k / N_SHARDS for k in range(N_SHARDS + 1)]
+    ev_dir = tempfile.mkdtemp(prefix="asof_ev_shards_")
+    ord_dir = tempfile.mkdtemp(prefix="asof_ord_shards_")
+    _write_time_aligned_shards(
+        ev.select("event_id", "ts", "user_id"), "ts", bounds, ev_dir
+    )
+    _write_time_aligned_shards(
+        orders.select("o_custkey", "o_orderdate"),
+        "o_orderdate",
+        bounds,
+        ord_dir,
+    )
+
+    ev_s = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ev_dir)
+    )
+    ord_s = (
+        spark.readStream.schema("o_custkey long, o_orderdate timestamp_ntz")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ord_dir)
+    )
+    enriched = asof_stream(asof_union_stream(ev_s, ord_s))
+    got, batches = _drain(spark, enriched, "append")
+    assert batches >= N_SHARDS
+    got = got.select(
+        "event_id",
+        "user_id",
+        F.timestamp_micros(F.col("last_order_us"))
+        .cast("timestamp_ntz")
+        .alias("last_order_date"),
+    )
+    want = all_specs()["q_asof_join"].fn(spark, SF_DIR)
+    result = compare_frames(got.toPandas(), want.toPandas())
+    assert result.ok, result.detail
+
+
 def test_cep_funnel_across_micro_batches(spark, time_ordered_shards_dir):
     """P4-streaming: the funnel automaton's two-timestamp state must
     compose across micro-batches — a click in shard 1 matched by a

@@ -39,6 +39,7 @@ _STATE_FN_KEYS = {
     "q_inactivity_alert",
     "q_stateful_counter",
     "q_streaming_cep",
+    "q_streaming_asof",
 }
 # Expected state-store operator shape per key (lastProgress
 # stateOperators operatorName); stateless keys must carry NO state.
@@ -54,6 +55,7 @@ _EXPECTED_STATE_OPS = {
     "q_inactivity_alert": ["applyInPandasWithState"],
     "q_stateful_counter": ["applyInPandasWithState"],
     "q_streaming_cep": ["applyInPandasWithState"],
+    "q_streaming_asof": ["applyInPandasWithState"],
 }
 
 
