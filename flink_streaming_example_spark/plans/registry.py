@@ -121,21 +121,145 @@ def _verification_history() -> dict[str, tuple[int, bool]]:
     return seen
 
 
-# Keys whose implementation changed (or carried a since-fixed defect)
-# AFTER their latest green driver check: they jump the rotation like an
-# explicitly-recorded failure does, until a CORRECTNESS_r*.json from a
-# round NEWER than the mapped value records them passing.  (The round-3
-# events.ts cohort was re-shown green in CORRECTNESS_r04 and pruned;
-# the as-of family was rewritten to the union+last_value formulation in
-# round 5, so its r4 greens predate the current code.)  With the map
-# this small, the least-recently-verified ordering pushes the 35 keys
-# whose latest check predates the round-3 fixture regeneration — all
-# last checked in r2 — through the round-5 budget right behind them.
-_MUST_REVERIFY: dict[str, int] = {
-    "q_asof_join": 4,
-    "q_asof_join_forward": 4,
-    "q_asof_join_nearest": 4,
-}
+# ---- derived reverification (round 6): keys whose implementation
+# changed AFTER their latest green driver check jump the rotation like
+# an explicitly-recorded failure does.  Previously a hand-curated map —
+# forgetting to add a key after a rewrite silently demoted it (exactly
+# the gap the round-5 as-of rewrite exposed); now DERIVED from git:
+# a key is stale iff the source closure of its query function (the
+# function plus every module-level helper it references, fixed-point
+# within its module) differs between the current tree and the module's
+# blob at the commit that added CORRECTNESS_r{R}.json for its latest
+# green round R.  Limitations (deliberate): cross-module helpers are
+# out of scope (the module is the unit of review), and a repo without
+# git history degrades to an empty map — same as the old default.
+
+
+def _function_closure_hash(source: str, root_fn: str) -> str | None:
+    """Hash of root_fn's definition plus every module-level def /
+    assignment it (transitively) references by name — docstring and
+    comment changes count on purpose: a claim about behavior is part
+    of what the judge and the driver verified."""
+    import ast
+    import hashlib
+
+    try:
+        tree = ast.parse(source)
+    except SyntaxError:
+        return None
+    segments: dict[str, str] = {}
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            seg = ast.get_source_segment(source, node)
+            if seg and node.name not in segments:
+                segments[node.name] = seg
+    for node in tree.body:
+        if isinstance(node, ast.Assign):
+            seg = ast.get_source_segment(source, node)
+            for tgt in node.targets:
+                if isinstance(tgt, ast.Name) and seg:
+                    segments.setdefault(tgt.id, seg)
+    if root_fn not in segments:
+        return None
+    included = {root_fn}
+    frontier = [root_fn]
+    while frontier:
+        name = frontier.pop()
+        refs = {
+            n.id
+            for n in ast.walk(ast.parse(segments[name]))
+            if isinstance(n, ast.Name)
+        }
+        for ref in refs & set(segments):
+            if ref not in included:
+                included.add(ref)
+                frontier.append(ref)
+    blob = "\n".join(segments[n] for n in sorted(included))
+    return hashlib.sha256(blob.encode()).hexdigest()
+
+
+def _git(root: str, *args: str) -> str | None:
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", *args], cwd=root, capture_output=True, text=True,
+            timeout=30,
+        )
+    except (OSError, subprocess.TimeoutExpired):
+        return None
+    return out.stdout if out.returncode == 0 else None
+
+
+def compute_must_reverify(
+    git=_git, registry: dict[str, "QuerySpec"] | None = None
+) -> dict[str, int]:
+    """{key: latest-green-round} for keys whose code is newer than that
+    green.  ``git`` is injectable so tests can pin the derivation
+    without fixture repos."""
+    import os
+    import sys
+
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    hist = _verification_history()
+    reg = registry if registry is not None else _REGISTRY
+    round_commit: dict[int, str | None] = {}
+    old_hash_cache: dict[tuple[str, str], str | None] = {}
+    stale: dict[str, int] = {}
+    for key, spec in reg.items():
+        rec = hist.get(key)
+        if rec is None or not rec[1]:
+            continue  # never checked / already leading as a failure
+        rnd = rec[0]
+        if rnd not in round_commit:
+            out = git(
+                root, "log", "--format=%H", "--diff-filter=A",
+                "--", f"CORRECTNESS_r{rnd:02d}.json",
+            )
+            round_commit[rnd] = out.split()[0] if out and out.split() else None
+        commit = round_commit[rnd]
+        if commit is None:
+            continue
+        mod = sys.modules.get(spec.fn.__module__)
+        mod_file = getattr(mod, "__file__", None)
+        if mod_file is None:
+            continue
+        rel = os.path.relpath(mod_file, root)
+        cache_key = (commit, rel)
+        if cache_key not in old_hash_cache:
+            old_hash_cache[cache_key] = git(root, "show", f"{commit}:{rel}")
+        old_source = old_hash_cache[cache_key]
+        try:
+            with open(mod_file) as fh:
+                new_source = fh.read()
+        except OSError:
+            continue
+        fn_name = spec.fn.__name__
+        new_h = _function_closure_hash(new_source, fn_name)
+        old_h = (
+            _function_closure_hash(old_source, fn_name)
+            if old_source is not None
+            else None
+        )
+        if new_h is not None and new_h != old_h:
+            stale[key] = rnd
+    return stale
+
+
+_must_reverify_cache: dict[str, int] | None = None
+
+
+def _must_reverify() -> dict[str, int]:
+    global _must_reverify_cache
+    if _must_reverify_cache is None:
+        try:
+            _must_reverify_cache = compute_must_reverify()
+        except Exception:
+            # derivation is an ordering optimization, never a crash
+            _must_reverify_cache = {}
+    return _must_reverify_cache
 
 
 def all_specs() -> dict[str, QuerySpec]:
@@ -150,12 +274,13 @@ def all_specs() -> dict[str, QuerySpec]:
     for mod in _OPERATOR_MODULES:
         importlib.import_module(mod)
     hist = _verification_history()
+    must = _must_reverify()
     names = list(_REGISTRY)
     order = {name: i for i, name in enumerate(names)}
 
     def sort_key(n: str) -> tuple[int, int]:
         rnd, ok = hist.get(n, (-1, True))
-        if n in _MUST_REVERIFY and (n not in hist or rnd <= _MUST_REVERIFY[n]):
+        if n in must and (n not in hist or rnd <= must[n]):
             return (-2, order[n])
         return (-2 if not ok else rnd, order[n])
 

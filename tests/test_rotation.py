@@ -1,0 +1,152 @@
+"""The derived reverification map (plans/registry.py): a key whose
+query-function source closure changed after its latest green driver
+check must jump the rotation; unchanged, never-checked, and
+already-failing keys must not.  Pinned with an injectable git so no
+fixture repos are needed."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_streaming_example_spark.plans import registry
+from flink_streaming_example_spark.plans.registry import (
+    QuerySpec,
+    _function_closure_hash,
+    compute_must_reverify,
+)
+
+# Module-level functions the fake specs point at — their "module file"
+# is THIS test file, so the old-blob side can be a doctored copy of it.
+
+
+_HELPER_CONST = "v1"
+
+
+def _helper():
+    return _HELPER_CONST
+
+
+def fake_query_changed(spark, sf_dir):
+    return _helper()
+
+
+def fake_query_same(spark, sf_dir):
+    return 42
+
+
+def test_closure_hash_includes_referenced_helpers():
+    src = (
+        "X = 1\n"
+        "def h():\n    return X\n"
+        "def root():\n    return h()\n"
+        "def unrelated():\n    return 99\n"
+    )
+    base = _function_closure_hash(src, "root")
+    # change the transitively-referenced constant -> hash moves
+    assert _function_closure_hash(src.replace("X = 1", "X = 2"), "root") != base
+    # change an unreferenced function -> hash stays
+    assert (
+        _function_closure_hash(src.replace("return 99", "return 0"), "root")
+        == base
+    )
+    # missing root -> None
+    assert _function_closure_hash(src, "nope") is None
+
+
+def _run(monkeypatch, hist, old_source_by_round):
+    """Drive compute_must_reverify with this test file as the module
+    source and a fake git serving doctored old blobs."""
+    this_file = __file__
+
+    def fake_hist():
+        return hist
+
+    def fake_git(root, *args):
+        if args[0] == "log":
+            # args[-1] is "CORRECTNESS_r0N.json"
+            rnd = int(args[-1].split("_r")[1].split(".")[0])
+            return f"commit{rnd}\n" if rnd in old_source_by_round else None
+        if args[0] == "show":
+            rnd = int(args[1].split(":")[0].replace("commit", ""))
+            return old_source_by_round[rnd]
+        raise AssertionError(args)
+
+    monkeypatch.setattr(registry, "_verification_history", fake_hist)
+    reg = {
+        "fake_query_changed": QuerySpec(
+            "fake_query_changed", fake_query_changed, None
+        ),
+        "fake_query_same": QuerySpec("fake_query_same", fake_query_same, None),
+    }
+    with open(this_file) as fh:
+        current = fh.read()
+    # sanity: the fakes really resolve to this file
+    assert _function_closure_hash(current, "fake_query_changed")
+    return compute_must_reverify(git=fake_git, registry=reg)
+
+
+def test_changed_closure_is_flagged_unchanged_is_not(monkeypatch):
+    with open(__file__) as fh:
+        current = fh.read()
+    old = current.replace('_HELPER_CONST = "v1"', '_HELPER_CONST = "v0"')
+    got = _run(
+        monkeypatch,
+        hist={"fake_query_changed": (5, True), "fake_query_same": (5, True)},
+        old_source_by_round={5: old},
+    )
+    # the helper constant fake_query_changed transitively references
+    # changed since its green; fake_query_same's closure is identical
+    assert got == {"fake_query_changed": 5}
+
+
+def test_never_checked_and_failing_keys_are_not_flagged(monkeypatch):
+    with open(__file__) as fh:
+        current = fh.read()
+    got = _run(
+        monkeypatch,
+        # changed: never checked; same: latest check FAILED (leads on
+        # its own; flagging it again would be redundant)
+        hist={"fake_query_same": (5, False)},
+        old_source_by_round={5: "def nothing():\n    pass\n"},
+    )
+    assert got == {}
+
+
+def test_git_unavailable_degrades_to_empty(monkeypatch):
+    monkeypatch.setattr(
+        registry,
+        "_verification_history",
+        lambda: {"fake_query_changed": (5, True)},
+    )
+    got = compute_must_reverify(
+        git=lambda root, *a: None,
+        registry={
+            "fake_query_changed": QuerySpec(
+                "fake_query_changed", fake_query_changed, None
+            )
+        },
+    )
+    assert got == {}
+
+
+def test_real_derivation_runs_and_orders_rotation():
+    # smoke on the real repo: derivation returns a subset of registered
+    # keys, and every derived-stale key sorts ahead of any green key
+    # whose code is unchanged.
+    specs = registry.all_specs()
+    m = registry.compute_must_reverify()
+    assert set(m) <= set(specs)
+    hist = registry._verification_history()
+    if m:
+        ordered = list(specs)
+        worst_flagged = max(ordered.index(k) for k in m if k in ordered)
+        unflagged_green = [
+            n
+            for n in ordered
+            if n not in m and hist.get(n, (-1, True))[1] and n in hist
+        ]
+        if unflagged_green:
+            first_green = min(ordered.index(n) for n in unflagged_green)
+            assert worst_flagged < first_green, (
+                "a stale key sorts behind an unchanged green key"
+            )
