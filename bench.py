@@ -18,6 +18,16 @@ BENCH_DETAIL.json at the repo root.
 A query that raises is reported in an ``errors`` list in the JSON line
 and makes the process exit nonzero, so a half-broken round can never
 masquerade as a faster one.
+
+Medians protocol (``--reps N`` / $SPARK_GRAFT_BENCH_REPS, default 1):
+host noise on sub-10 s keys runs ±15-20% per single run, which has made
+whole-round diffs unadjudicable (the r4->r5 +8% was noise on untouched
+keys).  With N > 1 the full key sweep is repeated N times (sweep-major
+order, so a key's reps don't share cache/JIT locality back-to-back) and
+every reported number is the per-key MEDIAN; BENCH_DETAIL.json
+additionally carries {median, min, max, reps} per key under ``stats``.
+The driver's single-run invocation and the stdout line shape are
+unchanged.
 """
 
 from __future__ import annotations
@@ -59,7 +69,22 @@ def compact_line(payload: dict, timings: dict[str, float]) -> str:
     return json.dumps(payload, separators=(",", ":"))
 
 
+def _n_reps() -> int:
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--reps",
+        type=int,
+        default=int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")),
+        help="full-sweep repetitions; reported numbers are per-key medians",
+    )
+    args = parser.parse_args()
+    return max(1, args.reps)
+
+
 def main() -> None:
+    reps = _n_reps()
     spark = get_spark("flink-streaming-example-spark-bench")
     specs = all_specs()
     # Warm the JVM: codegen, the parquet datasource init path, and
@@ -112,29 +137,47 @@ def main() -> None:
     except Exception:
         pass
 
-    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {name: [] for name in specs}
     errors: list[str] = []
-    for name in sorted(specs):
-        spec = specs[name]
-        t0 = time.perf_counter()
-        try:
-            df = spec.fn(spark, SF_DIR)
-            # Full materialization on the driver, via Arrow batch
-            # transfer (what any real consumer uses); row-at-a-time
-            # collect() would add pure pickling overhead to the timing.
+    for rep in range(reps):
+        for name in sorted(specs):
+            if name in errors:
+                continue  # a broken key stays broken; don't retime it
+            spec = specs[name]
+            t0 = time.perf_counter()
             try:
-                df.toPandas()
-            except Exception:
-                df.collect()
-            timings[name] = round(time.perf_counter() - t0, 2)
-        except Exception as e:  # keep timing the rest, but surface it
+                df = spec.fn(spark, SF_DIR)
+                # Full materialization on the driver, via Arrow batch
+                # transfer (what any real consumer uses); row-at-a-time
+                # collect() would add pure pickling overhead to the timing.
+                try:
+                    df.toPandas()
+                except Exception:
+                    df.collect()
+                samples[name].append(time.perf_counter() - t0)
+            except Exception as e:  # keep timing the rest, but surface it
+                errors.append(name)
+                print(f"# bench error {name}: {e}", file=sys.stderr)
+            finally:
+                # Drop any cached blocks the query left behind so memory
+                # pressure doesn't accumulate across the ~90-key run.
+                spark.catalog.clearCache()
+
+    import statistics
+
+    timings: dict[str, float] = {}
+    stats: dict[str, dict] = {}
+    for name, vals in samples.items():
+        if name in errors or not vals:
             timings[name] = -1.0
-            errors.append(name)
-            print(f"# bench error {name}: {e}", file=sys.stderr)
-        finally:
-            # Drop any cached blocks the query left behind so memory
-            # pressure doesn't accumulate across the ~90-key run.
-            spark.catalog.clearCache()
+            continue
+        timings[name] = round(statistics.median(vals), 2)
+        stats[name] = {
+            "median": round(statistics.median(vals), 3),
+            "min": round(min(vals), 3),
+            "max": round(max(vals), 3),
+            "reps": len(vals),
+        }
 
     total = round(sum(t for t in timings.values() if t >= 0), 2)
     try:
@@ -150,8 +193,14 @@ def main() -> None:
         "errors": errors,
         "n_errors": len(errors),
     }
+    payload["reps"] = reps
     with open(DETAIL_PATH, "w") as fh:
-        json.dump(dict(payload, queries=timings), fh, indent=1, sort_keys=True)
+        json.dump(
+            dict(payload, queries=timings, stats=stats),
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
     # n_errors carries the full count; the printed list itself is capped
     # so a mass-failure round can't overflow the driver's capture window.
     print(compact_line(dict(payload, errors=errors[:20]), timings))
