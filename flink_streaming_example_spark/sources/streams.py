@@ -44,7 +44,9 @@ def collection_source(
 def socket_source(spark: SparkSession, host: str, port: int) -> DataFrame:
     """S3: line-delimited socket text stream (value: string).
 
-    Connects when the streaming query STARTS, not here."""
+    Connects when the streaming query STARTS, not here.  Exercised
+    end-to-end (connect, line framing, running wordcount) against a
+    localhost server in tests/test_streaming.py."""
     return (
         spark.readStream.format("socket")
         .option("host", host)

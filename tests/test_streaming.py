@@ -68,6 +68,70 @@ def test_socket_source_constructs(spark):
     assert df.isStreaming and df.columns == ["value"]
 
 
+def test_socket_wordcount_end_to_end(spark):
+    """S3 for real: a localhost TCP server thread feeds lines into the
+    socket source and the literal flink-streaming-example identity
+    query (socket text in -> running word counts out) drains through
+    the streaming engine — no external network, no broker, yet the
+    full source path (connect, line framing, EOF) is exercised."""
+    import socket
+    import threading
+    import time
+
+    lines = ["to be or not to be", "that is the question", "to be sure"]
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+    srv.listen(1)
+    done = threading.Event()
+
+    def serve():
+        conn, _ = srv.accept()
+        try:
+            for line in lines:
+                conn.sendall((line + "\n").encode())
+            done.wait(45)  # hold the connection open until drained
+        finally:
+            conn.close()
+            srv.close()
+
+    threading.Thread(target=serve, daemon=True).start()
+    counts = (
+        streams.socket_source(spark, "127.0.0.1", port)
+        .select(F.explode(F.split(F.col("value"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("socket_wordcount")
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sock_ckpt_"))
+        .start()
+    )
+    try:
+        expected = {}
+        for line in lines:
+            for tok in line.split(" "):
+                expected[tok] = expected.get(tok, 0) + 1
+        deadline = time.time() + 45
+        got = {}
+        while time.time() < deadline:
+            got = {
+                r.token: r.n
+                for r in spark.table("socket_wordcount").collect()
+            }
+            if got == expected:
+                break
+            time.sleep(0.5)
+        assert got == expected, f"{got} != {expected}"
+    finally:
+        done.set()
+        q.stop()
+        q.awaitTermination(30)
+
+
 def test_kafka_source_unavailable_raises(spark):
     with pytest.raises(RuntimeError, match="file_replay"):
         streams.kafka_source(spark, "broker:9092", "events", "event_id LONG")
