@@ -67,3 +67,47 @@ def test_broadcast_enrich_20m_rows(spark):
     rows = joined.collect()
     assert len(rows) == 10
     assert sum(r.n for r in rows) == N
+
+
+def test_asof_hot_key_2_5m_rows(spark):
+    """The joinless as-of's reason to exist: ONE pathological key
+    holding every row.  2M events x 500k orders on a single key is
+    10^12 candidate pairs for the old key-equi-join + aggregate shape
+    (would never finish here); the union + running-carry shape sorts
+    2.5M rows once and carries linearly.  Orders sit at t = i*1000 us,
+    events at t = j*1000 + 500 us, so every event's backward match is
+    analytically exact: its own floor(t/1000)*1000."""
+    from flink_streaming_example_spark.operators.joins import _asof_backward
+
+    n_ev, n_ord = 2_000_000, 500_000
+    orders = spark.range(n_ord).select(
+        F.lit(1).alias("user_id"),
+        F.timestamp_micros(F.col("id") * 1000)
+        .cast("timestamp_ntz")
+        .alias("t"),
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.timestamp_micros(F.col("id") * 1000)
+        .cast("timestamp_ntz")
+        .alias("ord_date"),
+    )
+    # events interleave the order grid, wrapping so every event has a
+    # preceding order (j % n_ord keeps event times inside the grid)
+    events = spark.range(n_ev).select(
+        F.lit(1).alias("user_id"),
+        F.timestamp_micros((F.col("id") % n_ord) * 1000 + 500)
+        .cast("timestamp_ntz")
+        .alias("t"),
+        F.lit(1).alias("side"),
+        F.col("id").alias("event_id"),
+        F.lit(None).cast("timestamp_ntz").alias("ord_date"),
+    )
+    got = _asof_backward(orders.unionByName(events))
+    # event_id encodes its own event time, so the expected match is
+    # recomputable without carrying t through the operator's projection
+    wrong = got.filter(
+        F.unix_micros(F.col("last_order_date").cast("timestamp"))
+        != (F.col("event_id") % n_ord) * 1000
+    ).count()
+    assert wrong == 0
+    assert got.count() == n_ev
