@@ -53,7 +53,10 @@ _captured_streaming: list[tuple[str, dict | None]] = []
 
 
 def run_to_memory(
-    df: DataFrame, spark: SparkSession, output_mode: str = "append"
+    df: DataFrame,
+    spark: SparkSession,
+    output_mode: str = "append",
+    shuffle_partitions: int | None = 8,
 ) -> DataFrame:
     """Drain a bounded streaming DataFrame into a memory sink
     (availableNow) and return the materialized result table.
@@ -63,7 +66,12 @@ def run_to_memory(
     fixture replays carry tiny keyed state, so we scope the partition
     count down for the run — per-instance checkpoint/commit overhead
     dominates otherwise.  (On a real cluster size this to the keyed
-    cardinality / executor count instead.)
+    cardinality / executor count instead.)  ``shuffle_partitions=None``
+    keeps the session conf: right for keys that push enough rows
+    through the Python state path that worker parallelism beats
+    per-instance overhead (q_streaming_asof ships ~250k unioned rows
+    at sf0.1 — A/B medians of 3: 7.8 s at 8 partitions, 4.5 s at 16,
+    3.2 s at 32).
 
     CONCURRENCY CAVEAT: shuffle partitions is a session-global conf
     with no per-query override in Structured Streaming, so the
@@ -77,8 +85,8 @@ def run_to_memory(
     prev = spark.conf.get(conf_key)
     ckpt = tempfile.mkdtemp(prefix="ckpt_")
     try:
-        if int(prev) > 8:
-            spark.conf.set(conf_key, "8")
+        if shuffle_partitions is not None and int(prev) > shuffle_partitions:
+            spark.conf.set(conf_key, str(shuffle_partitions))
         query = (
             df.writeStream.format("memory")
             .queryName(name)
@@ -826,7 +834,11 @@ def q_streaming_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         events_file_replay(spark, sf_dir),
         orders_file_replay(spark, sf_dir),
     )
-    res = run_to_memory(asof_stream(u), spark, output_mode="append")
+    # the one streaming key with enough Python-path volume that state
+    # parallelism beats per-instance overhead (see run_to_memory)
+    res = run_to_memory(
+        asof_stream(u), spark, output_mode="append", shuffle_partitions=None
+    )
     return res.select(
         "event_id",
         "user_id",
