@@ -267,7 +267,7 @@ def all_specs() -> dict[str, QuerySpec]:
     ordered so the driver's bounded correctness pass spends its budget
     where it matters most: keys whose LATEST driver check failed lead
     (a recorded red must be shown green again as soon as it's fixed),
-    alongside _MUST_REVERIFY keys fixed since their last green check,
+    alongside git-derived stale keys changed since their last green check,
     then never-verified keys (new this round), then everything else
     least-recently-verified first.  Registration order breaks ties,
     which keeps the ordering deterministic."""

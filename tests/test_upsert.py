@@ -68,6 +68,14 @@ def test_streaming_upsert_latest_wins(spark, tmp_path):
 
     got = read_upsert_table(spark, table)
     assert got.count() == got.select("user_id").distinct().count()
+    # the per-batch affected-bucket collect() is bounded by _N_BUCKETS
+    # by construction (pmod hash); pin the on-disk ceiling so the one
+    # driver-side collect in the merge can never grow with data volume
+    bucket_dirs = [
+        e for e in __import__("os").listdir(table)
+        if e.startswith("_bucket=")
+    ]
+    assert 0 < len(bucket_dirs) <= 16, bucket_dirs
     # ts ties within a user are broken by arrival (later batch wins);
     # the fixture has unique (user_id, ts) so order-by-ts is exact here.
     result = compare_frames(
