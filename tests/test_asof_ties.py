@@ -73,6 +73,74 @@ def test_null_backward_falls_back_to_forward(spark):
     assert str(row.nearest_order_date) == "2024-06-01 00:00:00"
 
 
+def test_asof_family_random_differential(spark):
+    """Seeded-random differential: ~300 keys with adversarial shapes
+    (equal instants, duplicate order times, order-free keys, dense
+    collisions on a tiny time grid) run through ALL THREE production
+    operators in one job each, checked against an independent pure-
+    Python reference.  The tiny grid (0..49 s) forces tie and boundary
+    cases that fixture parity essentially never generates."""
+    import random
+
+    rng = random.Random(0xA50F)
+    union_rows, expected = [], {}
+    eid = 0
+    for key in range(300):
+        n_orders = rng.randint(0, 6)
+        n_events = rng.randint(0, 5)
+        order_ts = sorted(rng.randint(0, 49) for _ in range(n_orders))
+        for t in order_ts:
+            union_rows.append((key, t, 0, None, t))
+        for _ in range(n_events):
+            t = rng.randint(0, 49)
+            bwd = max((o for o in order_ts if o <= t), default=None)
+            fwd = min((o for o in order_ts if o >= t), default=None)
+            if bwd is None and fwd is None:
+                near, dist = None, None
+            elif fwd is None or (bwd is not None and t - bwd <= fwd - t):
+                near, dist = bwd, t - bwd
+            else:
+                near, dist = fwd, fwd - t
+            expected[eid] = (key, bwd, fwd, near, dist)
+            union_rows.append((key, t, 1, eid, None))
+            eid += 1
+
+    u = spark.createDataFrame(
+        union_rows,
+        "user_id long, t_s long, side int, event_id long, ord_s long",
+    ).select(
+        "user_id",
+        F.timestamp_seconds(F.col("t_s")).cast("timestamp_ntz").alias("t"),
+        "side",
+        "event_id",
+        F.timestamp_seconds(F.col("ord_s"))
+        .cast("timestamp_ntz")
+        .alias("ord_date"),
+    )
+
+    def as_s(ts):
+        return None if ts is None else int(ts.timestamp())
+
+    got_b = {
+        r.event_id: as_s(r.last_order_date)
+        for r in _asof_backward(u).collect()
+    }
+    got_f = {
+        r.event_id: as_s(r.next_order_date)
+        for r in _asof_forward(u).collect()
+    }
+    got_n = {
+        r.event_id: (as_s(r.nearest_order_date), r.dist_us)
+        for r in _asof_nearest(u).collect()
+    }
+    assert set(got_b) == set(expected)
+    for eid, (key, bwd, fwd, near, dist) in expected.items():
+        assert got_b[eid] == bwd, (eid, key, "backward")
+        assert got_f[eid] == fwd, (eid, key, "forward")
+        want_dist = None if dist is None else dist * 1_000_000
+        assert got_n[eid] == (near, want_dist), (eid, key, "nearest")
+
+
 def test_same_instant_order_is_distance_zero_on_both_sides(spark):
     # an order AT the event instant satisfies both <= and >=; either
     # pick emits the same value and dist must be exactly 0
