@@ -151,8 +151,20 @@ def _function_closure_hash(source: str, root_fn: str) -> str | None:
     for node in ast.walk(tree):
         if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
             seg = ast.get_source_segment(source, node)
+            # get_source_segment starts at `def` — decorators are NOT
+            # included, yet that's where oracle constants are referenced
+            # (@register("k", oracle=_SQL)); append them so an oracle
+            # edit changes the hash and flags the key.
+            decs = [
+                d
+                for d in (
+                    ast.get_source_segment(source, dec)
+                    for dec in node.decorator_list
+                )
+                if d
+            ]
             if seg and node.name not in segments:
-                segments[node.name] = seg
+                segments[node.name] = "\n".join([*decs, seg])
     for node in tree.body:
         if isinstance(node, ast.Assign):
             seg = ast.get_source_segment(source, node)

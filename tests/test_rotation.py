@@ -34,6 +34,23 @@ def fake_query_same(spark, sf_dir):
     return 42
 
 
+def test_closure_hash_includes_decorator_references():
+    # oracle constants live in the @register decorator, not the body —
+    # an oracle edit must change the hash
+    src = (
+        "_SQL = 'select 1'\n"
+        "def register(name, oracle=None):\n"
+        "    return lambda f: f\n"
+        "@register('k', oracle=_SQL)\n"
+        "def q(spark, sf):\n    return 1\n"
+    )
+    base = _function_closure_hash(src, "q")
+    edited = _function_closure_hash(
+        src.replace("'select 1'", "'select 2'"), "q"
+    )
+    assert base is not None and edited != base
+
+
 def test_closure_hash_includes_referenced_helpers():
     src = (
         "X = 1\n"
