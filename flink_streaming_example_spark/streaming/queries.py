@@ -737,6 +737,115 @@ def cep_funnel_stream(ev: DataFrame) -> DataFrame:
     )
 
 
+_STREAM_TOPN_ORACLE = """
+SELECT event_type, rank, user_id, sum_value FROM (
+  SELECT event_type, user_id,
+    CAST(ROUND(SUM(CAST(value AS DECIMAL(30,6))), 2) AS DOUBLE)
+      AS sum_value,
+    ROW_NUMBER() OVER (
+      PARTITION BY event_type
+      ORDER BY SUM(CAST(value AS DECIMAL(30,6))) DESC, user_id
+    ) AS rank
+  FROM events GROUP BY event_type, user_id
+) WHERE rank <= 3
+"""
+
+
+def topn_stream(ev: DataFrame, k: int = 3) -> DataFrame:
+    """Continuous top-N — Flink's classic Blink "top-N on an update
+    stream" pattern: per group (event_type), maintain every
+    contributor's running total in keyed state and re-emit the current
+    top-k each micro-batch (update-stream semantics downstream).
+
+    Unlike the order-sensitive state operators (count windows, CEP,
+    as-of), sums are arrival-order-FREE, so this needs no cross-batch
+    ordering contract at all.  State per group is one (user -> decimal
+    total) map; at 100 TB the per-group contributor cardinality is the
+    state bound — cap it with a time window (W1) or a space-saving
+    sketch when contributors are unbounded.  Totals accumulate in exact
+    decimal (functions/stable.py discipline) so emitted doubles
+    hash-match the batch oracle; ties break (sum desc, user_id asc) on
+    both engines.  ``batch_seq`` marks each re-emission so bounded
+    multi-batch replays can select the final standings
+    (tests/test_multibatch.py)."""
+    import decimal
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    q6 = decimal.Decimal("0.000001")
+    q2 = decimal.Decimal("0.01")
+
+    def topn(key, pdfs, state: GroupState):
+        (event_type,) = key
+        if state.exists:
+            users, sums, seq = state.get
+            totals = {
+                u: decimal.Decimal(s) for u, s in zip(users, sums)
+            }
+        else:
+            totals, seq = {}, 0
+        pdf = pd.concat(list(pdfs))
+        for user_id, value in zip(pdf["user_id"], pdf["value"]):
+            d = decimal.Decimal(float(value)).quantize(
+                q6, rounding=decimal.ROUND_HALF_UP
+            )
+            totals[int(user_id)] = totals.get(int(user_id), decimal.Decimal(0)) + d
+        seq += 1
+        state.update(
+            (
+                list(totals),
+                [str(v) for v in totals.values()],
+                seq,
+            )
+        )
+        top = sorted(totals.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        yield pd.DataFrame(
+            {
+                "event_type": [event_type] * len(top),
+                "rank": list(range(1, len(top) + 1)),
+                "user_id": [u for u, _ in top],
+                "sum_value": [
+                    float(v.quantize(q2, rounding=decimal.ROUND_HALF_UP))
+                    for _, v in top
+                ],
+                "batch_seq": [seq] * len(top),
+            }
+        )
+
+    return ev.select("event_type", "user_id", "value").groupBy(
+        "event_type"
+    ).applyInPandasWithState(
+        topn,
+        outputStructType=(
+            "event_type string, rank int, user_id long, "
+            "sum_value double, batch_seq long"
+        ),
+        stateStructType=(
+            "users array<long>, sums array<string>, seq long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@register(
+    "q_streaming_topn", oracle=_STREAM_TOPN_ORACLE, tags=("streaming",)
+)
+def q_streaming_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W11-streaming: continuous top-3 users by total value per event
+    type, maintained in keyed state and re-emitted as the stream
+    evolves (Flink Blink top-N).  The bounded single-batch replay
+    emits the final standings once, which hash-match the batch
+    group-sum + row_number oracle."""
+    res = run_to_memory(
+        topn_stream(events_file_replay(spark, sf_dir)),
+        spark,
+        output_mode="update",
+    )
+    return res.select("event_type", "rank", "user_id", "sum_value")
+
+
 from flink_streaming_example_spark.operators.joins import (  # noqa: E402
     _ASOF_ORACLE as _STREAM_ASOF_ORACLE,
 )

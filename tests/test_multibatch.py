@@ -404,6 +404,33 @@ def test_streaming_asof_across_micro_batches(spark):
     assert result.ok, result.detail
 
 
+def test_continuous_topn_across_micro_batches(spark, sharded_events_dir):
+    """Continuous top-N: per-batch re-emissions must CONVERGE — the
+    final standings (max batch_seq per group) after a 6-shard replay
+    equal the batch group-sum top-3, regardless of shard order (sums
+    are arrival-order-free, the one state operator with no ordering
+    contract)."""
+    from flink_streaming_example_spark.plans.registry import all_specs
+    from flink_streaming_example_spark.streaming.queries import topn_stream
+
+    ev = _replay(spark, sharded_events_dir)
+    got, batches = _drain(spark, topn_stream(ev), "update")
+    assert batches >= N_SHARDS
+    from pyspark.sql import Window
+
+    final = (
+        got.withColumn(
+            "max_seq",
+            F.max("batch_seq").over(Window.partitionBy("event_type")),
+        )
+        .filter(F.col("batch_seq") == F.col("max_seq"))
+        .select("event_type", "rank", "user_id", "sum_value")
+    )
+    want = all_specs()["q_streaming_topn"].fn(spark, SF_DIR)
+    result = compare_frames(final.toPandas(), want.toPandas())
+    assert result.ok, result.detail
+
+
 def test_cep_funnel_across_micro_batches(spark, time_ordered_shards_dir):
     """P4-streaming: the funnel automaton's two-timestamp state must
     compose across micro-batches — a click in shard 1 matched by a

@@ -40,6 +40,7 @@ _STATE_FN_KEYS = {
     "q_stateful_counter",
     "q_streaming_cep",
     "q_streaming_asof",
+    "q_streaming_topn",
 }
 # Expected state-store operator shape per key (lastProgress
 # stateOperators operatorName); stateless keys must carry NO state.
@@ -56,6 +57,7 @@ _EXPECTED_STATE_OPS = {
     "q_stateful_counter": ["applyInPandasWithState"],
     "q_streaming_cep": ["applyInPandasWithState"],
     "q_streaming_asof": ["applyInPandasWithState"],
+    "q_streaming_topn": ["applyInPandasWithState"],
 }
 
 
