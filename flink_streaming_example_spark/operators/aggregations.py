@@ -176,9 +176,9 @@ SELECT
   quantile_cont(value, 0.5) AS median_value,
   quantile_cont(value, 0.9) AS p90_value,
   CAST(FLOOR(sqrt(
-    (CAST(SUM(CAST(value * value AS DECIMAL(30,6))) AS DOUBLE)
-     - CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
-       * CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(value))
+    (CAST(SUM(CAST(CAST((value * value) AS STRING) AS DECIMAL(30,6))) AS DOUBLE)
+     - CAST(SUM(CAST(CAST(value AS STRING) AS DECIMAL(30,6))) AS DOUBLE)
+       * CAST(SUM(CAST(CAST(value AS STRING) AS DECIMAL(30,6))) AS DOUBLE) / COUNT(value))
     / (COUNT(value) - 1)
   ) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS stddev_value
 FROM events

@@ -258,9 +258,10 @@ _Q14_ORACLE = f"""
 SELECT
   {sql_rounded(
       "(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' "
-      "THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)) "
+      "THEN CAST(CAST((l_extendedprice * (1 - l_discount)) AS STRING) "
+      "AS DECIMAL(30,6)) "
       "ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE)) "
-      "/ CAST(SUM(CAST(l_extendedprice * (1 - l_discount) "
+      "/ CAST(SUM(CAST(CAST((l_extendedprice * (1 - l_discount)) AS STRING) "
       "AS DECIMAL(30,6))) AS DOUBLE)",
       "promo_revenue_pct",
       6,
@@ -407,9 +408,10 @@ _Q8_ORACLE = f"""
 SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
   {sql_rounded(
       "(100.0 * CAST(SUM(CASE WHEN n2.n_name = 'NATION_3' "
-      "THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)) "
+      "THEN CAST(CAST((l_extendedprice * (1 - l_discount)) AS STRING) "
+      "AS DECIMAL(30,6)) "
       "ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE)) "
-      "/ CAST(SUM(CAST(l_extendedprice * (1 - l_discount) "
+      "/ CAST(SUM(CAST(CAST((l_extendedprice * (1 - l_discount)) AS STRING) "
       "AS DECIMAL(30,6))) AS DOUBLE)",
       "mkt_share_pct",
       6,
@@ -474,12 +476,12 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q17_ORACLE = """
 WITH avg_qty AS (
   SELECT l_partkey AS pk,
-    0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+    0.2 * (CAST(SUM(CAST(CAST(l_quantity AS STRING) AS DECIMAL(30,6))) AS DOUBLE)
            / COUNT(l_quantity)) AS threshold
   FROM lineitem GROUP BY pk
 )
 SELECT COUNT(*) AS n_small,
-  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,6))), 2) AS DOUBLE)
+  CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS STRING) AS DECIMAL(30,6))), 2) AS DOUBLE)
     AS total_price
 FROM lineitem JOIN avg_qty ON l_partkey = pk
 WHERE l_quantity < threshold
@@ -633,12 +635,12 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q22_ORACLE = """
 WITH avg_bal AS (
-  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+  SELECT CAST(SUM(CAST(CAST(c_acctbal AS STRING) AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
     AS cutoff
   FROM customer WHERE c_acctbal > 0
 )
 SELECT c_nationkey, COUNT(*) AS numcust,
-  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(30,6))), 2) AS DOUBLE)
+  CAST(ROUND(SUM(CAST(CAST(c_acctbal AS STRING) AS DECIMAL(30,6))), 2) AS DOUBLE)
     AS totacctbal
 FROM customer, avg_bal
 WHERE c_acctbal > cutoff

@@ -236,7 +236,7 @@ _Q11_FRACTION = 0.001
 _Q11_ORACLE = f"""
 WITH val AS (
   SELECT l_partkey AS ps_partkey,
-    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS v
+    SUM(CAST(CAST((l_extendedprice * (1 - l_discount)) AS STRING) AS DECIMAL(30,6))) AS v
   FROM lineitem
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation   ON s_nationkey = n_nationkey
@@ -391,7 +391,7 @@ _Q20_FRACTION = 0.3
 _Q20_ORACLE = f"""
 WITH shipped97 AS (
   SELECT l_partkey AS pk,
-    SUM(CAST(l_quantity AS DECIMAL(30,6))) AS part_qty
+    SUM(CAST(CAST(l_quantity AS STRING) AS DECIMAL(30,6))) AS part_qty
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1997-01-01'
     AND l_shipdate <  TIMESTAMP '1998-01-01'
@@ -399,7 +399,7 @@ WITH shipped97 AS (
 ),
 pair_qty AS (
   SELECT l_partkey, l_suppkey,
-    SUM(CAST(l_quantity AS DECIMAL(30,6))) AS supplied
+    SUM(CAST(CAST(l_quantity AS STRING) AS DECIMAL(30,6))) AS supplied
   FROM lineitem
   JOIN part ON p_partkey = l_partkey
   WHERE p_name LIKE 'blue%'

@@ -148,7 +148,13 @@ def _function_closure_hash(source: str, root_fn: str) -> str | None:
     except SyntaxError:
         return None
     segments: dict[str, str] = {}
-    for node in ast.walk(tree):
+    # TOP-LEVEL defs only (tree.body, not ast.walk): nested defs are
+    # already part of their parent's source segment, and collecting
+    # them as referenceable names lets an unrelated function's LOCAL
+    # variable collide with some other function's nested-helper name —
+    # a false-positive staleness flag that burns driver rotation budget
+    # (observed round 7: a nested `frame` helper flagged q_streaming_cep).
+    for node in tree.body:
         if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
             seg = ast.get_source_segment(source, node)
             # get_source_segment starts at `def` — decorators are NOT
@@ -166,11 +172,25 @@ def _function_closure_hash(source: str, root_fn: str) -> str | None:
             if seg and node.name not in segments:
                 segments[node.name] = "\n".join([*decs, seg])
     for node in tree.body:
-        if isinstance(node, ast.Assign):
+        # Assign covers `X = ...` and `A, B = ...` (Tuple/List targets);
+        # AnnAssign covers `X: str = ...` — all referenceable names a
+        # query function can close over (round-6 advisor: annotated and
+        # tuple-unpacked constants were invisible, so editing such an
+        # oracle constant wouldn't flag its key stale).
+        if isinstance(node, (ast.Assign, ast.AnnAssign)):
             seg = ast.get_source_segment(source, node)
-            for tgt in node.targets:
-                if isinstance(tgt, ast.Name) and seg:
+            if not seg:
+                continue
+            targets = (
+                node.targets if isinstance(node, ast.Assign) else [node.target]
+            )
+            for tgt in targets:
+                if isinstance(tgt, ast.Name):
                     segments.setdefault(tgt.id, seg)
+                elif isinstance(tgt, (ast.Tuple, ast.List)):
+                    for elt in tgt.elts:
+                        if isinstance(elt, ast.Name):
+                            segments.setdefault(elt.id, seg)
     if root_fn not in segments:
         return None
     included = {root_fn}
@@ -226,8 +246,14 @@ def compute_must_reverify(
             continue  # never checked / already leading as a failure
         rnd = rec[0]
         if rnd not in round_commit:
+            # LAST commit touching the round file (not --diff-filter=A:
+            # an amended round file's keys must hash against the tree
+            # at the amendment, else they'd compare to pre-amendment
+            # module blobs — round-6 advisor).  A round file recorded
+            # but not yet committed resolves to no commit and its keys
+            # are skipped until the driver's round commit lands.
             out = git(
-                root, "log", "--format=%H", "--diff-filter=A",
+                root, "log", "-1", "--format=%H",
                 "--", f"CORRECTNESS_r{rnd:02d}.json",
             )
             round_commit[rnd] = out.split()[0] if out and out.split() else None
@@ -276,23 +302,30 @@ def _must_reverify() -> dict[str, int]:
 
 def all_specs() -> dict[str, QuerySpec]:
     """Import all operator modules (idempotent) and return the registry,
-    ordered so the driver's bounded correctness pass spends its budget
-    where it matters most: keys whose LATEST driver check failed lead
-    (a recorded red must be shown green again as soon as it's fixed),
-    alongside git-derived stale keys changed since their last green check,
-    then never-verified keys (new this round), then everything else
-    least-recently-verified first.  Registration order breaks ties,
-    which keeps the ordering deterministic."""
+    ordered so the driver's bounded correctness pass (~50 keys/round,
+    observed in CORRECTNESS_r02/r06) spends its budget where it matters
+    most.  Lead tier: keys whose LATEST driver check failed (a recorded
+    red must be shown green again as soon as it's fixed), git-derived
+    stale keys changed since their last green check, AND keys whose
+    latest check is >=2 rounds old (decaying evidence must refresh
+    before it ages further).  Then never-verified keys — new this
+    round, already locally parity-proven by tests/test_parity.py, so
+    they can absorb a one-round wait when the lead tier is full — then
+    everything else least-recently-verified first.  Registration order
+    breaks ties, which keeps the ordering deterministic."""
     for mod in _OPERATOR_MODULES:
         importlib.import_module(mod)
     hist = _verification_history()
     must = _must_reverify()
     names = list(_REGISTRY)
     order = {name: i for i, name in enumerate(names)}
+    latest = max((rnd for rnd, _ok in hist.values()), default=-1)
 
     def sort_key(n: str) -> tuple[int, int]:
         rnd, ok = hist.get(n, (-1, True))
         if n in must and (n not in hist or rnd <= must[n]):
+            return (-2, order[n])
+        if n in hist and rnd <= latest - 2:
             return (-2, order[n])
         return (-2 if not ok else rnd, order[n])
 

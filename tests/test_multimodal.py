@@ -102,3 +102,110 @@ def test_parse_rejects_corrupt_payloads():
         multimodal.parse_media_header(b"\x89PNG\r\n\x1a\n\x00\x00")
     with pytest.raises(ValueError, match="without SOF"):
         multimodal.parse_media_header(b"\xff\xd8\xff\xd9")
+
+
+def test_parse_jpeg_fill_bytes_and_tem_marker():
+    import struct
+
+    # legal 0xFF fill padding before a marker + a standalone TEM (0x01)
+    # must both be skipped, not read as segment lengths
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 33, 44, 1) + b"\x00" * 3
+    payload = b"\xff\xd8" + b"\xff\xff\xff" + b"\xff\x01" + sof0
+    got = multimodal.parse_media_header(payload)
+    assert got == {"mime": "image/jpeg", "width": 44, "height": 33}
+
+
+# ---- real uncompressed codecs (round 7) ----
+
+
+def _grid(w, h, d=0):
+    return [[(3 * x + 7 * y + d) % 256 for x in range(w)] for y in range(h)]
+
+
+def test_bmp_roundtrip_and_bottom_up_orientation():
+    g = _grid(5, 3)  # w=5 -> 15-byte rows, stride 16: padding exercised
+    w, h, got = multimodal.decode_bmp(multimodal.encode_bmp(g))
+    assert (w, h) == (5, 3) and got == g
+
+
+def test_bmp_decode_topdown_negative_height():
+    import struct
+
+    g = _grid(4, 2)
+    enc = bytearray(multimodal.encode_bmp(g))
+    # flip to top-down: negate height, un-reverse the stored rows
+    enc[22:26] = struct.pack("<i", -2)
+    stride = 4 * 3  # w=4 -> no padding
+    rows = enc[54 : 54 + stride], enc[54 + stride : 54 + 2 * stride]
+    enc[54:] = rows[1] + rows[0]
+    w, h, got = multimodal.decode_bmp(bytes(enc))
+    assert (w, h) == (4, 2) and got == g
+
+
+def test_bmp_decode_fails_loud():
+    with pytest.raises(ValueError, match="not a BMP"):
+        multimodal.decode_bmp(b"XX" + b"\x00" * 60)
+    g = _grid(4, 2)
+    with pytest.raises(ValueError, match="truncated BMP pixel"):
+        multimodal.decode_bmp(multimodal.encode_bmp(g)[:-5])
+
+
+def test_wav_chunk_walk_skips_junk_and_odd_sizes():
+    import struct
+
+    samples = [-32768, -1, 0, 1, 32767]
+    data = struct.pack("<5h", *samples)
+    payload = (
+        b"RIFF" + struct.pack("<I", 200) + b"WAVE"
+        # odd-sized unknown chunk: walker must apply the RIFF pad byte
+        + b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    sr, ch, got = multimodal.decode_wav(payload)
+    assert (sr, ch) == (16000, 1) and got == samples
+
+
+def test_wav_decode_fails_loud():
+    import struct
+
+    with pytest.raises(ValueError, match="not a RIFF"):
+        multimodal.decode_wav(b"OggS" + b"\x00" * 40)
+    # non-PCM (IEEE float = format 3) must be rejected, not misread
+    payload = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 8000, 32000, 4, 32)
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(ValueError, match="unsupported WAV encoding"):
+        multimodal.decode_wav(payload)
+
+
+def test_resize_bmp_is_real(spark):
+    import pandas as pd
+
+    g = _grid(8, 8, d=5)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1],
+            "payload": [multimodal.encode_bmp(g)],
+            "mime": ["image/bmp"],
+        }
+    )
+    out = multimodal.resize_images(
+        spark.createDataFrame(pdf), 4, 4
+    ).collect()
+    w, h, got = multimodal.decode_bmp(bytes(out[0]["payload"]))
+    assert (w, h) == (4, 4)
+    # nearest-neighbor: out[y][x] == g[y*8//4][x*8//4]
+    assert got == [[g[y * 2][x * 2] for x in range(4)] for y in range(4)]
+
+
+def test_decode_payload_surface():
+    # uncompressed mimes decode for real; only compressed ones stub
+    g = _grid(4, 2)
+    assert multimodal._decode_payload(
+        multimodal.encode_bmp(g), "image/bmp"
+    ) == bytes(v for row in g for v in row)
+    with pytest.raises(NotImplementedError, match="compressed"):
+        multimodal._decode_payload(b"\x89PNG", "image/png")

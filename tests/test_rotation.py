@@ -146,6 +146,28 @@ def test_git_unavailable_degrades_to_empty(monkeypatch):
     assert got == {}
 
 
+def test_stale_window_keys_lead_rotation():
+    """The driver's correctness budget is ~50 keys/round (observed in
+    CORRECTNESS_r02/r06); any key whose latest check is >=2 rounds
+    older than the newest recorded round must sort inside that budget,
+    or the stale tail never gets re-verified (round-6 judge item 2)."""
+    specs = registry.all_specs()
+    hist = registry._verification_history()
+    if not hist:
+        pytest.skip("no driver rounds recorded")
+    latest = max(rnd for rnd, _ok in hist.values())
+    ordered = list(specs)
+    budget = 50
+    stale = [
+        n for n in ordered if n in hist and hist[n][0] <= latest - 2
+    ]
+    late = {n: ordered.index(n) for n in stale if ordered.index(n) >= budget}
+    assert not late, (
+        f"keys >=2 rounds stale sort outside the {budget}-key driver "
+        f"budget: {late}"
+    )
+
+
 def test_real_derivation_runs_and_orders_rotation():
     # smoke on the real repo: derivation returns a subset of registered
     # keys, and every derived-stale key sorts ahead of any green key
@@ -156,14 +178,20 @@ def test_real_derivation_runs_and_orders_rotation():
     hist = registry._verification_history()
     if m:
         ordered = list(specs)
+        latest = max(rnd for rnd, _ok in hist.values())
         worst_flagged = max(ordered.index(k) for k in m if k in ordered)
-        unflagged_green = [
+        # fresh = unflagged greens outside the >=2-rounds-stale window
+        # (stale-window keys share the lead tier with flagged ones)
+        fresh_green = [
             n
             for n in ordered
-            if n not in m and hist.get(n, (-1, True))[1] and n in hist
+            if n not in m
+            and n in hist
+            and hist[n][1]
+            and hist[n][0] > latest - 2
         ]
-        if unflagged_green:
-            first_green = min(ordered.index(n) for n in unflagged_green)
+        if fresh_green:
+            first_green = min(ordered.index(n) for n in fresh_green)
             assert worst_flagged < first_green, (
-                "a stale key sorts behind an unchanged green key"
+                "a changed key sorts behind a fresh unchanged green key"
             )
