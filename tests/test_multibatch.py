@@ -431,6 +431,131 @@ def test_continuous_topn_across_micro_batches(spark, sharded_events_dir):
     assert result.ok, result.detail
 
 
+def test_streaming_asof_forward_across_micro_batches(spark):
+    """J9b-streaming: the watermark-delayed FORWARD as-of must compose
+    across micro-batches — an event buffered in shard-2's batch must be
+    flushed by its key's next order arriving in shard 4 (state carries
+    the pending list), and keys whose last event never sees another
+    order must flush NULL from the end-of-input timer.  Same
+    aligned-shard replay as the backward twin; hash-matches the batch
+    q_asof_join_forward."""
+    from flink_streaming_example_spark.plans.registry import all_specs
+    from flink_streaming_example_spark.streaming.queries import (
+        asof_flush_point_ms,
+        asof_forward_stream,
+        asof_union_stream,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    orders = load_table(spark, SF_DIR, "orders")
+    lo_e, hi_e = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    lo_o, hi_o = orders.agg(
+        F.min("o_orderdate"), F.max("o_orderdate")
+    ).collect()[0]
+    lo, hi = min(lo_e, lo_o), max(hi_e, hi_o)
+    bounds = [lo + (hi - lo) * k / N_SHARDS for k in range(N_SHARDS + 1)]
+    ev_dir = tempfile.mkdtemp(prefix="asoff_ev_shards_")
+    ord_dir = tempfile.mkdtemp(prefix="asoff_ord_shards_")
+    _write_time_aligned_shards(
+        ev.select("event_id", "ts", "user_id"), "ts", bounds, ev_dir
+    )
+    _write_time_aligned_shards(
+        orders.select("o_custkey", "o_orderdate"),
+        "o_orderdate",
+        bounds,
+        ord_dir,
+    )
+    ev_s = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ev_dir)
+    )
+    ord_s = (
+        spark.readStream.schema("o_custkey long, o_orderdate timestamp_ntz")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ord_dir)
+    )
+    enriched = asof_forward_stream(
+        asof_union_stream(ev_s, ord_s),
+        asof_flush_point_ms(spark, SF_DIR),
+    )
+    got, batches = _drain(spark, enriched, "append")
+    assert batches >= N_SHARDS
+    got = got.select(
+        "event_id",
+        "user_id",
+        F.timestamp_micros(F.col("next_order_us"))
+        .cast("timestamp_ntz")
+        .alias("next_order_date"),
+    )
+    want = all_specs()["q_asof_join_forward"].fn(spark, SF_DIR)
+    result = compare_frames(got.toPandas(), want.toPandas())
+    assert result.ok, result.detail
+
+
+def test_broadcast_rules_update_between_micro_batches(spark, sharded_events_dir):
+    """P3 dynamic rules, IN-RUN variant (round-6 advice item 5): the
+    rules change BETWEEN MICRO-BATCHES of a single streaming run and
+    every batch's output must carry the rules version current when it
+    ran.  The Spark-idiomatic mechanism is foreachBatch with a fresh
+    per-batch dimension read — an in-plan stream-static join snapshots
+    the static side's FILE LISTING at plan time, so mid-run file
+    updates are not reliably visible there (that pattern is proven
+    across checkpointed restarts in test_broadcast_rules_update_between_runs);
+    foreachBatch re-reads are the documented refresh path.  The sink
+    callback runs synchronously on the driver between batches, so
+    bumping the rules AFTER batch k deterministically makes batch k+1
+    read version k+2."""
+
+
+    rules_dir = tempfile.mkdtemp(prefix="rules_inrun_")
+    out_dir = tempfile.mkdtemp(prefix="rules_inrun_out_")
+    types = ["click", "view", "purchase", "signup", "error"]
+
+    def write_rules(version: int):
+        spark.createDataFrame(
+            [(t, f"v{version}:{t}") for t in types],
+            "event_type string, rule_label string",
+        ).write.mode("overwrite").parquet(rules_dir)
+
+    write_rules(1)
+
+    def enrich_batch(batch_df, batch_id: int):
+        rules = spark.read.parquet(rules_dir)  # fresh listing per batch
+        (
+            batch_df.join(F.broadcast(rules), "event_type")
+            .withColumn("batch_id", F.lit(batch_id))
+            .select("event_id", "event_type", "rule_label", "batch_id")
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+        write_rules(batch_id + 2)  # next batch must see this version
+
+    ev = _replay(spark, sharded_events_dir)
+    q = (
+        ev.writeStream.foreachBatch(enrich_batch)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="rules_inrun_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out_dir)
+    n_batches = got.agg(F.countDistinct("batch_id")).collect()[0][0]
+    assert n_batches >= N_SHARDS
+    # batch k ran with rules version k+1 — no stale (or future) labels
+    mismatched = got.filter(
+        ~F.col("rule_label").startswith(
+            F.concat(F.lit("v"), (F.col("batch_id") + 1).cast("string"), F.lit(":"))
+        )
+    )
+    assert mismatched.count() == 0, mismatched.limit(5).collect()
+    assert got.count() == load_table(spark, SF_DIR, "events").count()
+
+
 def test_cep_funnel_across_micro_batches(spark, time_ordered_shards_dir):
     """P4-streaming: the funnel automaton's two-timestamp state must
     compose across micro-batches — a click in shard 1 matched by a
