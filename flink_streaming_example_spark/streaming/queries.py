@@ -867,6 +867,7 @@ def q_streaming_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from flink_streaming_example_spark.operators.joins import (  # noqa: E402
     _ASOF_FWD_ORACLE as _ASOF_FWD_STREAM_ORACLE,
+    _ASOF_NEAREST_ORACLE as _ASOF_NEAREST_STREAM_ORACLE,
     _ASOF_ORACLE as _STREAM_ASOF_ORACLE,
 )
 
@@ -1079,6 +1080,142 @@ def q_streaming_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_micros(F.col("next_order_us"))
         .cast("timestamp_ntz")
         .alias("next_order_date"),
+    )
+
+
+def asof_nearest_stream(union_df: DataFrame, flush_after_ms: int) -> DataFrame:
+    """J9c-streaming (round 7): NEAREST as-of — the composition of the
+    backward carry (asof_stream) and the forward buffer
+    (asof_forward_stream) in ONE keyed state function.  Each event
+    snapshots the current backward carry when it arrives, then waits;
+    the key's next order supplies the forward candidate and the closer
+    side wins (ties toward the earlier/backward date, mirroring
+    _asof_nearest); events with no later order resolve to their
+    backward snapshot at the end-of-input timer.  State per key is the
+    O(1) carry plus the pending buffer — the same
+    bounded-by-next-order/horizon profile as the forward twin."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def nearest(key, pdfs, state: GroupState):
+        (user_id,) = key
+
+        def resolve(t_us, bwd_us, fwd_us):
+            # closer side wins; tie -> backward (earlier date); a
+            # missing side concedes.  Mirrors operators/joins.py::
+            # _asof_nearest exactly (dist = least of the two).
+            if bwd_us < 0 and fwd_us is None:
+                return None, None
+            if bwd_us < 0:
+                return fwd_us, fwd_us - t_us
+            if fwd_us is None:
+                return bwd_us, t_us - bwd_us
+            db, df_ = t_us - bwd_us, fwd_us - t_us
+            return (bwd_us, db) if db <= df_ else (fwd_us, df_)
+
+        def frame(rows):
+            return pd.DataFrame(
+                {
+                    "event_id": pd.array([r[0] for r in rows], dtype="Int64"),
+                    "user_id": pd.array(
+                        [user_id] * len(rows), dtype="Int64"
+                    ),
+                    "nearest_us": pd.array(
+                        [r[1] for r in rows], dtype="Int64"
+                    ),
+                    "dist_us": pd.array([r[2] for r in rows], dtype="Int64"),
+                }
+            )
+
+        if state.hasTimedOut:
+            _last, ids, ts, bwds = state.get
+            state.remove()
+            yield frame(
+                [
+                    (i, *resolve(t, b, None))
+                    for i, t, b in zip(ids, ts, bwds)
+                ]
+            )
+            return
+        last_us, ids, ts, bwds = (
+            state.get if state.exists else (-1, [], [], [])
+        )
+        ids, ts, bwds = list(ids), list(ts), list(bwds)
+        pdf = pd.concat(list(pdfs)).sort_values(
+            ["t_us", "side"], ascending=[True, False]
+        )
+        out = []
+        for t_us, side, event_id in zip(
+            pdf["t_us"], pdf["side"], pdf["event_id"]
+        ):
+            if side == 1:
+                ids.append(int(event_id))
+                ts.append(int(t_us))
+                bwds.append(last_us)
+            else:
+                T = int(t_us)
+                out.extend(
+                    (i, *resolve(t, b, T)) for i, t, b in zip(ids, ts, bwds)
+                )
+                ids.clear(); ts.clear(); bwds.clear()
+                last_us = T
+        state.update((last_us, ids, ts, bwds))
+        state.setTimeoutTimestamp(
+            max(flush_after_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        yield frame(out)
+
+    u = union_df.withColumn(
+        "ts_wm", F.timestamp_micros(F.col("t_us"))
+    ).withWatermark("ts_wm", "0 seconds")
+    return u.groupBy("user_id").applyInPandasWithState(
+        nearest,
+        outputStructType=(
+            "event_id long, user_id long, nearest_us long, dist_us long"
+        ),
+        stateStructType=(
+            "last_us long, ids array<long>, ts array<long>, "
+            "bwds array<long>"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+@register(
+    "q_streaming_asof_nearest",
+    oracle=_ASOF_NEAREST_STREAM_ORACLE,
+    tags=("streaming",),
+)
+def q_streaming_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9c-streaming: each event matched to its key's CLOSEST order on
+    either side of the event time, executed through the streaming
+    engine (backward carry + watermark-delayed forward buffer in one
+    keyed state function).  With q_streaming_asof and
+    q_streaming_asof_forward this gives the full as-of family streaming
+    twins; hash-matches the batch q_asof_join_nearest oracle on the
+    bounded replay."""
+    from flink_streaming_example_spark.sources.streams import (
+        orders_file_replay,
+    )
+
+    u = asof_union_stream(
+        events_file_replay(spark, sf_dir),
+        orders_file_replay(spark, sf_dir),
+    )
+    res = run_to_memory(
+        asof_nearest_stream(u, asof_flush_point_ms(spark, sf_dir)),
+        spark,
+        output_mode="append",
+        shuffle_partitions=None,
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        F.timestamp_micros(F.col("nearest_us"))
+        .cast("timestamp_ntz")
+        .alias("nearest_order_date"),
+        "dist_us",
     )
 
 

@@ -495,6 +495,69 @@ def test_streaming_asof_forward_across_micro_batches(spark):
     assert result.ok, result.detail
 
 
+def test_streaming_asof_nearest_across_micro_batches(spark):
+    """J9c-streaming: the combined backward-carry + forward-buffer
+    state must compose across micro-batches — an event's backward
+    snapshot can come from shard 1, its forward candidate from shard 4,
+    and the closer side must win exactly as in the batch
+    q_asof_join_nearest."""
+    from flink_streaming_example_spark.plans.registry import all_specs
+    from flink_streaming_example_spark.streaming.queries import (
+        asof_flush_point_ms,
+        asof_nearest_stream,
+        asof_union_stream,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    orders = load_table(spark, SF_DIR, "orders")
+    lo_e, hi_e = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    lo_o, hi_o = orders.agg(
+        F.min("o_orderdate"), F.max("o_orderdate")
+    ).collect()[0]
+    lo, hi = min(lo_e, lo_o), max(hi_e, hi_o)
+    bounds = [lo + (hi - lo) * k / N_SHARDS for k in range(N_SHARDS + 1)]
+    ev_dir = tempfile.mkdtemp(prefix="asofn_ev_shards_")
+    ord_dir = tempfile.mkdtemp(prefix="asofn_ord_shards_")
+    _write_time_aligned_shards(
+        ev.select("event_id", "ts", "user_id"), "ts", bounds, ev_dir
+    )
+    _write_time_aligned_shards(
+        orders.select("o_custkey", "o_orderdate"),
+        "o_orderdate",
+        bounds,
+        ord_dir,
+    )
+    ev_s = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ev_dir)
+    )
+    ord_s = (
+        spark.readStream.schema("o_custkey long, o_orderdate timestamp_ntz")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ord_dir)
+    )
+    enriched = asof_nearest_stream(
+        asof_union_stream(ev_s, ord_s),
+        asof_flush_point_ms(spark, SF_DIR),
+    )
+    got, batches = _drain(spark, enriched, "append")
+    assert batches >= N_SHARDS
+    got = got.select(
+        "event_id",
+        "user_id",
+        F.timestamp_micros(F.col("nearest_us"))
+        .cast("timestamp_ntz")
+        .alias("nearest_order_date"),
+        "dist_us",
+    )
+    want = all_specs()["q_asof_join_nearest"].fn(spark, SF_DIR)
+    result = compare_frames(got.toPandas(), want.toPandas())
+    assert result.ok, result.detail
+
+
 def test_broadcast_rules_update_between_micro_batches(spark, sharded_events_dir):
     """P3 dynamic rules, IN-RUN variant (round-6 advice item 5): the
     rules change BETWEEN MICRO-BATCHES of a single streaming run and

@@ -40,6 +40,8 @@ _STATE_FN_KEYS = {
     "q_stateful_counter",
     "q_streaming_cep",
     "q_streaming_asof",
+    "q_streaming_asof_forward",
+    "q_streaming_asof_nearest",
     "q_streaming_topn",
 }
 # Expected state-store operator shape per key (lastProgress
@@ -57,6 +59,8 @@ _EXPECTED_STATE_OPS = {
     "q_stateful_counter": ["applyInPandasWithState"],
     "q_streaming_cep": ["applyInPandasWithState"],
     "q_streaming_asof": ["applyInPandasWithState"],
+    "q_streaming_asof_forward": ["applyInPandasWithState"],
+    "q_streaming_asof_nearest": ["applyInPandasWithState"],
     "q_streaming_topn": ["applyInPandasWithState"],
 }
 
