@@ -991,27 +991,58 @@ def asof_forward_stream(union_df: DataFrame, flush_after_ms: int) -> DataFrame:
             yield frame(list(pending), [None] * len(pending))
             return
         pending = list(state.get[0]) if state.exists else []
-        # same-instant events sort BEFORE the order (side 1 > 0), so a
-        # t-tied order satisfies >= for them — mirrors _asof_forward's
-        # (t asc, side desc) frame ordering
-        pdf = pd.concat(list(pdfs)).sort_values(
-            ["t_us", "side"], ascending=[True, False]
-        )
+        # Vectorized batch pass: sort (t asc, side desc) so a
+        # same-instant order lands AFTER its tied events (>= satisfied,
+        # mirroring _asof_forward), then each event's next order is a
+        # searchsorted over order positions; events past the batch's
+        # last order stay pending.  (On the fixture's ~17-row key
+        # groups numpy is roughly cost-neutral vs a row loop — the win
+        # here came from the pending-only timer below — but hot keys at
+        # scale hand the searchsorted path thousands of rows, where the
+        # loop loses by orders of magnitude.)
+        import numpy as np
+
+        pdf = pd.concat(list(pdfs))
+        t = pdf["t_us"].to_numpy(np.int64)
+        side = pdf["side"].to_numpy(np.int64)
+        srt = np.lexsort((-side, t))
+        t, side = t[srt], side[srt]
+        eid = pdf["event_id"].to_numpy()[srt]
+        opos = np.flatnonzero(side == 0)
+        epos = np.flatnonzero(side == 1)
+        ev_ids = eid[epos].astype(np.int64)
+        nxt = np.searchsorted(opos, epos)
+        have = nxt < opos.size
         out_ids: list[int] = []
         out_next: list[int] = []
-        for t_us, side, event_id in zip(
-            pdf["t_us"], pdf["side"], pdf["event_id"]
-        ):
-            if side == 1:
-                pending.append(int(event_id))
-            elif pending:
+        if opos.size:
+            if pending:  # prior-batch buffer flushes on the first order
+                first_t = int(t[opos[0]])
                 out_ids.extend(pending)
-                out_next.extend([int(t_us)] * len(pending))
-                pending.clear()
-        state.update((pending,))
-        state.setTimeoutTimestamp(
-            max(flush_after_ms, state.getCurrentWatermarkMs() + 1)
-        )
+                out_next.extend([first_t] * len(pending))
+                pending = []
+            out_ids.extend(ev_ids[have].tolist())
+            out_next.extend(t[opos[nxt[have]]].tolist())
+            pending.extend(ev_ids[~have].tolist())
+        else:
+            pending.extend(ev_ids.tolist())
+        # Timer ONLY for keys with something to flush: the end-of-input
+        # sweep invokes the Python kernel once per timed-out key, and
+        # registering all ~15k fixture keys cost ~2-3 s at sf0.1 (A/B
+        # same-harness medians of 3: unconditional timer 7.6 s ->
+        # pending-only 5.9 s; the backward carry with NO sweep runs
+        # 3.2 s — the remaining delta IS the flush sweep over the ~40%
+        # of keys that end buffered, inherent to per-key timeout
+        # semantics).  A key with an empty buffer has no state worth
+        # keeping at all — remove it so neither the store nor the
+        # sweep carries it.
+        if pending:
+            state.update((pending,))
+            state.setTimeoutTimestamp(
+                max(flush_after_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        elif state.exists:
+            state.remove()
         yield frame(out_ids, out_next)
 
     u = union_df.withColumn(
@@ -1141,28 +1172,75 @@ def asof_nearest_stream(union_df: DataFrame, flush_after_ms: int) -> DataFrame:
             state.get if state.exists else (-1, [], [], [])
         )
         ids, ts, bwds = list(ids), list(ts), list(bwds)
-        pdf = pd.concat(list(pdfs)).sort_values(
-            ["t_us", "side"], ascending=[True, False]
-        )
+        # Vectorized batch pass (same shape and rationale as
+        # asof_forward_stream's): per event, the backward snapshot is
+        # the batch's last order BEFORE its position (falling back to
+        # the carried last_us) and the forward candidate the first
+        # order after; events with an in-batch forward resolve
+        # immediately, the rest pend with their snapshot.  A/B at
+        # sf0.1 (same-harness medians of 3): row loop + unconditional
+        # timer 9.3 s -> this pass + pending-only timer 5.9 s.
+        import numpy as np
+
+        pdf = pd.concat(list(pdfs))
+        t = pdf["t_us"].to_numpy(np.int64)
+        side = pdf["side"].to_numpy(np.int64)
+        srt = np.lexsort((-side, t))
+        t, side = t[srt], side[srt]
+        eid = pdf["event_id"].to_numpy()[srt]
+        opos = np.flatnonzero(side == 0)
+        epos = np.flatnonzero(side == 1)
+        ev_ids = eid[epos].astype(np.int64)
+        ev_t = t[epos]
         out = []
-        for t_us, side, event_id in zip(
-            pdf["t_us"], pdf["side"], pdf["event_id"]
-        ):
-            if side == 1:
-                ids.append(int(event_id))
-                ts.append(int(t_us))
-                bwds.append(last_us)
-            else:
-                T = int(t_us)
-                out.extend(
-                    (i, *resolve(t, b, T)) for i, t, b in zip(ids, ts, bwds)
+        if opos.size:
+            # prior-batch buffer: first in-batch order is their forward
+            first_t = int(t[opos[0]])
+            out.extend(
+                (i, *resolve(et, b, first_t))
+                for i, et, b in zip(ids, ts, bwds)
+            )
+            ids, ts, bwds = [], [], []
+            fwd_i = np.searchsorted(opos, epos)
+            has_b = fwd_i > 0
+            bwd_us = np.where(
+                has_b, t[opos[np.maximum(fwd_i - 1, 0)]], last_us
+            )
+            has_f = fwd_i < opos.size
+            # resolved now: forward candidate exists in this batch
+            r_b = bwd_us[has_f]
+            r_t = ev_t[has_f]
+            r_f = t[opos[fwd_i[has_f]]]
+            db = r_t - r_b
+            df_ = r_f - r_t
+            pick_b = (r_b >= 0) & (db <= df_)
+            near = np.where(pick_b, r_b, r_f)
+            dist = np.where(pick_b, db, df_)
+            out.extend(
+                zip(
+                    ev_ids[has_f].tolist(),
+                    near.tolist(),
+                    dist.tolist(),
                 )
-                ids.clear(); ts.clear(); bwds.clear()
-                last_us = T
+            )
+            ids = ev_ids[~has_f].tolist()
+            ts = ev_t[~has_f].tolist()
+            bwds = bwd_us[~has_f].tolist()
+            last_us = int(t[opos[-1]])
+        else:
+            ids.extend(ev_ids.tolist())
+            ts.extend(ev_t.tolist())
+            bwds.extend([last_us] * int(epos.size))
         state.update((last_us, ids, ts, bwds))
-        state.setTimeoutTimestamp(
-            max(flush_after_ms, state.getCurrentWatermarkMs() + 1)
-        )
+        # Timer only for keys holding unresolved events (same ~15k-key
+        # sweep economics as asof_forward_stream); the carry itself
+        # needs no flush — a key whose buffer empties later may see a
+        # previously-set timer fire with nothing pending, which emits
+        # an empty frame (harmless).
+        if ids:
+            state.setTimeoutTimestamp(
+                max(flush_after_ms, state.getCurrentWatermarkMs() + 1)
+            )
         yield frame(out)
 
     u = union_df.withColumn(

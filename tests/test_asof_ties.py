@@ -159,3 +159,103 @@ def test_same_instant_order_is_distance_zero_on_both_sides(spark):
     f = _asof_forward(u).collect()[0]
     assert str(b.last_order_date) == "2024-01-10 12:00:00"
     assert str(f.next_order_date) == "2024-01-10 12:00:00"
+
+
+def _drain_stream(spark, sdf, name):
+    import tempfile
+
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="asofties_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def test_streaming_nearest_tie_and_timeout_fallback(spark):
+    """The STREAMING nearest kernel's resolve logic on the same pinned
+    boundaries the batch path gets: an exactly-equidistant event must
+    take the EARLIER date (backward), and a trailing event with no
+    later order must resolve to its backward snapshot from the
+    end-of-input timer — not be dropped."""
+    import tempfile
+    from datetime import datetime, timezone
+
+    from flink_streaming_example_spark.streaming.queries import (
+        asof_forward_stream,
+        asof_nearest_stream,
+        asof_union_stream,
+    )
+
+    ev_dir = tempfile.mkdtemp(prefix="asofties_ev_")
+    ord_dir = tempfile.mkdtemp(prefix="asofties_ord_")
+    spark.createDataFrame(
+        [(1, "2024-01-10 12:00:00", 10), (2, "2024-01-20 00:00:00", 10)],
+        "event_id long, ts string, user_id long",
+    ).select(
+        "event_id", F.col("ts").cast("timestamp_ntz").alias("ts"), "user_id"
+    ).write.mode("overwrite").parquet(ev_dir)
+    spark.createDataFrame(
+        [(10, "2024-01-10 00:00:00"), (10, "2024-01-11 00:00:00")],
+        "o_custkey long, o_orderdate string",
+    ).select(
+        "o_custkey",
+        F.col("o_orderdate").cast("timestamp_ntz").alias("o_orderdate"),
+    ).write.mode("overwrite").parquet(ord_dir)
+
+    ev_s = spark.readStream.schema(
+        "event_id long, ts timestamp_ntz, user_id long"
+    ).parquet(ev_dir)
+    ord_s = spark.readStream.schema(
+        "o_custkey long, o_orderdate timestamp_ntz"
+    ).parquet(ord_dir)
+    u = asof_union_stream(ev_s, ord_s)
+    flush_ms = (
+        int(
+            datetime(2024, 1, 20, tzinfo=timezone.utc).timestamp() * 1000
+        )
+        - 1
+    )
+    got = {
+        r.event_id: (r.nearest_us, r.dist_us)
+        for r in _drain_stream(
+            spark,
+            asof_nearest_stream(u, flush_ms),
+            "asofties_nearest",
+        ).collect()
+    }
+    us = 1_000_000
+    # E1: equidistant 12h either side -> earlier order wins
+    assert got[1] == (
+        int(datetime(2024, 1, 10, tzinfo=timezone.utc).timestamp()) * us,
+        12 * 3600 * us,
+    )
+    # E2: no later order -> backward snapshot via the end-of-input timer
+    assert got[2] == (
+        int(datetime(2024, 1, 11, tzinfo=timezone.utc).timestamp()) * us,
+        9 * 24 * 3600 * us,
+    )
+
+    u2 = asof_union_stream(
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long"
+        ).parquet(ev_dir),
+        spark.readStream.schema(
+            "o_custkey long, o_orderdate timestamp_ntz"
+        ).parquet(ord_dir),
+    )
+    fwd = {
+        r.event_id: r.next_order_us
+        for r in _drain_stream(
+            spark, asof_forward_stream(u2, flush_ms), "asofties_forward"
+        ).collect()
+    }
+    # E1's next order is the later one; E2 has none -> NULL, not dropped
+    assert fwd[1] == int(
+        datetime(2024, 1, 11, tzinfo=timezone.utc).timestamp()
+    ) * us
+    assert fwd[2] is None
