@@ -119,3 +119,42 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("pack_tokens"),
         )
     )
+
+
+# Weighted Bernoulli sampling: include a document with probability
+# proportional to its weight (here n_chars, capped at _WEIGHT_CAP so a
+# single giant document cannot exceed probability 1).  The coin flip is
+# the same engine-portable md5 integer hash as q_sample_hash — include
+# iff hash(doc_id) mod CAP < min(weight, CAP) — so the sample is a
+# pure function of the row: reproducible across engines, partitionings
+# and reruns, and integer-exact (no float RNG, nothing to drift).
+# This is the importance-sampling primitive LLM pipelines use to
+# up-weight long / high-quality documents without a shuffle: the
+# filter is row-local and runs inside the scan's codegen stage.
+_WEIGHT_CAP = 600
+
+_WEIGHTED_ORACLE = f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+      AS BIGINT) % {_WEIGHT_CAP}
+    < LEAST(n_chars, {_WEIGHT_CAP})
+"""
+
+
+@register("q_weighted_sample", oracle=_WEIGHTED_ORACLE, tags=("sampling", "llm"))
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted Bernoulli sample: keep each document with
+    probability min(n_chars, 600)/600 via the deterministic md5 coin
+    (comment above) — row-local, shuffle-free, reproducible.  Output
+    is the sampled rows themselves so the selection is hash-checked
+    row-for-row, not just in aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    coin = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % _WEIGHT_CAP
+    )
+    return docs.where(
+        coin < F.least(F.col("n_chars"), F.lit(_WEIGHT_CAP))
+    ).select("doc_id", "lang", "n_chars")

@@ -1,0 +1,144 @@
+"""Count-Min-sketch heavy hitters — the two-pass frequent-items
+pattern for 100 TB corpora (SURVEY.md §2.9 mandate, beyond the
+reference surface, next to the HLL / GK sketches in aggregations.py).
+
+At scale you never `GROUP BY token` over the full corpus to find the
+frequent ones: the token stream is orders of magnitude larger than its
+vocabulary, and the vocabulary itself can exceed executor memory.  The
+standard answer (Cormode & Muthukrishnan's Count-Min sketch) is a
+d x w counter grid updated at d hash positions per token.  Mapped to
+Spark's execution model each property falls out of an aggregation
+shape:
+
+- pass 1 (sketch build): explode each token into its d (depth, bucket)
+  cells and `GROUP BY depth, bucket` — the shuffle cardinality is the
+  SKETCH size (d*w cells, constant), not the vocabulary.  Partial
+  aggregation does the map-side combine, which is exactly the
+  "mergeable sketch" property of CMS.
+- pass 2 (candidate probe): each distinct token's estimate is the MIN
+  over its d cells, taken via a broadcast join against the tiny sketch
+  — no second full shuffle beyond the vocabulary-sized distinct.
+- pass 3 (exact verify): CMS only OVER-estimates (no false negatives),
+  so exact-counting just the candidate set — a broadcast semi-join
+  then a candidates-only GROUP BY — yields exactly the true heavy
+  hitters.  The only full-cardinality aggregation in the whole plan is
+  over the (tiny) candidate vocabulary.
+
+Because the verify pass removes CMS false positives and the guarantee
+removes false negatives, the output is bit-equal to the exact
+`HAVING count*K >= total` answer — which is the DuckDB oracle, making
+a probabilistic data structure fully hash-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_streaming_example_spark.plans.registry import register
+from flink_streaming_example_spark.sources.tables import load_table
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 256
+# phi = 1/_HH_K of all tokens makes a word a heavy hitter.  The
+# synthetic corpus has a 31-word vocabulary with a shallow frequency
+# gradient; 1/30 lands the threshold mid-gradient so the sketch filter
+# actually discriminates (~12 of 31 words pass at sf0.01).
+_HH_K = 30
+
+
+def _bucket(col, depth: int):
+    """Row-hash for CMS row `depth`: first 8 md5 hex digits of the
+    salted token, mod width — the same engine-portable integer-hash
+    idiom as sampling.q_sample_hash (md5 is bit-identical in Spark
+    and DuckDB, so the sketch geometry is reproducible anywhere)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{depth}:"), col)), 1, 8), 16, 10
+        ).cast("long")
+        % _CMS_WIDTH
+    )
+
+
+_HEAVY_ORACLE = f"""
+WITH words AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
+), tot AS (
+  SELECT COUNT(*) AS n FROM words
+)
+SELECT word, CAST(COUNT(*) AS BIGINT) AS n_occ
+FROM words
+GROUP BY word
+HAVING COUNT(*) * {_HH_K} >= (SELECT n FROM tot)
+"""
+
+
+def cms_estimates(tokens: DataFrame) -> DataFrame:
+    """(word, est) for every distinct token of `tokens[word]`: est is
+    the Count-Min estimate — MIN over the token's d sketch cells,
+    probed via a broadcast join against the d*w-cell sketch.  The CMS
+    guarantee (est >= true count, always) is what makes the heavy-
+    hitter filter free of false negatives; it is pinned as a property
+    test in tests/test_sketches.py."""
+    # pass 1: d*w-cell sketch (shuffle cardinality = sketch size)
+    cells = tokens.select(
+        F.posexplode(
+            F.array(
+                *[_bucket(F.col("word"), d) for d in range(_CMS_DEPTH)]
+            )
+        ).alias("depth", "bucket")
+    )
+    sketch = cells.groupBy("depth", "bucket").agg(
+        F.count(F.lit(1)).alias("cell")
+    )
+
+    # pass 2: per-distinct-token min-over-depths estimate via a
+    # broadcast join against the 1024-row sketch.
+    vocab = tokens.distinct()
+    probes = vocab.select(
+        "word",
+        F.posexplode(
+            F.array(
+                *[_bucket(F.col("word"), d) for d in range(_CMS_DEPTH)]
+            )
+        ).alias("depth", "bucket"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["depth", "bucket"])
+        .groupBy("word")
+        .agg(F.min("cell").alias("est"))
+    )
+
+
+@register("q_heavy_hitters", oracle=_HEAVY_ORACLE, tags=("sketch", "llm"))
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent tokens (count >= total/30) via Count-Min sketch +
+    exact verification — the scale-safe frequent-items plan (module
+    docstring): sketch build shuffles d*w=1024 cells, candidate probe
+    is a broadcast join, and the only per-token aggregation runs over
+    the sketch-filtered candidate set.  Exactly equals the oracle's
+    exhaustive GROUP BY because CMS has no false negatives and the
+    verify pass drops its false positives."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    )
+    total = tokens.agg(F.count(F.lit(1)).alias("total"))
+
+    # sketch estimates never under-count, so this filter keeps every
+    # true heavy hitter (plus possibly a few collision-inflated words)
+    candidates = cms_estimates(tokens).join(
+        F.broadcast(total), how="cross"
+    ).where(F.col("est") * _HH_K >= F.col("total"))
+
+    # pass 3: exact counts for candidates only -> drops false positives
+    exact = (
+        tokens.join(
+            F.broadcast(candidates.select("word")), "word", "left_semi"
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    return exact.join(F.broadcast(total), how="cross").where(
+        F.col("n_occ") * _HH_K >= F.col("total")
+    ).select("word", "n_occ")
