@@ -288,6 +288,71 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Exact type-1 quantiles by INTEGER rank arithmetic: the target rank
+# is ceil(p*n) computed as (num*n + den - 1) // den, never p*n in
+# doubles (0.9 * 10 is 9.000000000000002 in IEEE — a float ceil would
+# off-by-one on exact multiples), and the selected value is an ACTUAL
+# data value at a deterministic total order (value, key tiebreak) —
+# no interpolation, so nothing for two engines to round differently.
+_PCTL_RANKS = (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+
+_PCTL_ORACLE = f"""
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice, o_orderkey) AS rn,
+    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+)
+SELECT o_orderpriority,
+  CAST(MAX(n) AS BIGINT) AS n_orders,
+  {", ".join(
+      f"MAX(CASE WHEN rn = ({num} * n + {den - 1}) // {den} "
+      f"THEN o_totalprice END) AS {label}"
+      for label, num, den in _PCTL_RANKS
+  )}
+FROM ranked
+GROUP BY o_orderpriority
+"""
+
+
+@register("q_percentile_exact", oracle=_PCTL_ORACLE, tags=("agg",))
+def q_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-depth: exact p50/p90/p99 of order totals per priority — the
+    bit-exact twin of q_approx_quantiles' GK sketch, via type-1
+    (discrete) quantiles at integer ranks (comment above: no float
+    rank arithmetic, no interpolation — the two places exact
+    quantiles drift across engines).  Plan: one window sort per
+    priority group then a 5-group conditional aggregate.  At 100 TB
+    the per-key sort is the cost ceiling and the GK sketch is the
+    right default; this key is the audit tool you run on the slice
+    where the sketch's error bound isn't good enough."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    ranked = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("o_orderpriority"))
+        .alias("n"),
+    )
+    aggs = [F.max("n").cast("long").alias("n_orders")]
+    for label, num, den in _PCTL_RANKS:
+        # integer DIV keeps the ceil computation out of doubles
+        target = F.expr(f"(n * {num} + {den - 1}) div {den}")
+        aggs.append(
+            F.max(
+                F.when(F.col("rn") == target, F.col("o_totalprice"))
+            ).alias(label)
+        )
+    return ranked.groupBy("o_orderpriority").agg(*aggs)
+
+
 _CUBE_ORACLE = f"""
 SELECT
   l_returnflag,

@@ -543,6 +543,79 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(joined, spark, output_mode="append")
 
 
+# Left-outer stream-stream emission rule, mirrored exactly: a null-
+# padded row for an unmatched click is emitted only once the joint
+# watermark has passed the end of the click's match interval (c_ts +
+# 24h) — before that the engine must hold the click in state because a
+# matching purchase could still arrive.  The final watermark of the
+# bounded replay is max event time truncated to Spark's millisecond
+# watermark precision minus the 1h delay, so the oracle admits an
+# unmatched click iff c_ts + 24h < floor_ms(max_ts) - 1h.  Clicks in
+# the last 25h of the timeline stay in state at end-of-input — exactly
+# Flink's outer interval-join behavior — and the oracle excludes them
+# the same way.
+_STREAM_INTERVAL_OUTER_ORACLE = """
+WITH c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'click'),
+     p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'purchase'),
+     wm AS (SELECT (epoch_us(MAX(CAST(ts AS TIMESTAMP))) // 1000) * 1000
+                   - 3600000000 AS w_us
+            FROM events)
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+FROM c LEFT JOIN p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 24 HOURS
+WHERE p.event_id IS NOT NULL
+   OR epoch_us(c.ts) + 86400000000 < (SELECT w_us FROM wm)
+"""
+
+
+@register(
+    "q_streaming_interval_join_outer",
+    oracle=_STREAM_INTERVAL_OUTER_ORACLE,
+    tags=("streaming",),
+)
+def q_streaming_interval_join_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """J7-streaming, LEFT OUTER: the watermark-gated outer interval
+    join (Flink's intervalJoin with OuterJoinedSide) — unmatched
+    clicks surface as null-padded rows once the watermark proves no
+    purchase can still match (oracle comment above spells out the
+    emission rule the SQL mirrors).  Same symmetric hash-join state
+    and eviction as the inner twin; the outer side only adds the
+    emit-on-eviction path."""
+    clicks = (
+        events_file_replay(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        events_file_replay(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (clicks.user_id == purchases.p_user_id)
+        & (purchases.p_ts >= clicks.c_ts)
+        & (purchases.p_ts <= clicks.c_ts + F.expr("INTERVAL 24 HOURS")),
+        "left_outer",
+    ).select("click_id", "purchase_id", "user_id")
+    return run_to_memory(joined, spark, output_mode="append")
+
+
 _INACTIVITY_ORACLE = """
 SELECT user_id, last_seen
 FROM (SELECT user_id, max(CAST(ts AS TIMESTAMP)) AS last_seen
