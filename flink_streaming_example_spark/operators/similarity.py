@@ -377,6 +377,139 @@ def q_knn_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("rn") <= 5)
 
 
+# ---------------------------------------------------------------- PQ
+# Product quantization (Jégou et al., "Product Quantization for
+# Nearest Neighbor Search", PAMI 2011): split the 64-dim space into
+# M=4 16-dim subspaces, quantize each subvector against a per-subspace
+# codebook of K=8 codes, and answer queries with the asymmetric
+# distance (ADC): the RAW query subvector's distance to each corpus
+# vector's CODE centroid, summed over subspaces.  The corpus side of
+# the query join carries only (vec_id, m, code) — 4 small ints per
+# vector instead of 64 floats, which is the entire point at 100 TB:
+# the scan that scores the corpus reads the code table (a ~100x
+# compression), and the 10-query x 4-subspace x 8-code distance table
+# (320 rows) rides along as a broadcast.
+#
+# Determinism (oracle-checkable like the other quantizers): codebooks
+# are the subvectors of the 8 seed vectors (vec_id < 8, same seeding
+# rule as q_knn_kmeans — a Lloyd refinement would reuse that key's
+# per-dimension decimal-mean step per subspace); code assignment ranks
+# the 1e-6-rounded subspace L2^2 with a code-id tiebreaker; the ADC
+# sum runs in DECIMAL(18,6) (each rounded subdistance casts exactly,
+# and a decimal sum is merge-order-free in both engines).
+
+_PQ_M = 4  # subspaces
+_PQ_SUBDIM = 16  # dims per subspace
+_PQ_K = 8  # codes per subspace
+
+_PQ_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), sub AS (
+  SELECT vec_id, m.m,
+         v[m.m * {_PQ_SUBDIM} + 1 : (m.m + 1) * {_PQ_SUBDIM}] AS vs
+  FROM e, (SELECT unnest(range({_PQ_M})) AS m) m
+), cb AS (
+  SELECT m, vec_id AS code, vs AS cbv FROM sub WHERE vec_id < {_PQ_K}
+), dist AS (
+  SELECT s.vec_id, s.m, c.code,
+    CAST(FLOOR(
+      (list_dot_product(s.vs, s.vs)
+       - 2 * list_dot_product(s.vs, c.cbv)
+       + list_dot_product(c.cbv, c.cbv)) * 1000000.0 + 0.5
+    ) AS DOUBLE) / 1000000.0 AS d2r
+  FROM sub s JOIN cb c USING (m)
+), codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2r, code) AS rn
+    FROM dist
+  ) WHERE rn = 1
+), qd AS (
+  SELECT vec_id AS query_id, m, code, d2r FROM dist WHERE vec_id < 10
+), adc AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+    CAST(SUM(CAST(q.d2r AS DECIMAL(18,6))) AS DOUBLE) AS adc_d2
+  FROM codes c JOIN qd q USING (m, code)
+  WHERE c.vec_id <> q.query_id
+  GROUP BY q.query_id, c.vec_id
+)
+SELECT query_id, neighbor_id, adc_d2, CAST(rn AS INTEGER) AS rn
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY adc_d2, neighbor_id
+  ) AS rn
+  FROM adc
+)
+WHERE rn <= 5
+"""
+
+
+@register("q_knn_pq", oracle=_PQ_ORACLE, tags=("similarity", "approx"))
+def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3d: product-quantization ANN — encode the corpus as M=4
+    per-subspace codes against seeded codebooks, score queries by
+    asymmetric distance (raw query subvector -> code centroid) summed
+    decimal-exact over subspaces, top-5 per query (block comment
+    above: compression is the scale story — the scoring join reads 4
+    small ints per corpus vector, the query-side distance table is a
+    320-row broadcast)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", _as_double("embedding").alias("v"))
+    # subvectors: (vec_id, m, vs)
+    sub = base.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("v", m * _PQ_SUBDIM + 1, _PQ_SUBDIM)
+                    for m in range(_PQ_M)
+                ]
+            )
+        ).alias("m", "vs"),
+    )
+    cb = sub.filter(F.col("vec_id") < _PQ_K).select(
+        "m", F.col("vec_id").alias("code"), F.col("vs").alias("cbv")
+    )
+    d2 = (
+        _dot("vs", "vs")
+        - F.lit(2.0) * _dot("vs", "cbv")
+        + _dot("cbv", "cbv")
+    )
+    d2r = F.floor(d2 * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "double"
+    ) / F.lit(1000000.0)
+    dist = sub.join(F.broadcast(cb), "m").select(
+        "vec_id", "m", "code", d2r.alias("d2r")
+    )
+    w_code = Window.partitionBy("vec_id", "m").orderBy("d2r", "code")
+    codes = (
+        dist.withColumn("rn", F.row_number().over(w_code))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "code")
+    )
+    qd = dist.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "m", "code", "d2r"
+    )
+    adc = (
+        codes.join(F.broadcast(qd), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(
+            F.sum(F.col("d2r").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("adc_d2")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return adc.select(
+        "query_id",
+        "neighbor_id",
+        "adc_d2",
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") <= 5)
+
+
 _CENTROID_ORACLE = """
 WITH ex AS (
   SELECT label, vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS x

@@ -47,3 +47,23 @@ def test_lsh_buckets_and_recall(spark):
     assert 0 < len(approx) <= 30
     hit = len(approx & exact_top5)
     assert hit / len(approx) >= 0.1, f"LSH precision collapsed: {hit}/{len(approx)}"
+
+
+def test_pq_adc_recall(spark):
+    """q_knn_pq: ADC top-5 from 8-code seeded codebooks must beat the
+    ~1% random baseline by an order of magnitude (measured 0.20 at
+    sf0.01 — modest by design: K=8 seeded codes per subspace and an
+    L2 ADC against a cosine ground truth; Lloyd-trained codebooks and
+    K=256 raise it) and return a full result set."""
+    specs = all_specs()
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in specs["q_knn_cosine"].fn(spark, SF_DIR).collect()
+    }
+    pq = {
+        (r["query_id"], r["neighbor_id"])
+        for r in specs["q_knn_pq"].fn(spark, SF_DIR).collect()
+    }
+    assert len(pq) == 50
+    recall = len(exact & pq) / len(exact)
+    assert recall >= 0.1, f"PQ recall collapsed: {recall:.2f}"
