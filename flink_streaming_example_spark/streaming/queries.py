@@ -547,11 +547,14 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # padded row for an unmatched click is emitted only once the joint
 # watermark has passed the end of the click's match interval (c_ts +
 # 24h) — before that the engine must hold the click in state because a
-# matching purchase could still arrive.  The final watermark of the
-# bounded replay is max event time truncated to Spark's millisecond
-# watermark precision minus the 1h delay, so the oracle admits an
-# unmatched click iff c_ts + 24h < floor_ms(max_ts) - 1h.  Clicks in
-# the last 25h of the timeline stay in state at end-of-input — exactly
+# matching purchase could still arrive.  The joint watermark follows
+# Spark's min-across-inputs policy: each side tracks its OWN max event
+# time (clicks vs purchases — NOT the global events max; the multibatch
+# test caught exactly that difference), truncated to Spark's
+# millisecond watermark precision, minus the 1h delay, and the join
+# uses the smaller.  The oracle admits an unmatched click iff
+# c_ts + 24h < that watermark; clicks in the last ~25h of the
+# slower side's timeline stay in state at end-of-input — exactly
 # Flink's outer interval-join behavior — and the oracle excludes them
 # the same way.
 _STREAM_INTERVAL_OUTER_ORACLE = """
@@ -559,9 +562,10 @@ WITH c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
            FROM events WHERE event_type = 'click'),
      p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
            FROM events WHERE event_type = 'purchase'),
-     wm AS (SELECT (epoch_us(MAX(CAST(ts AS TIMESTAMP))) // 1000) * 1000
-                   - 3600000000 AS w_us
-            FROM events)
+     wm AS (SELECT LEAST(
+              (SELECT (epoch_us(MAX(ts)) // 1000) * 1000 FROM c),
+              (SELECT (epoch_us(MAX(ts)) // 1000) * 1000 FROM p)
+            ) - 3600000000 AS w_us)
 SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
 FROM c LEFT JOIN p
   ON c.user_id = p.user_id
@@ -569,6 +573,22 @@ FROM c LEFT JOIN p
 WHERE p.event_id IS NOT NULL
    OR epoch_us(c.ts) + 86400000000 < (SELECT w_us FROM wm)
 """
+
+
+def interval_outer_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """The left-outer interval join itself, shared by the registered
+    key and the multibatch composition test: clicks(click_id, user_id,
+    c_ts) LEFT OUTER purchases(purchase_id, p_user_id, p_ts) within
+    [c_ts, c_ts + 24h], both sides on a 1h watermark."""
+    clicks = clicks.withWatermark("c_ts", "1 hour")
+    purchases = purchases.withWatermark("p_ts", "1 hour")
+    return clicks.join(
+        purchases,
+        (clicks.user_id == purchases.p_user_id)
+        & (purchases.p_ts >= clicks.c_ts)
+        & (purchases.p_ts <= clicks.c_ts + F.expr("INTERVAL 24 HOURS")),
+        "left_outer",
+    ).select("click_id", "purchase_id", "user_id")
 
 
 @register(
@@ -586,34 +606,23 @@ def q_streaming_interval_join_outer(
     emission rule the SQL mirrors).  Same symmetric hash-join state
     and eviction as the inner twin; the outer side only adds the
     emit-on-eviction path."""
-    clicks = (
-        events_file_replay(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            "user_id",
-            F.col("ts").alias("c_ts"),
-        )
-        .withWatermark("c_ts", "1 hour")
+    clicks = events_file_replay(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    ).select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("c_ts"),
     )
-    purchases = (
-        events_file_replay(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user_id"),
-            F.col("ts").alias("p_ts"),
-        )
-        .withWatermark("p_ts", "1 hour")
+    purchases = events_file_replay(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("p_ts"),
     )
-    joined = clicks.join(
-        purchases,
-        (clicks.user_id == purchases.p_user_id)
-        & (purchases.p_ts >= clicks.c_ts)
-        & (purchases.p_ts <= clicks.c_ts + F.expr("INTERVAL 24 HOURS")),
-        "left_outer",
-    ).select("click_id", "purchase_id", "user_id")
-    return run_to_memory(joined, spark, output_mode="append")
+    return run_to_memory(
+        interval_outer_join(clicks, purchases), spark, output_mode="append"
+    )
 
 
 _INACTIVITY_ORACLE = """

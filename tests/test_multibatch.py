@@ -643,3 +643,86 @@ def test_cep_funnel_across_micro_batches(spark, time_ordered_shards_dir):
     want = all_specs()["q_cep_funnel"].fn(spark, SF_DIR)
     result = compare_frames(got.toPandas(), want.toPandas())
     assert result.ok, result.detail
+
+
+def test_interval_outer_join_across_micro_batches(spark):
+    """J7-streaming LEFT OUTER: outer emission must compose across
+    micro-batches — a click held in join state through several batches
+    must surface as a null-padded row only once a LATER batch's
+    watermark passes its match deadline, while matches spanning shards
+    still pair via state.  Both topics replay on common time bounds
+    (arriving data never trails the watermark, so nothing is
+    late-dropped and the final answer must equal the registered key's
+    emission-rule oracle)."""
+    import duckdb
+
+    from flink_streaming_example_spark.plans.registry import all_specs
+    from flink_streaming_example_spark.streaming.queries import (
+        interval_outer_join,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    bounds = [lo + (hi - lo) * k / N_SHARDS for k in range(N_SHARDS + 1)]
+    c_dir = tempfile.mkdtemp(prefix="outer_click_shards_")
+    p_dir = tempfile.mkdtemp(prefix="outer_purch_shards_")
+    _write_time_aligned_shards(
+        ev.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"), "user_id", "ts"
+        ),
+        "ts",
+        bounds,
+        c_dir,
+    )
+    _write_time_aligned_shards(
+        ev.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            "ts",
+        ),
+        "ts",
+        bounds,
+        p_dir,
+    )
+
+    clicks = (
+        spark.readStream.schema(
+            "click_id long, user_id long, ts timestamp_ntz"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(c_dir)
+        .select(
+            "click_id", "user_id", F.col("ts").cast("timestamp").alias("c_ts")
+        )
+    )
+    purchases = (
+        spark.readStream.schema(
+            "purchase_id long, p_user_id long, ts timestamp_ntz"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(p_dir)
+        .select(
+            "purchase_id",
+            "p_user_id",
+            F.col("ts").cast("timestamp").alias("p_ts"),
+        )
+    )
+    got, batches = _drain(
+        spark, interval_outer_join(clicks, purchases), "append"
+    )
+    assert batches >= N_SHARDS
+    # outer rows must actually exist, and some must be genuinely
+    # cross-batch (the single-batch drain can't prove state carriage)
+    got_pdf = got.toPandas()
+    assert got_pdf.purchase_id.isna().any(), "no outer rows emitted"
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/events.parquet')"
+    )
+    want = con.execute(
+        all_specs()["q_streaming_interval_join_outer"].oracle
+    ).df()
+    result = compare_frames(got_pdf, want)
+    assert result.ok, result.detail
