@@ -463,6 +463,69 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# OHLC ordering: arg_min/min_by need ONE sortable key, and neither
+# engine orders structs in that position (DuckDB arg_min has no
+# struct overload), so open/close use an integer composite —
+# microsecond-of-day * 10^6 + event_id.  µs-of-day < 8.64e10, so the
+# composite tops out ~8.64e16 « 2^63; the event_id term makes the
+# selection deterministic even under equal timestamps.  (If ids can
+# exceed 10^6 per day at larger scales, widen the multiplier or rank
+# with a window instead.)
+_OHLC_ORACLE = """
+SELECT
+  date_trunc('day', CAST(ts AS TIMESTAMP)) AS wday,
+  user_id,
+  arg_min(value, (epoch_us(CAST(ts AS TIMESTAMP))
+                  - epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))))
+                 * 1000000 + event_id) AS open,
+  MAX(value) AS high,
+  MIN(value) AS low,
+  arg_max(value, (epoch_us(CAST(ts AS TIMESTAMP))
+                  - epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))))
+                 * 1000000 + event_id) AS close,
+  COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("q_ohlc", oracle=_OHLC_ORACLE, tags=("window", "timeseries"))
+def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-depth: OHLC downsampling — per (user, day) bar with open /
+    high / low / close / count, the classic time-series rollup (and
+    the general first/last-in-window selection primitive behind
+    hypertable-style continuous aggregates).  One shuffle keyed by
+    (day, user); open/close are min_by/max_by on the deterministic
+    integer composite above — pure value SELECTION, no float
+    arithmetic, so the bars are bit-exact cross-engine.  At 100 TB
+    this is the downsample-on-ingest shape: partial min/max/first/last
+    combine map-side, and coarser bars (hour -> day -> month) stack by
+    re-aggregating bars, not raw rows."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts").cast("timestamp"))
+    order_key = (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(day)
+    ) * F.lit(1000000) + F.col("event_id")
+    return (
+        ev.select(
+            day.alias("wday"),
+            "user_id",
+            "event_id",
+            "value",
+            order_key.alias("ok"),
+        )
+        .groupBy("wday", "user_id")
+        .agg(
+            F.min_by("value", "ok").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ok").alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
 _DELTA_ORACLE = """
 SELECT
   event_id,
