@@ -158,3 +158,89 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.where(
         coin < F.least(F.col("n_chars"), F.lit(_WEIGHT_CAP))
     ).select("doc_id", "lang", "n_chars")
+
+
+# Negative-pair sampling for contrastive training: each anchor document
+# gets K pseudo-random partners, chosen by a deterministic hash offset
+# so the pairing is reproducible (same property argument as the
+# weighted sample above) and never self-pairing: offset = 1 +
+# md5(doc_id:j) mod (N-1) lands in [1, N-1], so (doc_id + offset)
+# mod N != doc_id.  doc_ids are contiguous 0..N-1 in the fixture; for
+# sparse id spaces, rank ids first (one window) and apply the same
+# arithmetic to the ranks.  Scale shape: the partner fetch is a plain
+# equi-join on the computed id — hash-partitioned, no skew (offsets
+# are uniform), no broadcast needed on either side.
+_NEG_K = 3
+
+_NEG_ORACLE = f"""
+WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+anchors AS (
+  SELECT d.doc_id, d.source, j.j,
+    (d.doc_id + 1 + CAST(CONCAT('0x', substring(
+        md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)),
+        1, 8)) AS BIGINT) % (n.n_docs - 1)) % n.n_docs AS neg_id
+  FROM documents d, (SELECT unnest(range(1, {_NEG_K + 1})) AS j) j, n
+)
+SELECT a.doc_id, CAST(a.j AS BIGINT) AS j, a.neg_id,
+  CAST(a.source <> b.source AS INTEGER) AS cross_source
+FROM anchors a JOIN documents b ON b.doc_id = a.neg_id
+"""
+
+
+@register("q_negative_pairs", oracle=_NEG_ORACLE, tags=("sampling", "llm"))
+def q_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling: K=3 hash-chosen partner docs
+    per anchor, never self, reproducible across engines and reruns
+    (comment above), labeled with whether the pair crosses sources —
+    the contrastive-pair generation step of an embedding-training
+    pipeline.  One row-local offset computation + one equi-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    anchors = (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(n), how="cross")
+        .select(
+            "doc_id",
+            "source",
+            "n_docs",
+            F.explode(
+                F.array(*[F.lit(j) for j in range(1, _NEG_K + 1)])
+            ).alias("j"),
+        )
+    )
+    offset = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("j").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % (F.col("n_docs") - 1)
+        + 1
+    )
+    pairs = anchors.select(
+        "doc_id",
+        "source",
+        F.col("j").cast("long").alias("j"),
+        ((F.col("doc_id") + offset) % F.col("n_docs")).alias("neg_id"),
+    )
+    partners = docs.select(
+        F.col("doc_id").alias("neg_id"), F.col("source").alias("b_source")
+    )
+    return pairs.join(partners, "neg_id").select(
+        "doc_id",
+        "j",
+        "neg_id",
+        (F.col("source") != F.col("b_source")).cast("int").alias(
+            "cross_source"
+        ),
+    )
