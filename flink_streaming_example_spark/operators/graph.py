@@ -108,30 +108,47 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", "l_suppkey")
         .distinct()
     )
+    # Materialize the edge list FIRST, then derive everything from the
+    # checkpoint: edges, nodes and all three unrolled rounds reference
+    # it, and without lineage truncation each reference re-runs the
+    # orders x lineitem distinct — the dominant cost (profiled at
+    # sf0.1: the pair derivation is ~7x the per-round join+sum).  Same
+    # localCheckpoint idiom as the connected-components loop
+    # (dedup.py); at cluster scale this is the persisted edge list
+    # every PageRank implementation starts from.
     edges_raw = pairs.select(
         F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
         F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
-    )
+    ).localCheckpoint(eager=True)
     nodes = (
         edges_raw.select(F.col("src").alias("node"))
         .union(edges_raw.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     out_deg = edges_raw.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    edges = edges_raw.join(out_deg, "src")
+    edges = edges_raw.join(out_deg, "src").localCheckpoint(eager=True)
 
     ranks = nodes.withColumn("rank", F.lit(_SCALE).cast("long"))
+    # Broadcast hints: ranks and contrib are NODE-sized (dimension
+    # scale — customers + suppliers), edges are FACT-sized; per round
+    # the only shuffle left is the groupBy-dst partial sum.  On a
+    # graph whose node set outgrows broadcast, drop the hints and
+    # pre-partition edges by src so the shuffle joins co-locate.
     for _ in range(_ROUNDS):
         contrib = (
             edges.join(
-                ranks.select(F.col("node").alias("src"), "rank"), "src"
+                F.broadcast(
+                    ranks.select(F.col("node").alias("src"), "rank")
+                ),
+                "src",
             )
             .select("dst", F.expr("rank div out_deg").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
         ranks = nodes.join(
-            contrib, nodes.node == contrib.dst, "left"
+            F.broadcast(contrib), nodes.node == contrib.dst, "left"
         ).select(
             "node",
             F.expr(
