@@ -105,6 +105,29 @@ SHOWCASE: tuple[tuple[str, str], ...] = (
         "partial+final aggregate — the whole packing decision is two "
         "shuffles by the same key, no sequential pass.",
     ),
+    (
+        "q_heavy_hitters",
+        "Count-Min two-pass: the sketch build's shuffle cardinality is "
+        "the d*w cell grid (constant), the candidate probe and the "
+        "verify semi-join are `BroadcastHashJoin`s — the only "
+        "token-keyed aggregation runs over the sketch-filtered "
+        "candidates, never the raw token stream.",
+    ),
+    (
+        "q_zorder_layout",
+        "Morton-code layout rule: the 16-bit interleave is one "
+        "`WholeStageCodegen` span of integer shift/and arithmetic "
+        "feeding a 16-group partial+final aggregate — no window, no "
+        "global sort, no Python.",
+    ),
+    (
+        "q_pagerank",
+        "Unrolled iterative shape: the edge list materializes once "
+        "(`Scan ExistingRDD` from localCheckpoint — the orders x "
+        "lineitem distinct is NOT re-derived per round), each round is "
+        "a `BroadcastHashJoin` against node-sized ranks plus one "
+        "groupBy-dst shuffle; all arithmetic is exact 64-bit integer.",
+    ),
 )
 
 
