@@ -143,3 +143,59 @@ def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM udtf_documents, LATERAL token_counts(doc_id, text) t
         """
     )
+
+
+_COGROUP_ORACLE = """
+WITH e AS (
+  SELECT user_id, COUNT(*) AS n_events,
+    COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_clicks
+  FROM events GROUP BY user_id
+), o AS (
+  SELECT o_custkey AS user_id, COUNT(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+)
+SELECT COALESCE(e.user_id, o.user_id) AS user_id,
+  CAST(COALESCE(e.n_events, 0) AS BIGINT) AS n_events,
+  CAST(COALESCE(e.n_clicks, 0) AS BIGINT) AS n_clicks,
+  CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders
+FROM e FULL JOIN o ON e.user_id = o.user_id
+"""
+
+
+@register("q_cogroup_udf", oracle=_COGROUP_ORACLE, tags=("udf", "python"))
+def q_cogroup_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 CoGroupFunction equivalent: Flink's
+    connect/keyBy/coGroup — both relations shuffled by the same key
+    once, then ONE Python function sees the key's rows from BOTH
+    sides together (`groupBy().cogroup().applyInPandas`, Arrow
+    batches per side).  Keys present on either side appear (outer
+    cogroup semantics), so the oracle is the FULL JOIN of the two
+    per-key aggregates.  Outputs are integer counts only — nothing
+    in the Python function depends on within-group row order, which
+    is partition-dependent and must never reach a result."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id")
+    )
+
+    def merge(key: tuple, epdf: pd.DataFrame, opdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            [
+                [
+                    int(key[0]),
+                    len(epdf),
+                    int((epdf.event_type == "click").sum()) if len(epdf) else 0,
+                    len(opdf),
+                ]
+            ],
+            columns=["user_id", "n_events", "n_clicks", "n_orders"],
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .cogroup(orders.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "user_id long, n_events long, n_clicks long, n_orders long",
+        )
+    )

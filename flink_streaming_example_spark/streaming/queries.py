@@ -625,6 +625,79 @@ def q_streaming_interval_join_outer(
     )
 
 
+# Streaming OHLC emission rule: append mode emits a day bar only when
+# the watermark passes the window END, so bars for days the final
+# watermark (ms-truncated max event time - 1h) hasn't closed stay in
+# state at end-of-input — the oracle filters the batch bars by the
+# same predicate.  The open/close selection (min_by/max_by on the
+# integer composite, windows.py q_ohlc comment) runs INSIDE the
+# streaming aggregate: partial bars merge in the state store exactly
+# like count/sum partials do.
+_STREAM_OHLC_ORACLE = """
+WITH bars AS (
+  SELECT
+    date_trunc('day', CAST(ts AS TIMESTAMP)) AS wday,
+    user_id,
+    arg_min(value, (epoch_us(CAST(ts AS TIMESTAMP))
+                    - epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))))
+                   * 1000000 + event_id) AS open,
+    MAX(value) AS high,
+    MIN(value) AS low,
+    arg_max(value, (epoch_us(CAST(ts AS TIMESTAMP))
+                    - epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))))
+                   * 1000000 + event_id) AS close,
+    COUNT(*) AS n_events
+  FROM events
+  GROUP BY 1, 2
+), wm AS (
+  SELECT (epoch_us(MAX(CAST(ts AS TIMESTAMP))) // 1000) * 1000
+         - 3600000000 AS w_us
+  FROM events
+)
+SELECT * FROM bars
+WHERE epoch_us(wday) + 86400000000 <= (SELECT w_us FROM wm)
+"""
+
+
+@register(
+    "q_streaming_ohlc", oracle=_STREAM_OHLC_ORACLE, tags=("streaming",)
+)
+def q_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-depth streaming: the OHLC downsample as a watermarked
+    tumbling-day aggregate — the downsample-on-ingest path a
+    hypertable runs continuously.  min_by/max_by partials merge in
+    the state store; append mode emits each bar exactly once when the
+    watermark closes its day (oracle comment above mirrors the
+    emission rule, so held-back open bars are part of the checked
+    contract)."""
+    ev = events_file_replay(spark, sf_dir).withWatermark("ts", "1 hour")
+    day_start = F.date_trunc("day", F.col("ts"))
+    order_key = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(day_start)
+    ) * F.lit(1000000) + F.col("event_id")
+    bars = (
+        ev.select("ts", "user_id", "event_id", "value", order_key.alias("ok"))
+        .groupBy(F.window(F.col("ts"), "1 day"), "user_id")
+        .agg(
+            F.min_by("value", "ok").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ok").alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("window.start").alias("wday"),
+            "user_id",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
+    return run_to_memory(bars, spark, output_mode="append")
+
+
 _INACTIVITY_ORACLE = """
 SELECT user_id, last_seen
 FROM (SELECT user_id, max(CAST(ts AS TIMESTAMP)) AS last_seen
