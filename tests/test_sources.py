@@ -124,3 +124,57 @@ def test_text_format_failfast_on_malformed(spark, tmp_path):
     )
     with pytest.raises(Exception, match="Malformed|FAILFAST"):
         load_text_table(spark, str(bad), "orders", format="csv").collect()
+
+
+def test_jsonl_gz_roundtrip_and_permissive_accounting(spark, sf_dir, tmp_path):
+    """The gzip-JSONL ingestion path behind q_jsonl_source: (a) the
+    compressed roundtrip is lossless vs the parquet loader, and (b)
+    PERMISSIVE mode (the triage read used to COUNT damage before a
+    FAILFAST production read) isolates a corrupted line into
+    _corrupt_record without nulling the healthy rows."""
+    import gzip
+    import json as _json
+
+    from flink_streaming_example_spark.sources.tables import load_table
+    from flink_streaming_example_spark.sources.text_formats import (
+        documents_as_jsonl_gz,
+    )
+
+    from flink_streaming_example_spark.sources.tables import load_text_table
+
+    path = documents_as_jsonl_gz(spark, sf_dir)
+    got = load_text_table(spark, path, "documents", format="json")
+    want = load_table(spark, sf_dir, "documents")
+    result = compare_frames(got.toPandas(), want.toPandas())
+    assert result.ok, result.detail
+
+    # corrupt one line in a copy, then account for it PERMISSIVEly
+    bad_dir = tmp_path / "bad_jsonl"
+    bad_dir.mkdir()
+    rows = [
+        _json.dumps({"doc_id": 1, "text": "ok", "lang": "en",
+                     "source": "web", "n_chars": 2}),
+        '{"doc_id": 2, "text": "truncated...',  # malformed JSON
+        _json.dumps({"doc_id": 3, "text": "fine", "lang": "en",
+                     "source": "web", "n_chars": 4}),
+    ]
+    with gzip.open(bad_dir / "part.jsonl.gz", "wt") as fh:
+        fh.write("\n".join(rows) + "\n")
+    triage = (
+        spark.read.schema(
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long, _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(bad_dir))
+        .cache()  # Spark requires materializing before referencing
+        # the corrupt-record column alone (SPARK-21610)
+    )
+    assert triage.count() == 3
+    assert triage.filter("_corrupt_record IS NOT NULL").count() == 1
+    assert (
+        triage.filter("_corrupt_record IS NULL AND doc_id IS NOT NULL").count()
+        == 2
+    )
+    triage.unpersist()
