@@ -96,3 +96,33 @@ def test_weighted_sample_matches_rowwise_rule(spark, sf_dir):
     }
     assert got == want
     assert 0 < len(got) < len(docs)  # neither empty nor degenerate
+
+
+def test_zvalue_matches_reference_interleave(spark):
+    """The Morton expression must equal a pure-Python bit interleave on
+    the full corner set + a deterministic sample — an off-by-one in a
+    shift term would still produce 'locality-ish' buckets that pass
+    the envelope test, so pin the exact encoding."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from flink_streaming_example_spark.operators.layout import _zvalue
+
+    def ref(x: int, y: int) -> int:
+        z = 0
+        for i in range(8):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    pts = [(x, y) for x in (0, 1, 127, 128, 255) for y in (0, 1, 127, 128, 255)]
+    pts += [((37 * k) % 256, (91 * k) % 256) for k in range(64)]
+    pdf = pd.DataFrame(pts, columns=["x", "y"])
+    got = (
+        spark.createDataFrame(pdf)
+        .select("x", "y", _zvalue(F.col("x"), F.col("y")).alias("z"))
+        .toPandas()
+    )
+    for _, r in got.iterrows():
+        assert r.z == ref(int(r.x), int(r.y)), (r.x, r.y, r.z)
