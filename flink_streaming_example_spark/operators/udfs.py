@@ -162,6 +162,65 @@ FROM e FULL JOIN o ON e.user_id = o.user_id
 """
 
 
+_GROUPED_MAP_ORACLE = """
+WITH flagged AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+    CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+          OR CAST(ts AS TIMESTAMP)
+             - lag(CAST(ts AS TIMESTAMP)) OVER w > INTERVAL 1 HOUR
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+)
+SELECT event_id, user_id,
+  CAST(SUM(new_s) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS BIGINT) AS session_seq
+FROM flagged
+"""
+
+
+@register("q_grouped_map_udf", oracle=_GROUPED_MAP_ORACLE, tags=("udf", "python"))
+def q_grouped_map_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 ProcessFunction-port equivalent: grouped-map
+    applyInPandas — arbitrary per-key Python over each key's full row
+    set, the shape a Flink keyed ProcessFunction lands on in batch.
+    The function sessionizes (1h gap) and numbers each user's
+    sessions, all in vectorized pandas; the oracle is the
+    gaps-and-islands SQL, so the Python path is hash-checked against
+    declarative semantics.  Bucketed by user_id mod 256 exactly like
+    q_cogroup_udf (comment below): 256 interpreter calls, per-user
+    boundaries handled by the vectorized group-change test.  Outputs
+    are integer ordinals over a deterministic (ts, event_id) total
+    order — nothing float, nothing arrival-order-dependent."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        (F.col("user_id") % _COGROUP_BUCKETS).alias("bucket"),
+    )
+
+    def sessionize(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["user_id", "t_us", "event_id"])
+        new_user = pdf.user_id.ne(pdf.user_id.shift())
+        gap = pdf.t_us - pdf.t_us.shift()
+        new_session = (new_user | (gap > 3_600_000_000)).astype("int64")
+        return pd.DataFrame(
+            {
+                "event_id": pdf.event_id.astype("int64"),
+                "user_id": pdf.user_id.astype("int64"),
+                "session_seq": new_session.groupby(
+                    pdf.user_id.values
+                ).cumsum(),
+            }
+        )
+
+    return ev.groupBy("bucket").applyInPandas(
+        sessionize, "event_id long, user_id long, session_seq long"
+    )
+
+
 # Bucketed cogroup: Python is invoked ONCE PER GROUP, so cogrouping
 # directly on the 15k-user key pays 15k interpreter round-trips of
 # fixed overhead (~1 ms each — measured 15.0 s at sf0.1, the worst
