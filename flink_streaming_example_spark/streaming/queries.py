@@ -183,6 +183,93 @@ def q_streaming_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(counts, spark, output_mode="complete")
 
 
+@register(
+    "q_streaming_heavy_hitters",
+    # identical answer contract as the batch CMS key: the sketch is a
+    # sum per cell, sums are arrival-order-free, so a sketch MAINTAINED
+    # INCREMENTALLY by the streaming engine finishes bit-equal to the
+    # batch-built one and the whole pipeline keeps the exact-equality
+    # oracle (operators/sketches.py module docstring).
+    oracle="""
+WITH words AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
+), tot AS (
+  SELECT COUNT(*) AS n FROM words
+)
+SELECT word, CAST(COUNT(*) AS BIGINT) AS n_occ
+FROM words
+GROUP BY word
+HAVING COUNT(*) * 30 >= (SELECT n FROM tot)
+""",
+    tags=("streaming", "sketch"),
+)
+def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-family streaming: the Count-Min sketch MAINTAINED by the
+    streaming engine — cells are a keyed streaming aggregate (state =
+    d*w rows, constant however long the stream runs: the sketch IS the
+    state bound), drained in update mode; because cell counts only
+    grow, the final value per cell is the max over its re-emissions.
+    Candidate probe and exact verification then run batch-side against
+    the drained sketch exactly as in q_heavy_hitters — the streaming
+    stage is the part that's expensive to get wrong at 100 TB (a
+    vocabulary-keyed streaming wordcount holds unbounded state; the
+    sketch holds 1024 rows)."""
+    from flink_streaming_example_spark.operators.sketches import (
+        _CMS_DEPTH,
+        _HH_K,
+        _bucket,
+    )
+
+    docs = documents_file_replay(spark, sf_dir)
+    stream_tokens = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    )
+    cells = stream_tokens.select(
+        F.posexplode(
+            F.array(*[_bucket(F.col("word"), d) for d in range(_CMS_DEPTH)])
+        ).alias("depth", "bucket")
+    )
+    sketch_stream = cells.groupBy("depth", "bucket").agg(
+        F.count(F.lit(1)).alias("cell")
+    )
+    drained = run_to_memory(sketch_stream, spark, output_mode="update")
+    sketch = drained.groupBy("depth", "bucket").agg(
+        F.max("cell").alias("cell")
+    )
+
+    from flink_streaming_example_spark.sources.tables import load_table
+
+    # batch-side probe + verify over the static table (sketches.py)
+    tokens = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    )
+    total = tokens.agg(F.count(F.lit(1)).alias("total"))
+    probes = tokens.distinct().select(
+        "word",
+        F.posexplode(
+            F.array(*[_bucket(F.col("word"), d) for d in range(_CMS_DEPTH)])
+        ).alias("depth", "bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["depth", "bucket"])
+        .groupBy("word")
+        .agg(F.min("cell").alias("est"))
+    )
+    candidates = est.join(F.broadcast(total), how="cross").where(
+        F.col("est") * _HH_K >= F.col("total")
+    )
+    exact = (
+        tokens.join(
+            F.broadcast(candidates.select("word")), "word", "left_semi"
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    return exact.join(F.broadcast(total), how="cross").where(
+        F.col("n_occ") * _HH_K >= F.col("total")
+    ).select("word", "n_occ")
+
+
 _STREAM_DEDUP_ORACLE = """
 SELECT event_id, user_id, event_type FROM events
 """

@@ -726,3 +726,69 @@ def test_interval_outer_join_across_micro_batches(spark):
     ).df()
     result = compare_frames(got_pdf, want)
     assert result.ok, result.detail
+
+
+def test_streaming_sketch_converges_across_micro_batches(spark):
+    """Streaming CMS: cell counts re-emit per micro-batch in update
+    mode and only grow, so the final sketch (max per cell over
+    re-emissions) after a sharded replay must equal the batch-built
+    sketch — the property q_streaming_heavy_hitters' drain step
+    relies on."""
+    import glob as _glob
+    import os
+    import shutil as _shutil
+    import time as _time
+
+    from flink_streaming_example_spark.operators.sketches import (
+        _CMS_DEPTH,
+        _bucket,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = tempfile.mkdtemp(prefix="docs_shards_")
+    base = _time.time() - 3600
+    n = docs.count()
+    step = (n + N_SHARDS - 1) // N_SHARDS
+    for k in range(N_SHARDS):
+        tmp = tempfile.mkdtemp()
+        docs.filter(
+            (F.col("doc_id") >= k * step) & (F.col("doc_id") < (k + 1) * step)
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        (part,) = _glob.glob(f"{tmp}/part-*.parquet")
+        dest = os.path.join(out, f"shard-{k:02d}.parquet")
+        _shutil.move(part, dest)
+        os.utime(dest, (base + k, base + k))
+
+    def cells(df):
+        toks = df.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+        )
+        return toks.select(
+            F.posexplode(
+                F.array(
+                    *[_bucket(F.col("word"), d) for d in range(_CMS_DEPTH)]
+                )
+            ).alias("depth", "bucket")
+        )
+
+    stream = (
+        spark.readStream.schema(SCHEMAS["documents"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out)
+    )
+    drained, batches = _drain(
+        spark,
+        cells(stream).groupBy("depth", "bucket").agg(
+            F.count(F.lit(1)).alias("cell")
+        ),
+        "update",
+    )
+    assert batches >= N_SHARDS
+    got = drained.groupBy("depth", "bucket").agg(
+        F.max("cell").alias("cell")
+    )
+    want = cells(docs).groupBy("depth", "bucket").agg(
+        F.count(F.lit(1)).alias("cell")
+    )
+    result = compare_frames(got.toPandas(), want.toPandas())
+    assert result.ok, result.detail
