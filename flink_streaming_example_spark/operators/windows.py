@@ -463,6 +463,66 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Dynamic-gap sessions are INTERVAL-UNION semantics, not chain
+# semantics: each event spans [ts, ts+gap(event)) and transitively
+# overlapping spans merge, so a long-gap event can bridge a pair of
+# short-gap events that would not chain on their own.  The oracle
+# mirrors this with the running-max-end island test (new session iff
+# ts > max over prior events of end_ts; `>=` extends, matching the
+# strict-gap boundary convention pinned for the fixed-gap session
+# window in tests/test_session_semantics.py and the property fuzz).
+_SESSION_DYN_ORACLE = """
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+    CAST(ts AS TIMESTAMP) + CASE WHEN event_type = 'purchase'
+        THEN INTERVAL 2 HOUR ELSE INTERVAL 1 HOUR END AS end_ts
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN MAX(end_ts) OVER (
+      PARTITION BY user_id ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= ts
+    THEN 0 ELSE 1 END AS new_s
+  FROM e
+), numbered AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT MIN(ts) AS s_start, MAX(end_ts) AS s_end, user_id,
+       COUNT(*) AS n
+FROM numbered GROUP BY user_id, sid
+"""
+
+
+@register("q_session_dynamic_gap", oracle=_SESSION_DYN_ORACLE, tags=("window",))
+def q_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3-depth: dynamic-gap session windows (Flink
+    SessionWindows.withDynamicGap) — the inactivity gap is a
+    per-event EXPRESSION (purchases hold a session open 2h, other
+    events 1h), via Spark's session_window with a calendar-interval
+    gap column.  Interval-union merge semantics and the >= boundary
+    convention are mirrored exactly by the running-max-end oracle
+    (comment above).  Same single shuffle by user as the fixed-gap
+    session window; the gap expression is row-local."""
+    ev = load_table(spark, sf_dir, "events")
+    gap = F.expr(
+        "make_interval(0, 0, 0, 0, "
+        "CASE WHEN event_type = 'purchase' THEN 2 ELSE 1 END, 0, 0)"
+    )
+    return (
+        ev.groupBy(
+            F.session_window(F.col("ts").cast("timestamp"), gap), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("session_window.start").alias("s_start"),
+            F.col("session_window.end").alias("s_end"),
+            "user_id",
+            "n",
+        )
+    )
+
+
 # OHLC ordering: arg_min/min_by need ONE sortable key, and neither
 # engine orders structs in that position (DuckDB arg_min has no
 # struct overload), so open/close use an integer composite —
