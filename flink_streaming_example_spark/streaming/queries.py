@@ -346,6 +346,62 @@ def q_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, spark, output_mode="complete")
 
 
+@register(
+    "q_streaming_session_dynamic",
+    # batch q_session_dynamic_gap's interval-union oracle verbatim
+    # (operators/windows.py _SESSION_DYN_ORACLE rationale): complete
+    # mode emits open and closed sessions alike, so the bounded replay
+    # equals the batch result with no emission-rule filtering.
+    oracle="""
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+    CAST(ts AS TIMESTAMP) + CASE WHEN event_type = 'purchase'
+        THEN INTERVAL 2 HOUR ELSE INTERVAL 1 HOUR END AS end_ts
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN MAX(end_ts) OVER (
+      PARTITION BY user_id ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= ts
+    THEN 0 ELSE 1 END AS new_s
+  FROM e
+), numbered AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT MIN(ts) AS s_start, MAX(end_ts) AS s_end, user_id,
+       COUNT(*) AS n
+FROM numbered GROUP BY user_id, sid
+""",
+    tags=("streaming",),
+)
+def q_streaming_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3-depth streaming: DYNAMIC-gap session windows through the
+    streaming engine — the per-event calendar-interval gap expression
+    rides into MergingSessionsExec, so differently-gapped spans merge
+    incrementally in the state store exactly as the batch
+    interval-union semantics dictate.  Complete mode emits open and
+    closed sessions alike (same contract as q_streaming_session), so
+    the bounded replay hash-matches the batch oracle verbatim."""
+    ev = events_file_replay(spark, sf_dir)
+    gap = F.expr(
+        "make_interval(0, 0, 0, 0, "
+        "CASE WHEN event_type = 'purchase' THEN 2 ELSE 1 END, 0, 0)"
+    )
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window(F.col("ts"), gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("s_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("s_end"),
+            "user_id",
+            "n",
+        )
+    )
+    return run_to_memory(agg, spark, output_mode="complete")
+
+
 _STREAM_SLIDING_ORACLE = f"""
 SELECT wstart, COUNT(*) AS n_events, {sql_stable_sum("value", "sum_value")}
 FROM (

@@ -51,6 +51,7 @@ _EXPECTED_STATE_OPS = {
     "q_streaming_wordcount": ["stateStoreSave"],
     "q_streaming_dedup": ["dedupeWithinWatermark"],
     "q_streaming_session": ["sessionWindowStateStoreSaveExec"],
+    "q_streaming_session_dynamic": ["sessionWindowStateStoreSaveExec"],
     "q_streaming_sliding": ["stateStoreSave"],
     "q_streaming_count_window": ["applyInPandasWithState"],
     "q_streaming_enrich": [],
