@@ -75,6 +75,123 @@ GROUP BY t.source
 """
 
 
+# Substring-level decontamination: token 3-grams (q_decontaminate)
+# miss verbatim leaks that tokenize differently (punctuation drift,
+# re-wrapped whitespace inside a window, partial-word boundaries), so
+# the second standard pass matches fixed-width CHARACTER windows.
+# Width 32, stride 8: striding the train side cuts the window blowup
+# 8x and still guarantees detection of any shared run >= 39 chars
+# (a full window must fit between two stride offsets: 32 + 8 - 1).
+# The eval side is NOT strided — the guarantee needs every eval
+# window of one side present.  At 100 TB the window join keys on the
+# window md5 (8-byte prefix), never the raw text, and the distinct
+# eval-window set stays broadcastable because the eval split is ~2%.
+_SUB_W = 32
+_SUB_STRIDE = 8
+
+_DECON_SUB_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, source, lower(text) AS t,
+    CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         AS BIGINT) % 100 AS bucket
+  FROM documents
+  WHERE length(text) >= {_SUB_W}
+), eval_w AS (
+  SELECT DISTINCT md5(substring(t, i, {_SUB_W})) AS wh
+  FROM b, LATERAL (
+    SELECT unnest(generate_series(1, len(t) - {_SUB_W - 1})) AS i
+  ) g
+  WHERE bucket >= {_EVAL_BUCKET}
+), train_w AS (
+  SELECT doc_id, source, md5(substring(t, i, {_SUB_W})) AS wh
+  FROM b, LATERAL (
+    SELECT unnest(generate_series(1, len(t) - {_SUB_W - 1}, {_SUB_STRIDE}))
+           AS i
+  ) g
+  WHERE bucket < {_EVAL_BUCKET}
+), hits AS (
+  SELECT DISTINCT t.doc_id, t.wh
+  FROM train_w t JOIN eval_w e USING (wh)
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_window_hits FROM hits GROUP BY doc_id
+), train AS (
+  SELECT DISTINCT doc_id, source FROM b WHERE bucket < {_EVAL_BUCKET}
+)
+SELECT t.source,
+  COUNT(*) AS n_train,
+  COUNT(p.doc_id) AS n_contaminated,
+  CAST(COALESCE(SUM(p.n_window_hits), 0) AS BIGINT) AS n_window_hits
+FROM train t LEFT JOIN per_doc p USING (doc_id)
+GROUP BY t.source
+"""
+
+
+@register(
+    "q_decontaminate_substring", oracle=_DECON_SUB_ORACLE, tags=("llm", "datapipe")
+)
+def q_decontaminate_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination, substring pass: flag training
+    documents sharing any 32-char window with the held-out eval split
+    (md5 bucket >= 98) — catches verbatim leaks the token-3-gram rule
+    misses (block comment above: stride-8 train windows, unstrided
+    eval windows, >= 39-char shared runs guaranteed caught; join keys
+    on window md5, never raw text)."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length("text") >= _SUB_W
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    base = docs.select(
+        "doc_id",
+        "source",
+        bucket.alias("bucket"),
+        F.lower(F.col("text")).alias("t"),
+    )
+
+    def windows(df, stride: int):
+        return df.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(t) - {_SUB_W - 1}, "
+                    f"{stride}), i -> md5(substr(t, i, {_SUB_W})))"
+                )
+            ).alias("wh"),
+        )
+
+    eval_w = (
+        windows(base.where(F.col("bucket") >= _EVAL_BUCKET), 1)
+        .select("wh")
+        .distinct()
+    )
+    train = base.where(F.col("bucket") < _EVAL_BUCKET)
+    train_w = windows(train, _SUB_STRIDE)
+    hits = (
+        train_w.join(F.broadcast(eval_w), "wh")
+        .select("doc_id", "wh")
+        .distinct()
+    )
+    per_doc = hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_window_hits")
+    )
+    return (
+        train.select("doc_id", "source")
+        .join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.count("n_window_hits").alias("n_contaminated"),
+            F.coalesce(F.sum("n_window_hits"), F.lit(0))
+            .cast("long")
+            .alias("n_window_hits"),
+        )
+    )
+
+
 @register("q_decontaminate", oracle=_DECON_ORACLE, tags=("llm", "datapipe"))
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing any
