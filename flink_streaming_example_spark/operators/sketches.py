@@ -73,29 +73,36 @@ HAVING COUNT(*) * {_HH_K} >= (SELECT n FROM tot)
 """
 
 
-def cms_estimates(tokens: DataFrame) -> DataFrame:
-    """(word, est) for every distinct token of `tokens[word]`: est is
-    the Count-Min estimate — MIN over the token's d sketch cells,
-    probed via a broadcast join against the d*w-cell sketch.  The CMS
-    guarantee (est >= true count, always) is what makes the heavy-
-    hitter filter free of false negatives; it is pinned as a property
-    test in tests/test_sketches.py."""
-    # pass 1: d*w-cell sketch (shuffle cardinality = sketch size)
-    cells = tokens.select(
+def _cells(tokens: DataFrame) -> DataFrame:
+    """Each token exploded into its d (depth, bucket) sketch cells."""
+    return tokens.select(
         F.posexplode(
             F.array(
                 *[_bucket(F.col("word"), d) for d in range(_CMS_DEPTH)]
             )
         ).alias("depth", "bucket")
     )
-    sketch = cells.groupBy("depth", "bucket").agg(
+
+
+def cms_sketch(tokens: DataFrame) -> DataFrame:
+    """Pass 1: the d*w-cell sketch (depth, bucket, cell) — shuffle
+    cardinality is the sketch size, not the vocabulary."""
+    return _cells(tokens).groupBy("depth", "bucket").agg(
         F.count(F.lit(1)).alias("cell")
     )
 
-    # pass 2: per-distinct-token min-over-depths estimate via a
-    # broadcast join against the 1024-row sketch.
-    vocab = tokens.distinct()
-    probes = vocab.select(
+
+def cms_estimates(tokens: DataFrame, sketch: DataFrame | None = None) -> DataFrame:
+    """(word, est) for every distinct token of `tokens[word]`: est is
+    the Count-Min estimate — MIN over the token's d sketch cells,
+    probed via a broadcast join against the d*w-cell sketch (built
+    from the same tokens unless a prebuilt one — e.g. the streaming
+    engine's drained sketch — is passed in).  The CMS guarantee
+    (est >= true count, always) is what makes the heavy-hitter filter
+    free of false negatives; pinned in tests/test_sketches.py."""
+    if sketch is None:
+        sketch = cms_sketch(tokens)
+    probes = tokens.distinct().select(
         "word",
         F.posexplode(
             F.array(
@@ -110,27 +117,17 @@ def cms_estimates(tokens: DataFrame) -> DataFrame:
     )
 
 
-@register("q_heavy_hitters", oracle=_HEAVY_ORACLE, tags=("sketch", "llm"))
-def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frequent tokens (count >= total/30) via Count-Min sketch +
-    exact verification — the scale-safe frequent-items plan (module
-    docstring): sketch build shuffles d*w=1024 cells, candidate probe
-    is a broadcast join, and the only per-token aggregation runs over
-    the sketch-filtered candidate set.  Exactly equals the oracle's
-    exhaustive GROUP BY because CMS has no false negatives and the
-    verify pass drops its false positives."""
-    docs = load_table(spark, sf_dir, "documents")
-    tokens = docs.select(
-        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
-    )
+def heavy_hitters(tokens: DataFrame, sketch: DataFrame | None = None) -> DataFrame:
+    """Passes 2+3 of the frequent-items plan over a token stream and a
+    (possibly prebuilt) sketch: broadcast candidate probe, then exact
+    counts over the candidate set only — shared verbatim by the batch
+    and streaming heavy-hitter keys so the two cannot drift."""
     total = tokens.agg(F.count(F.lit(1)).alias("total"))
-
     # sketch estimates never under-count, so this filter keeps every
     # true heavy hitter (plus possibly a few collision-inflated words)
-    candidates = cms_estimates(tokens).join(
+    candidates = cms_estimates(tokens, sketch).join(
         F.broadcast(total), how="cross"
     ).where(F.col("est") * _HH_K >= F.col("total"))
-
     # pass 3: exact counts for candidates only -> drops false positives
     exact = (
         tokens.join(
@@ -142,3 +139,22 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(F.broadcast(total), how="cross").where(
         F.col("n_occ") * _HH_K >= F.col("total")
     ).select("word", "n_occ")
+
+
+def doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch token stream both heavy-hitter keys count."""
+    return load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    )
+
+
+@register("q_heavy_hitters", oracle=_HEAVY_ORACLE, tags=("sketch", "llm"))
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent tokens (count >= total/30) via Count-Min sketch +
+    exact verification — the scale-safe frequent-items plan (module
+    docstring): sketch build shuffles d*w=1024 cells, candidate probe
+    is a broadcast join, and the only per-token aggregation runs over
+    the sketch-filtered candidate set.  Exactly equals the oracle's
+    exhaustive GROUP BY because CMS has no false negatives and the
+    verify pass drops its false positives."""
+    return heavy_hitters(doc_tokens(spark, sf_dir))

@@ -526,23 +526,26 @@ def q_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # OHLC ordering: arg_min/min_by need ONE sortable key, and neither
 # engine orders structs in that position (DuckDB arg_min has no
 # struct overload), so open/close use an integer composite —
-# microsecond-of-day * 10^6 + event_id.  µs-of-day < 8.64e10, so the
-# composite tops out ~8.64e16 « 2^63; the event_id term makes the
-# selection deterministic even under equal timestamps.  (If ids can
-# exceed 10^6 per day at larger scales, widen the multiplier or rank
-# with a window instead.)
+# microsecond-of-day * 10^8 + event_id.  µs-of-day < 8.64e10, so the
+# composite tops out ~8.64e18, just under 2^63; the event_id term
+# makes the selection deterministic even under equal timestamps.
+# The multiplier bounds valid ids at 10^8: an id >= the multiplier
+# would bleed into the time term and SILENTLY mis-order (both
+# engines identically, so the hash check cannot catch it — review
+# finding, round 7).  Sparse/wider id spaces must re-rank ids first
+# (dense row_number) or rank with a window instead.
 _OHLC_ORACLE = """
 SELECT
   date_trunc('day', CAST(ts AS TIMESTAMP)) AS wday,
   user_id,
   arg_min(value, (epoch_us(CAST(ts AS TIMESTAMP))
                   - epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))))
-                 * 1000000 + event_id) AS open,
+                 * 100000000 + event_id) AS open,
   MAX(value) AS high,
   MIN(value) AS low,
   arg_max(value, (epoch_us(CAST(ts AS TIMESTAMP))
                   - epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))))
-                 * 1000000 + event_id) AS close,
+                 * 100000000 + event_id) AS close,
   COUNT(*) AS n_events
 FROM events
 GROUP BY 1, 2
@@ -566,7 +569,7 @@ def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     order_key = (
         F.unix_micros(F.col("ts").cast("timestamp"))
         - F.unix_micros(day)
-    ) * F.lit(1000000) + F.col("event_id")
+    ) * F.lit(100000000) + F.col("event_id")
     return (
         ev.select(
             day.alias("wday"),

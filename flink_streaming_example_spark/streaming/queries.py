@@ -35,6 +35,10 @@ from flink_streaming_example_spark.functions.stable import (
     stable_sum,
 )
 from flink_streaming_example_spark.plans.registry import register
+from flink_streaming_example_spark.operators.windows import (
+    _OHLC_ORACLE,
+    _SESSION_DYN_ORACLE,
+)
 from flink_streaming_example_spark.sources.streams import (
     documents_file_replay,
     events_file_replay,
@@ -183,24 +187,23 @@ def q_streaming_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(counts, spark, output_mode="complete")
 
 
+from flink_streaming_example_spark.operators.sketches import (  # noqa: E402
+    _HEAVY_ORACLE,
+    _cells,
+    doc_tokens,
+    heavy_hitters,
+)
+
+
 @register(
     "q_streaming_heavy_hitters",
-    # identical answer contract as the batch CMS key: the sketch is a
-    # sum per cell, sums are arrival-order-free, so a sketch MAINTAINED
-    # INCREMENTALLY by the streaming engine finishes bit-equal to the
-    # batch-built one and the whole pipeline keeps the exact-equality
-    # oracle (operators/sketches.py module docstring).
-    oracle="""
-WITH words AS (
-  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
-), tot AS (
-  SELECT COUNT(*) AS n FROM words
-)
-SELECT word, CAST(COUNT(*) AS BIGINT) AS n_occ
-FROM words
-GROUP BY word
-HAVING COUNT(*) * 30 >= (SELECT n FROM tot)
-""",
+    # the batch CMS key's oracle VERBATIM (same module-level constant,
+    # so the two can never desynchronize — review finding, round 7):
+    # the sketch is a sum per cell, sums are arrival-order-free, so a
+    # sketch MAINTAINED INCREMENTALLY by the streaming engine finishes
+    # bit-equal to the batch-built one and the whole pipeline keeps
+    # the exact-equality contract.
+    oracle=_HEAVY_ORACLE,
     tags=("streaming", "sketch"),
 )
 def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -209,65 +212,23 @@ def q_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d*w rows, constant however long the stream runs: the sketch IS the
     state bound), drained in update mode; because cell counts only
     grow, the final value per cell is the max over its re-emissions.
-    Candidate probe and exact verification then run batch-side against
-    the drained sketch exactly as in q_heavy_hitters — the streaming
-    stage is the part that's expensive to get wrong at 100 TB (a
-    vocabulary-keyed streaming wordcount holds unbounded state; the
-    sketch holds 1024 rows)."""
-    from flink_streaming_example_spark.operators.sketches import (
-        _CMS_DEPTH,
-        _HH_K,
-        _bucket,
-    )
-
+    Candidate probe and exact verification then run batch-side via the
+    SAME sketches.heavy_hitters pipeline as the batch key (only the
+    sketch argument differs) — the streaming stage is the part that's
+    expensive to get wrong at 100 TB (a vocabulary-keyed streaming
+    wordcount holds unbounded state; the sketch holds 1024 rows)."""
     docs = documents_file_replay(spark, sf_dir)
     stream_tokens = docs.select(
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
     )
-    cells = stream_tokens.select(
-        F.posexplode(
-            F.array(*[_bucket(F.col("word"), d) for d in range(_CMS_DEPTH)])
-        ).alias("depth", "bucket")
-    )
-    sketch_stream = cells.groupBy("depth", "bucket").agg(
+    sketch_stream = _cells(stream_tokens).groupBy("depth", "bucket").agg(
         F.count(F.lit(1)).alias("cell")
     )
     drained = run_to_memory(sketch_stream, spark, output_mode="update")
     sketch = drained.groupBy("depth", "bucket").agg(
         F.max("cell").alias("cell")
     )
-
-    from flink_streaming_example_spark.sources.tables import load_table
-
-    # batch-side probe + verify over the static table (sketches.py)
-    tokens = load_table(spark, sf_dir, "documents").select(
-        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
-    )
-    total = tokens.agg(F.count(F.lit(1)).alias("total"))
-    probes = tokens.distinct().select(
-        "word",
-        F.posexplode(
-            F.array(*[_bucket(F.col("word"), d) for d in range(_CMS_DEPTH)])
-        ).alias("depth", "bucket"),
-    )
-    est = (
-        probes.join(F.broadcast(sketch), ["depth", "bucket"])
-        .groupBy("word")
-        .agg(F.min("cell").alias("est"))
-    )
-    candidates = est.join(F.broadcast(total), how="cross").where(
-        F.col("est") * _HH_K >= F.col("total")
-    )
-    exact = (
-        tokens.join(
-            F.broadcast(candidates.select("word")), "word", "left_semi"
-        )
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("n_occ"))
-    )
-    return exact.join(F.broadcast(total), how="cross").where(
-        F.col("n_occ") * _HH_K >= F.col("total")
-    ).select("word", "n_occ")
+    return heavy_hitters(doc_tokens(spark, sf_dir), sketch)
 
 
 _STREAM_DEDUP_ORACLE = """
@@ -348,31 +309,12 @@ def q_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_streaming_session_dynamic",
-    # batch q_session_dynamic_gap's interval-union oracle verbatim
-    # (operators/windows.py _SESSION_DYN_ORACLE rationale): complete
-    # mode emits open and closed sessions alike, so the bounded replay
-    # equals the batch result with no emission-rule filtering.
-    oracle="""
-WITH e AS (
-  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
-    CAST(ts AS TIMESTAMP) + CASE WHEN event_type = 'purchase'
-        THEN INTERVAL 2 HOUR ELSE INTERVAL 1 HOUR END AS end_ts
-  FROM events
-), flagged AS (
-  SELECT *, CASE WHEN MAX(end_ts) OVER (
-      PARTITION BY user_id ORDER BY ts
-      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= ts
-    THEN 0 ELSE 1 END AS new_s
-  FROM e
-), numbered AS (
-  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-  FROM flagged
-)
-SELECT MIN(ts) AS s_start, MAX(end_ts) AS s_end, user_id,
-       COUNT(*) AS n
-FROM numbered GROUP BY user_id, sid
-""",
+    # batch q_session_dynamic_gap's interval-union oracle — the SAME
+    # module-level constant, not a copy, so the two keys cannot
+    # desynchronize (review finding, round 7): complete mode emits
+    # open and closed sessions alike, so the bounded replay equals
+    # the batch result with no emission-rule filtering.
+    oracle=_SESSION_DYN_ORACLE,
     tags=("streaming",),
 )
 def q_streaming_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -776,22 +718,12 @@ def q_streaming_interval_join_outer(
 # integer composite, windows.py q_ohlc comment) runs INSIDE the
 # streaming aggregate: partial bars merge in the state store exactly
 # like count/sum partials do.
-_STREAM_OHLC_ORACLE = """
-WITH bars AS (
-  SELECT
-    date_trunc('day', CAST(ts AS TIMESTAMP)) AS wday,
-    user_id,
-    arg_min(value, (epoch_us(CAST(ts AS TIMESTAMP))
-                    - epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))))
-                   * 1000000 + event_id) AS open,
-    MAX(value) AS high,
-    MIN(value) AS low,
-    arg_max(value, (epoch_us(CAST(ts AS TIMESTAMP))
-                    - epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))))
-                   * 1000000 + event_id) AS close,
-    COUNT(*) AS n_events
-  FROM events
-  GROUP BY 1, 2
+# the batch OHLC bars (windows.py _OHLC_ORACLE, shared so the two
+# keys' selection rule cannot drift — review finding, round 7) plus
+# append-mode's emission filter: a bar surfaces only once the final
+# watermark (ms-truncated max event time - 1h) closes its day.
+_STREAM_OHLC_ORACLE = f"""
+WITH bars AS ({_OHLC_ORACLE}
 ), wm AS (
   SELECT (epoch_us(MAX(CAST(ts AS TIMESTAMP))) // 1000) * 1000
          - 3600000000 AS w_us
@@ -1267,7 +1199,18 @@ def asof_forward_stream(union_df: DataFrame, flush_after_ms: int) -> DataFrame:
     horizon — set the timer to ts+horizon instead of end-of-input and
     emit NULL for events older than it; the bounded replay flushes at
     end-of-input, which IS the infinite-horizon semantics, so the
-    output hash-matches the batch q_asof_join_forward oracle."""
+    output hash-matches the batch q_asof_join_forward oracle.
+
+    Same-instant ties across a batch boundary: the kernel also carries
+    the LAST ORDER TIME seen (like the backward carry), and an
+    arriving event with ts <= last_us resolves immediately to last_us
+    — so an order processed in batch n still satisfies the oracle's
+    `>=` for a tied event arriving in batch n+1 (review fuzz finding,
+    round 7: without the carry such events buffered past their tied
+    order and got the NEXT one or NULL).  For ts strictly below
+    last_us — out-of-order input beyond what the aligned-progress
+    contract admits — last_us is the earliest KNOWN order at-or-after
+    ts, the best answer available without unbounded order history."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -1284,11 +1227,16 @@ def asof_forward_stream(union_df: DataFrame, flush_after_ms: int) -> DataFrame:
             )
 
         if state.hasTimedOut:
-            (pending,) = state.get
-            state.remove()
+            pending, last_us = state.get
+            # keep the order-time carry (timer-free state row) so a
+            # late tied event can still resolve; only the buffer dies
+            state.update(([], last_us))
             yield frame(list(pending), [None] * len(pending))
             return
-        pending = list(state.get[0]) if state.exists else []
+        if state.exists:
+            pending, last_us = list(state.get[0]), state.get[1]
+        else:
+            pending, last_us = [], None
         # Vectorized batch pass: sort (t asc, side desc) so a
         # same-instant order lands AFTER its tied events (>= satisfied,
         # mirroring _asof_forward), then each event's next order is a
@@ -1309,10 +1257,18 @@ def asof_forward_stream(union_df: DataFrame, flush_after_ms: int) -> DataFrame:
         opos = np.flatnonzero(side == 0)
         epos = np.flatnonzero(side == 1)
         ev_ids = eid[epos].astype(np.int64)
-        nxt = np.searchsorted(opos, epos)
-        have = nxt < opos.size
         out_ids: list[int] = []
         out_next: list[int] = []
+        if last_us is not None and epos.size:
+            # cross-batch tie/carry resolution (docstring): events
+            # at-or-before the last order already seen resolve to it
+            # right away instead of buffering past their match
+            done = t[epos] <= last_us
+            out_ids.extend(ev_ids[done].tolist())
+            out_next.extend([last_us] * int(done.sum()))
+            epos, ev_ids = epos[~done], ev_ids[~done]
+        nxt = np.searchsorted(opos, epos)
+        have = nxt < opos.size
         if opos.size:
             if pending:  # prior-batch buffer flushes on the first order
                 first_t = int(t[opos[0]])
@@ -1322,6 +1278,9 @@ def asof_forward_stream(union_df: DataFrame, flush_after_ms: int) -> DataFrame:
             out_ids.extend(ev_ids[have].tolist())
             out_next.extend(t[opos[nxt[have]]].tolist())
             pending.extend(ev_ids[~have].tolist())
+            last_us = int(t[opos[-1]]) if last_us is None else max(
+                last_us, int(t[opos[-1]])
+            )
         else:
             pending.extend(ev_ids.tolist())
         # Timer ONLY for keys with something to flush: the end-of-input
@@ -1335,10 +1294,16 @@ def asof_forward_stream(union_df: DataFrame, flush_after_ms: int) -> DataFrame:
         # keeping at all — remove it so neither the store nor the
         # sweep carries it.
         if pending:
-            state.update((pending,))
+            state.update((pending, last_us))
             state.setTimeoutTimestamp(
                 max(flush_after_ms, state.getCurrentWatermarkMs() + 1)
             )
+        elif last_us is not None:
+            # no buffer, but keep the timer-free order-time carry so a
+            # late tied event can still resolve (docstring); the
+            # pending-only-timer economics are preserved — carry-only
+            # rows never join the timeout sweep
+            state.update(([], last_us))
         elif state.exists:
             state.remove()
         yield frame(out_ids, out_next)
@@ -1349,7 +1314,7 @@ def asof_forward_stream(union_df: DataFrame, flush_after_ms: int) -> DataFrame:
     return u.groupBy("user_id").applyInPandasWithState(
         forward,
         outputStructType="event_id long, user_id long, next_order_us long",
-        stateStructType="pending array<long>",
+        stateStructType="pending array<long>, last_us long",
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
@@ -1364,15 +1329,16 @@ def asof_flush_point_ms(spark: SparkSession, sf_dir: str) -> int:
 
     from flink_streaming_example_spark.sources.tables import load_table
 
-    ev_max = (
-        load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    # one Spark job for both maxima (two sequential collects doubled
+    # the fixed pre-stream overhead on the two slowest keys — review
+    # finding, round 7)
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("t")
     )
-    ord_max = (
-        load_table(spark, sf_dir, "orders")
-        .agg(F.max(F.col("o_orderdate").cast("timestamp")))
-        .collect()[0][0]
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("timestamp").alias("t")
     )
-    m = max(ev_max, ord_max)
+    m = ev.unionByName(orders).agg(F.max("t")).collect()[0][0]
     return int(m.replace(tzinfo=timezone.utc).timestamp() * 1000) - 1
 
 

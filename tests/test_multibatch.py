@@ -792,3 +792,77 @@ def test_streaming_sketch_converges_across_micro_batches(spark):
     )
     result = compare_frames(got.toPandas(), want.toPandas())
     assert result.ok, result.detail
+
+
+def test_forward_asof_resolves_tie_split_across_batches(spark):
+    """Round-7 review fuzz finding: an order processed in batch n must
+    still satisfy the oracle's `>=` for a SAME-INSTANT event arriving
+    in batch n+1.  Without the order-time carry the event buffered
+    past its tied order and flushed with the next order or NULL.
+    Hand-crafted shards (time-aligned sharding cannot split a tie, so
+    this is the one arrival order the aligned replay never produces):
+    orders shard 0 = [t=X], events shard 1 = [t=X, t=X+1h]."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    from flink_streaming_example_spark.streaming.queries import (
+        asof_forward_stream,
+    )
+
+    base_ts = pd.Timestamp("2024-02-01 12:00:00")
+    x_us = int(base_ts.value // 1000)
+
+    def write_shards(dirname, frames):
+        out = tempfile.mkdtemp(prefix=dirname)
+        base = _time.time() - 3600
+        for k, pdf in enumerate(frames):
+            tmp = tempfile.mkdtemp()
+            sdf = spark.createDataFrame(
+                pdf, "user_id long, t_us long, side long, event_id long"
+            )
+            sdf.coalesce(1).write.mode("overwrite").parquet(tmp)
+            import glob as _glob
+            import shutil as _shutil
+
+            (part,) = _glob.glob(f"{tmp}/part-*.parquet")
+            dest = os.path.join(out, f"shard-{k:02d}.parquet")
+            _shutil.move(part, dest)
+            os.utime(dest, (base + k, base + k))
+        return out
+
+    empty = pd.DataFrame(
+        {"user_id": [], "t_us": [], "side": [], "event_id": []}
+    ).astype("int64")
+    order_row = pd.DataFrame(
+        {"user_id": [1], "t_us": [x_us], "side": [0], "event_id": [pd.NA]}
+    )
+    event_rows = pd.DataFrame(
+        {
+            "user_id": [1, 1],
+            "t_us": [x_us, x_us + 3_600_000_000],
+            "side": [1, 1],
+            "event_id": [101, 102],
+        }
+    )
+    path = write_shards("tie_union_", [order_row, event_rows, empty])
+    union = (
+        spark.readStream.schema(
+            "user_id long, t_us long, side long, event_id long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    flush_ms = x_us // 1000 + 3_600_000 - 1
+    got, batches = _drain(
+        spark, asof_forward_stream(union, flush_ms), "append"
+    )
+    assert batches >= 3
+    rows = {
+        int(r.event_id): (None if pd.isna(r.next_order_us) else int(r.next_order_us))
+        for r in got.toPandas().itertuples()
+    }
+    # the tied event must get the batch-n order (>= satisfied), and
+    # the later event has no order at-or-after -> NULL via the timer
+    assert rows == {101: x_us, 102: None}, rows

@@ -20,7 +20,7 @@ def _bars(spark, pdf: pd.DataFrame):
     day = F.date_trunc("day", F.col("ts").cast("timestamp"))
     ok = (
         F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(day)
-    ) * F.lit(1000000) + F.col("event_id")
+    ) * F.lit(100000000) + F.col("event_id")
     return (
         sdf.select(day.alias("wday"), "user_id", "event_id", "value", ok.alias("ok"))
         .groupBy("wday", "user_id")
@@ -58,10 +58,10 @@ def test_ohlc_ties_resolved_by_event_id(spark):
         """
         SELECT date_trunc('day', ts) AS wday, user_id,
           arg_min(value, (epoch_us(ts) - epoch_us(date_trunc('day', ts)))
-                         * 1000000 + event_id) AS open,
+                         * 100000000 + event_id) AS open,
           MAX(value) AS high, MIN(value) AS low,
           arg_max(value, (epoch_us(ts) - epoch_us(date_trunc('day', ts)))
-                         * 1000000 + event_id) AS close,
+                         * 100000000 + event_id) AS close,
           COUNT(*) AS n_events
         FROM e GROUP BY 1, 2
         """

@@ -10,7 +10,7 @@ import hashlib
 from pyspark.sql import functions as F
 
 from flink_streaming_example_spark.operators.layout import _BITS
-from flink_streaming_example_spark.operators.sketches import cms_estimates
+from flink_streaming_example_spark.operators.sketches import _HH_K, cms_estimates
 from flink_streaming_example_spark.plans.registry import all_specs
 from flink_streaming_example_spark.sources.tables import load_table
 
@@ -46,7 +46,7 @@ def test_cms_filter_discriminates(spark, sf_dir):
     total = tokens.count()
     vocab = tokens.distinct().count()
     est = cms_estimates(tokens)
-    n_candidates = est.where(F.col("est") * 30 >= F.lit(total)).count()
+    n_candidates = est.where(F.col("est") * _HH_K >= F.lit(total)).count()
     n_heavy = _SPECS["q_heavy_hitters"].fn(spark, sf_dir).count()
     assert n_heavy <= n_candidates <= vocab
     assert n_candidates < vocab, (
