@@ -139,7 +139,14 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted in tests and by the driver's oracle hash."""
     ev = events_file_replay(spark, sf_dir)
     agg = (
-        ev.withWatermark("ts", "1 day")
+        # 30-day watermark: complete mode DROPS a window from later
+        # emissions once the watermark finalizes it (it leaves the
+        # state store), so a tight watermark makes the final output of
+        # a multi-file replay only the recent tail — loudly (hash
+        # mismatch), but needlessly coupling the key to the fixture's
+        # single-file layout.  A far watermark keeps every window live
+        # for the bounded replay; identical single-batch output.
+        ev.withWatermark("ts", "30 days")
         .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -291,7 +298,8 @@ def q_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay equals the batch gaps-and-islands result."""
     ev = events_file_replay(spark, sf_dir)
     agg = (
-        ev.withWatermark("ts", "1 hour")
+        # 30-day watermark: see q_streaming_tumbling's eviction note
+        ev.withWatermark("ts", "30 days")
         .groupBy(F.session_window("ts", "6 hours").alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -331,7 +339,8 @@ def q_streaming_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CASE WHEN event_type = 'purchase' THEN 2 ELSE 1 END, 0, 0)"
     )
     agg = (
-        ev.withWatermark("ts", "1 hour")
+        # 30-day watermark: see q_streaming_tumbling's eviction note
+        ev.withWatermark("ts", "30 days")
         .groupBy(F.session_window(F.col("ts"), gap).alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
@@ -367,7 +376,8 @@ def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     each event updates two window states; complete mode emits all."""
     ev = events_file_replay(spark, sf_dir)
     agg = (
-        ev.withWatermark("ts", "1 day")
+        # 30-day watermark: see q_streaming_tumbling's eviction note
+        ev.withWatermark("ts", "30 days")
         .groupBy(F.window("ts", "1 day", "12 hours").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),

@@ -866,3 +866,47 @@ def test_forward_asof_resolves_tie_split_across_batches(spark):
     # the tied event must get the batch-n order (>= satisfied), and
     # the later event has no order at-or-after -> NULL via the timer
     assert rows == {101: x_us, 102: None}, rows
+
+
+def test_dynamic_session_merges_across_micro_batches(spark, sharded_events_dir):
+    """q_streaming_session_dynamic's MergingSessionsExec must merge
+    variable-gap spans ACROSS batches: a purchase's 2h span from one
+    shard can absorb a later shard's event that a 1h span would not
+    — the final complete-mode standings must equal the batch
+    interval-union oracle."""
+    import duckdb
+
+    from flink_streaming_example_spark.operators.windows import (
+        _SESSION_DYN_ORACLE,
+    )
+
+    ev = _replay(spark, sharded_events_dir)
+    gap = F.expr(
+        "make_interval(0, 0, 0, 0, "
+        "CASE WHEN event_type = 'purchase' THEN 2 ELSE 1 END, 0, 0)"
+    )
+    # 30-day watermark, same as the registered key (this test is what
+    # exposed the eviction coupling: complete mode drops finalized
+    # sessions from later emissions, so the key's original 1h
+    # watermark made a multi-file replay return only the recent tail)
+    agg = (
+        ev.withWatermark("ts", "30 days")
+        .groupBy(F.session_window(F.col("ts"), gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("s_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("s_end"),
+            "user_id",
+            "n",
+        )
+    )
+    got, batches = _drain(spark, agg, "complete")
+    assert batches >= N_SHARDS
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/events.parquet')"
+    )
+    want = con.execute(_SESSION_DYN_ORACLE).df()
+    result = compare_frames(got.toPandas(), want)
+    assert result.ok, result.detail
