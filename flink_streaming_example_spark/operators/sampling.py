@@ -160,6 +160,52 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "n_chars")
 
 
+# Stratified fixed-size sampling: exactly k documents per stratum,
+# chosen as the k SMALLEST md5 hashes within the stratum — the
+# deterministic analogue of per-stratum reservoir sampling (bottom-k
+# hash sketches).  Unlike rate-based sampling (q_domain_mix) the
+# output size per stratum is exact, and unlike seeded randomness the
+# choice is a pure row function: stable under reruns, partitioning,
+# and corpus growth restricted to k-set turnover (a new doc enters a
+# stratum's sample only by hashing below its current k-th smallest —
+# the bottom-k mergeability that makes this the distributed-sampling
+# primitive: partial bottom-k per partition, merge, keep k).
+_STRAT_K = 10
+
+_STRAT_ORACLE = f"""
+SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT lang, doc_id,
+    ROW_NUMBER() OVER (
+      PARTITION BY lang
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    ) AS rn
+  FROM documents
+)
+WHERE rn <= {_STRAT_K}
+"""
+
+
+@register("q_stratified_sample", oracle=_STRAT_ORACLE, tags=("sampling", "llm"))
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum sample (k=10 per language) via bottom-k
+    md5 order (comment above) — the balanced-subsample primitive for
+    eval-set construction and per-domain inspection.  One shuffle by
+    stratum; at scale the window becomes partial bottom-k per
+    partition + merge (same result, mergeable sketch shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= _STRAT_K)
+        .select("lang", "doc_id", F.col("rn").cast("long").alias("rn"))
+    )
+
+
 # Negative-pair sampling for contrastive training: each anchor document
 # gets K pseudo-random partners, chosen by a deterministic hash offset
 # so the pairing is reproducible (same property argument as the
