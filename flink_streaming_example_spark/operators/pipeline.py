@@ -110,3 +110,119 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+# -------------------------------------------------------- training mix
+# The OTHER composed use-case (round 7): assemble an actual training
+# shard from the cleaned corpus — the sequence of decisions a
+# pretraining data pipeline runs after cleaning.  Stage order is the
+# production order and is mirrored exactly in the oracle:
+# 1. quality gate (>= 30 tokens — same rule as q_clean_corpus);
+# 2. exact dedup: min-doc_id survivor per normalized text;
+# 3. TRAIN split: md5(doc_id) mod 100 < 80 (the leakage-free
+#    content-hash rule of q_sample_hash — eval/val docs can never
+#    drift into the shard);
+# 4. per-language cap: bottom-50 by md5 order (q_stratified_sample's
+#    bottom-k rule — balances the mix without rate guessing);
+# 5. sequence packing at a 512-token budget per language
+#    (q_pack_sequences' exclusive-cumsum rule);
+# 6. report per (lang, pack): docs + tokens.
+# Every stage is a pure function of the rows, so the whole shard
+# recipe is reproducible and the composition is hash-checkable.
+_MIX_CAP = 50
+_MIX_BUDGET = 512
+
+_TRAINING_MIX_ORACLE = f"""
+WITH quality AS (
+  SELECT doc_id, text, lang
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= {_MIN_TOKENS}
+), survivors AS (
+  SELECT doc_id, text, lang FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY lower(trim(text)) ORDER BY doc_id
+    ) AS rn
+    FROM quality
+  ) WHERE rn = 1
+), train AS (
+  SELECT * FROM survivors
+  WHERE CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        AS BIGINT) % 100 < 80
+), capped AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY lang
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    ) AS krn
+    FROM train
+  ) WHERE krn <= {_MIX_CAP}
+), packed AS (
+  SELECT lang, n_tokens,
+    CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+        / {_MIX_BUDGET}.0) AS BIGINT) AS pack_id
+  FROM capped
+)
+SELECT lang, pack_id, COUNT(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+FROM packed
+GROUP BY lang, pack_id
+"""
+
+
+@register("q_training_mix", oracle=_TRAINING_MIX_ORACLE, tags=("llm", "pipeline"))
+def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed shard assembly (block comment above): quality gate ->
+    exact dedup -> content-hash train split -> per-language bottom-k
+    cap -> 512-token sequence packing -> per-pack report, each stage
+    the same rule as its standalone key.  Scale shape: one windowed
+    shuffle per keyed stage (dedup survivor, cap, pack cumsum), all
+    partitioned by text-hash or language — nothing driver-side,
+    nothing all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    quality = docs.where(
+        F.size(F.split(F.col("text"), " ")) >= _MIN_TOKENS
+    )
+    w_dedup = Window.partitionBy(F.lower(F.trim(F.col("text")))).orderBy(
+        "doc_id"
+    )
+    survivors = (
+        quality.withColumn("rn", F.row_number().over(w_dedup))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    train = survivors.where(bucket < 80)
+    w_cap = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    capped = (
+        train.withColumn("krn", F.row_number().over(w_cap))
+        .where(F.col("krn") <= _MIX_CAP)
+        .select(
+            "doc_id",
+            "lang",
+            F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        )
+    )
+    w_pack = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pack_id = F.floor(
+        (F.sum("n_tokens").over(w_pack) - F.col("n_tokens"))
+        / float(_MIX_BUDGET)
+    ).cast("long")
+    return (
+        capped.withColumn("pack_id", pack_id)
+        .groupBy("lang", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("pack_tokens"),
+        )
+    )
