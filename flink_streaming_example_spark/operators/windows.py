@@ -534,18 +534,36 @@ def q_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engines identically, so the hash check cannot catch it — review
 # finding, round 7).  Sparse/wider id spaces must re-rank ids first
 # (dense row_number) or rank with a window instead.
-_OHLC_ORACLE = """
+#
+# OHLC_ORDER_MULT and ohlc_order_key() are THE single source of this
+# composite: q_ohlc, q_streaming_ohlc, the oracle SQL (f-string below)
+# and tests/test_ohlc_ties.py all build the key through here, so the
+# multiplier cannot drift between the twins (round-7 advisor found
+# the streaming copy had silently diverged to 10^6).
+OHLC_ORDER_MULT = 100_000_000
+
+
+def ohlc_order_key(ts_col, day_col):
+    """Integer composite order key for open/close selection:
+    microsecond-of-day * OHLC_ORDER_MULT + event_id.  `ts_col` must
+    already be TimestampType; `day_col` the day-truncated timestamp."""
+    return (
+        F.unix_micros(ts_col) - F.unix_micros(day_col)
+    ) * F.lit(OHLC_ORDER_MULT) + F.col("event_id")
+
+
+_OHLC_ORACLE = f"""
 SELECT
   date_trunc('day', CAST(ts AS TIMESTAMP)) AS wday,
   user_id,
   arg_min(value, (epoch_us(CAST(ts AS TIMESTAMP))
                   - epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))))
-                 * 100000000 + event_id) AS open,
+                 * {OHLC_ORDER_MULT} + event_id) AS open,
   MAX(value) AS high,
   MIN(value) AS low,
   arg_max(value, (epoch_us(CAST(ts AS TIMESTAMP))
                   - epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))))
-                 * 100000000 + event_id) AS close,
+                 * {OHLC_ORDER_MULT} + event_id) AS close,
   COUNT(*) AS n_events
 FROM events
 GROUP BY 1, 2
@@ -566,10 +584,7 @@ def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-aggregating bars, not raw rows."""
     ev = load_table(spark, sf_dir, "events")
     day = F.date_trunc("day", F.col("ts").cast("timestamp"))
-    order_key = (
-        F.unix_micros(F.col("ts").cast("timestamp"))
-        - F.unix_micros(day)
-    ) * F.lit(100000000) + F.col("event_id")
+    order_key = ohlc_order_key(F.col("ts").cast("timestamp"), day)
     return (
         ev.select(
             day.alias("wday"),

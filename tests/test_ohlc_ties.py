@@ -16,11 +16,13 @@ from flink_streaming_example_spark.testing import compare_frames
 def _bars(spark, pdf: pd.DataFrame):
     from pyspark.sql import functions as F
 
+    from flink_streaming_example_spark.operators.windows import (
+        ohlc_order_key,
+    )
+
     sdf = spark.createDataFrame(pdf)
     day = F.date_trunc("day", F.col("ts").cast("timestamp"))
-    ok = (
-        F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(day)
-    ) * F.lit(100000000) + F.col("event_id")
+    ok = ohlc_order_key(F.col("ts").cast("timestamp"), day)
     return (
         sdf.select(day.alias("wday"), "user_id", "event_id", "value", ok.alias("ok"))
         .groupBy("wday", "user_id")
@@ -52,16 +54,20 @@ def test_ohlc_ties_resolved_by_event_id(spark):
     assert u1.open == 30.0  # event_id 3 wins the tied open
     assert u1.close == 90.0  # the strictly-later event wins close
     # same data through DuckDB's arg_min/arg_max on the identical key
+    from flink_streaming_example_spark.operators.windows import (
+        OHLC_ORDER_MULT,
+    )
+
     con = duckdb.connect()
     con.register("e", pdf)
     want = con.execute(
-        """
+        f"""
         SELECT date_trunc('day', ts) AS wday, user_id,
           arg_min(value, (epoch_us(ts) - epoch_us(date_trunc('day', ts)))
-                         * 100000000 + event_id) AS open,
+                         * {OHLC_ORDER_MULT} + event_id) AS open,
           MAX(value) AS high, MIN(value) AS low,
           arg_max(value, (epoch_us(ts) - epoch_us(date_trunc('day', ts)))
-                         * 100000000 + event_id) AS close,
+                         * {OHLC_ORDER_MULT} + event_id) AS close,
           COUNT(*) AS n_events
         FROM e GROUP BY 1, 2
         """

@@ -182,6 +182,34 @@ def test_stale_window_keys_lead_rotation():
         f"keys >=2 rounds stale sort outside the driver window "
         f"({window}): {late}"
     )
+    # (a) the stale tier is AGE-sorted — oldest latest-check first.
+    # Round-7 judge item 1: registration-order ties inside the tier
+    # let fresher r5 keys sort ahead of r3 keys, so when the tier
+    # overflows the ~50-key budget the overflow starved the OLDEST
+    # evidence; age ordering puts the overflow on the freshest-stale
+    # keys instead, bounding any key's staleness.
+    stale_set = set(stale)
+    stale_in_order = [n for n in ordered if n in stale_set]
+    rounds_in_order = [hist[n][0] for n in stale_in_order]
+    assert rounds_in_order == sorted(rounds_in_order), (
+        "stale tier not age-sorted (oldest-first): "
+        f"{list(zip(stale_in_order, rounds_in_order))}"
+    )
+    # (b) bounded starvation: the whole oldest-evidence cohort must
+    # fit the next driver window whenever tiers 1-3 leave room — the
+    # concrete guarantee that "checked N rounds ago" monotonically
+    # shrinks instead of growing without bound.
+    if stale:
+        oldest_round = min(rounds_in_order)
+        cohort = [n for n in stale_in_order if hist[n][0] == oldest_round]
+        fit = min(budget, n_priority + len(cohort))
+        late_oldest = {
+            n: ordered.index(n) for n in cohort if ordered.index(n) >= fit
+        }
+        assert not late_oldest, (
+            f"oldest-evidence cohort (round {oldest_round}) sorts outside "
+            f"the next driver window ({fit}): {late_oldest}"
+        )
     # and nothing fresh-green may precede any stale key
     for n in stale:
         ahead = ordered[: ordered.index(n)]
