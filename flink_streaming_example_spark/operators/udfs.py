@@ -258,18 +258,33 @@ def q_cogroup_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def merge(key: tuple, epdf: pd.DataFrame, opdf: pd.DataFrame) -> pd.DataFrame:
+        # empty placeholders carry an explicitly NAMED index and typed
+        # columns so the outer join never depends on pandas propagating
+        # the index name from the non-empty side, and fillna stays on
+        # int64 (no object-dtype downcast FutureWarning) — advisor
+        # robustness note, round 7.
+        empty_ix = pd.Index([], name="user_id", dtype="int64")
         e = (
             epdf.groupby("user_id")["is_click"]
             .agg(n_events="size", n_clicks="sum")
             if len(epdf)
-            else pd.DataFrame(columns=["n_events", "n_clicks"])
+            else pd.DataFrame(
+                {"n_events": pd.Series([], dtype="int64"),
+                 "n_clicks": pd.Series([], dtype="int64")},
+                index=empty_ix,
+            )
         )
         o = (
             opdf.groupby("user_id").size().rename("n_orders").to_frame()
             if len(opdf)
-            else pd.DataFrame(columns=["n_orders"])
+            else pd.DataFrame(
+                {"n_orders": pd.Series([], dtype="int64")}, index=empty_ix
+            )
         )
-        merged = e.join(o, how="outer").fillna(0).reset_index()
+        merged = e.join(o, how="outer")
+        for c in ("n_events", "n_clicks", "n_orders"):
+            merged[c] = merged[c].fillna(0)
+        merged = merged.reset_index()
         return pd.DataFrame(
             {
                 "user_id": merged["user_id"].astype("int64"),

@@ -22,7 +22,9 @@ modified there.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -35,8 +37,21 @@ from flink_streaming_example_spark.sources.tables import (
 )
 
 # one conversion per (process, sf_dir): the key must be rerunnable in
-# a bench sweep without paying the write each time
+# a bench sweep without paying the write each time.  BENCH NOTE: the
+# first q_jsonl_source invocation in a process pays this write (cold
+# run incomparable to reruns — medians-of-3 absorb it); directories
+# are removed at interpreter exit so repeated processes don't leak
+# one gzip copy of documents each (advisor note, round 7).
 _jsonl_cache: dict[str, str] = {}
+
+
+def _cleanup_jsonl_cache() -> None:
+    for path in _jsonl_cache.values():
+        shutil.rmtree(path, ignore_errors=True)
+    _jsonl_cache.clear()
+
+
+atexit.register(_cleanup_jsonl_cache)
 
 
 def documents_as_jsonl_gz(spark: SparkSession, sf_dir: str) -> str:
