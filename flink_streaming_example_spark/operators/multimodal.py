@@ -40,17 +40,20 @@ _FEATURE_SCHEMA = (
 def _decode_payload(payload: bytes, mime: str) -> bytes:
     """Decode a payload for feature extraction.
 
-    text/plain passes through; UNCOMPRESSED media decodes for real with
-    stdlib struct only (BMP 24-bit pixel rows -> grayscale bytes, WAV
-    PCM16 -> raw sample bytes; round 7).  Only COMPRESSED mimes
-    (PNG/JPEG/GIF deflate+DCT payloads, video codecs) remain stubbed —
-    they need codec libraries this container does not ship.  The
-    surrounding Spark plumbing is identical for any modality.
+    text/plain passes through; BMP 24-bit pixel rows and WAV PCM16
+    decode for real with stdlib struct (round 7), PNG with stdlib
+    zlib (round 8: IDAT inflate + scanline unfilter).  Only mimes
+    needing a codec LIBRARY (JPEG's DCT, GIF's LZW, video) remain
+    stubbed.  The surrounding Spark plumbing is identical for any
+    modality.
     """
     if mime == "text/plain":
         return payload
     if mime == "image/bmp":
         _w, _h, grid = decode_bmp(payload)
+        return bytes(v for row in grid for v in row)
+    if mime == "image/png":
+        _w, _h, grid = decode_png(payload)
         return bytes(v for row in grid for v in row)
     if mime == "audio/wav":
         _sr, _ch, samples = decode_wav(payload)
@@ -83,11 +86,12 @@ _RESIZE_SCHEMA = "doc_id long, mime string, width int, height int, payload binar
 _FRAMES_SCHEMA = "doc_id long, frame_idx int, frame binary"
 
 
-# ---- real uncompressed-media codecs (round 7): BMP pixel rows and
-# WAV PCM samples need zero external codecs — stdlib struct only.
-# Decoders fail LOUD (ValueError) on anything compressed, truncated,
-# or off-spec; only genuinely compressed mimes (PNG/JPEG/GIF payloads,
-# video) remain behind NotImplementedError.
+# ---- real media codecs (rounds 7-8): BMP pixel rows and WAV PCM
+# samples need zero external codecs — stdlib struct only — and PNG
+# (round 8) needs only stdlib zlib: IDAT inflate + per-scanline
+# unfilter.  Decoders fail LOUD (ValueError) on anything truncated or
+# off-spec; only mimes whose decode needs a real codec LIBRARY
+# (JPEG's DCT, GIF's LZW, video) remain behind NotImplementedError.
 
 
 def decode_bmp(payload: bytes) -> tuple[int, int, list[list[int]]]:
@@ -153,6 +157,156 @@ def encode_bmp(grid: list[list[int]]) -> bytes:
     return bytes(header + body)
 
 
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (left, up, up-left) — the spec's exact
+    tie-breaking order (left, then up, then up-left) matters: a wrong
+    order decodes to different pixels on real images."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(payload: bytes) -> tuple[int, int, list[list[int]]]:
+    """Decode an 8-bit grayscale non-interlaced PNG into (width,
+    height, top-down pixel grid) with stdlib zlib only: chunk walk
+    with CRC32 verification, multi-IDAT concatenation, full inflate,
+    then per-scanline unfilter (None/Sub/Up/Average/Paeth, bpp=1).
+    Fails LOUD on interlacing (Adam7), non-grayscale color types,
+    bit depths other than 8, a bad CRC, or a scanline stream whose
+    inflated size disagrees with IHDR — silent tolerance on any of
+    those is how corrupt corpus bytes sneak into training shards."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG signature")
+    pos, ihdr, idat, ended = 8, None, bytearray(), False
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) < length or pos + 12 + length > len(payload):
+            raise ValueError(f"truncated PNG chunk {ctype!r}")
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            ended = True
+            break
+        # ancillary chunks (tEXt etc.) are skipped by declared size
+        pos += 12 + length
+    if ihdr is None or not idat or not ended:
+        raise ValueError("PNG missing IHDR/IDAT/IEND")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color != 0 or comp != 0 or filt != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth} color={color})"
+        )
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG not supported")
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (w + 1):
+        raise ValueError(
+            f"PNG scanline stream {len(raw)}B != expected {h * (w + 1)}B"
+        )
+    rows: list[list[int]] = []
+    prior = [0] * w
+    for y in range(h):
+        line = raw[y * (w + 1) : (y + 1) * (w + 1)]
+        ftype, filt_bytes = line[0], line[1:]
+        cur: list[int] = []
+        for x, fb in enumerate(filt_bytes):
+            left = cur[x - 1] if x else 0
+            up = prior[x]
+            ul = prior[x - 1] if x else 0
+            if ftype == 0:
+                v = fb
+            elif ftype == 1:
+                v = fb + left
+            elif ftype == 2:
+                v = fb + up
+            elif ftype == 3:
+                v = fb + (left + up) // 2
+            elif ftype == 4:
+                v = fb + _paeth(left, up, ul)
+            else:
+                raise ValueError(f"bad PNG filter type {ftype}")
+            cur.append(v & 0xFF)
+        rows.append(cur)
+        prior = cur
+    return w, h, rows
+
+
+def encode_png(
+    grid: list[list[int]], filters: list[int] | None = None
+) -> bytes:
+    """Encode a top-down grayscale grid as an 8-bit non-interlaced
+    PNG.  `filters` picks the per-scanline filter type (default all
+    None); the synthesized decode corpus cycles through all five so
+    every unfilter path in decode_png is exercised.  IDAT is split at
+    a deliberately unaligned 37-byte boundary — a decoder that reads
+    only the first IDAT chunk cannot round-trip this."""
+    import struct
+    import zlib
+
+    h = len(grid)
+    w = len(grid[0]) if h else 0
+    filters = filters or [0] * h
+    stream = bytearray()
+    prior = [0] * w
+    for y in range(h):
+        cur = grid[y]
+        f = filters[y]
+        stream.append(f)
+        for x in range(w):
+            left = cur[x - 1] if x else 0
+            up = prior[x]
+            ul = prior[x - 1] if x else 0
+            if f == 0:
+                fb = cur[x]
+            elif f == 1:
+                fb = cur[x] - left
+            elif f == 2:
+                fb = cur[x] - up
+            elif f == 3:
+                fb = cur[x] - (left + up) // 2
+            elif f == 4:
+                fb = cur[x] - _paeth(left, up, ul)
+            else:
+                raise ValueError(f"bad PNG filter type {f}")
+            stream.append(fb & 0xFF)
+        prior = cur
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    compressed = zlib.compress(bytes(stream))
+    out = bytearray(b"\x89PNG\r\n\x1a\n")
+    out += chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+    # ancillary chunk BEFORE the image data: a header walk that
+    # assumes IHDR-then-IDAT adjacency must skip it by size
+    out += chunk(b"tEXt", b"Software\x00fse-spark synth")
+    for i in range(0, len(compressed), 37):
+        out += chunk(b"IDAT", compressed[i : i + 37])
+    out += chunk(b"IEND", b"")
+    return bytes(out)
+
+
 def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
     """Decode a PCM16 WAV into (sample_rate, channels, samples) with a
     REAL RIFF chunk walk — unknown chunks (JUNK/LIST/fact) are skipped
@@ -197,22 +351,24 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     """Image resize over (doc_id, payload, mime) -> _RESIZE_SCHEMA.
 
-    image/bmp resizes FOR REAL: decode_bmp -> nearest-neighbor sample
-    -> encode_bmp, stdlib only (round 7; previously a stub).  text
-    passes through; compressed image mimes still raise — their decode
+    image/bmp and image/png resize FOR REAL: decode -> nearest-
+    neighbor sample -> re-encode, stdlib only (BMP round 7, PNG round
+    8).  text passes through; JPEG/GIF still raise — their decode
     needs codec libraries this container does not ship."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads: list[bytes] = []
             for p, m in zip(pdf["payload"], pdf["mime"]):
-                if m == "image/bmp":
-                    w, h, grid = decode_bmp(p)
+                if m in ("image/bmp", "image/png"):
+                    decode = decode_bmp if m == "image/bmp" else decode_png
+                    encode = encode_bmp if m == "image/bmp" else encode_png
+                    w, h, grid = decode(p)
                     resized = [
                         [grid[y * h // height][x * w // width] for x in range(width)]
                         for y in range(height)
                     ]
-                    payloads.append(encode_bmp(resized))
+                    payloads.append(encode(resized))
                 elif m.startswith("image/"):
                     raise NotImplementedError(
                         f"compressed image decode ({m}) requires PIL/opencv"
@@ -471,12 +627,16 @@ def synth_decodable_payloads(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
     """Deterministic FULL media payloads from doc_id — real pixel rows
-    / PCM samples, not just headers: even doc_id -> bottom-up 24-bit
-    BMP (grayscale v(x,y) = (3x + 7y + d) mod 256, row padding filled
-    with 0xAB so a stride-ignoring decoder reads garbage), odd doc_id
-    -> PCM16 WAV with a JUNK chunk before data (so a walker that
-    assumes fmt-then-data adjacency breaks), s(i) = ((31d + 17i) mod
-    65536) - 32768.  The DuckDB oracle recomputes both invariants from
+    / PCM samples, not just headers.  doc_id % 3 picks the format:
+    0 -> bottom-up 24-bit BMP (grayscale v(x,y) = (3x + 7y + d) mod
+    256, row padding filled with 0xAB so a stride-ignoring decoder
+    reads garbage); 1 -> PCM16 WAV with a JUNK chunk before data (so
+    a walker that assumes fmt-then-data adjacency breaks), s(i) =
+    ((31d + 17i) mod 65536) - 32768; 2 -> zlib-compressed grayscale
+    PNG (v(x,y) = (5x + 11y + d) mod 256) whose scanline filters
+    cycle (y + d) mod 5 so None/Sub/Up/Average/Paeth ALL occur, with
+    a tEXt chunk before the image data and IDAT split at a 37-byte
+    boundary.  The DuckDB oracle recomputes all three invariants from
     the same closed forms."""
     import struct
 
@@ -518,11 +678,17 @@ def synth_decodable_payloads(
             + b"data" + struct.pack("<I", len(data)) + data
         )
 
-    for pdf in batches:
-        payloads = [
-            bmp(int(d)) if int(d) % 2 == 0 else wav(int(d))
-            for d in pdf["doc_id"]
+    def png(d: int) -> bytes:
+        w, h = d % 16 + 4, (d * 5) % 16 + 4
+        grid = [
+            [(5 * x + 11 * y + d) % 256 for x in range(w)]
+            for y in range(h)
         ]
+        return encode_png(grid, filters=[(y + d) % 5 for y in range(h)])
+
+    makers = {0: bmp, 1: wav, 2: png}
+    for pdf in batches:
+        payloads = [makers[int(d) % 3](int(d)) for d in pdf["doc_id"]]
         yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
 
@@ -536,17 +702,13 @@ def media_decode(df: DataFrame) -> DataFrame:
         for pdf in batches:
             mimes, units, sums = [], [], []
             for p in pdf["payload"]:
-                if bytes(p[:2]) == b"BM":
+                head = bytes(p[:8])
+                if head[:2] == b"BM":
                     w, h, grid = decode_bmp(p)
                     mimes.append("image/bmp")
-                    units.append(w * h)
-                    sums.append(
-                        sum(
-                            grid[y][x] * (1 + y * w + x)
-                            for y in range(h)
-                            for x in range(w)
-                        )
-                    )
+                elif head == b"\x89PNG\r\n\x1a\n":
+                    w, h, grid = decode_png(p)
+                    mimes.append("image/png")
                 else:
                     _sr, _ch, samples = decode_wav(p)
                     mimes.append("audio/wav")
@@ -557,6 +719,15 @@ def media_decode(df: DataFrame) -> DataFrame:
                             for i, s in enumerate(samples)
                         )
                     )
+                    continue
+                units.append(w * h)
+                sums.append(
+                    sum(
+                        grid[y][x] * (1 + y * w + x)
+                        for y in range(h)
+                        for x in range(w)
+                    )
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -575,20 +746,28 @@ def media_decode(df: DataFrame) -> DataFrame:
 _MEDIA_DECODE_ORACLE = """
 SELECT
   doc_id,
-  CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END AS mime,
-  CAST(CASE WHEN doc_id % 2 = 0
-    THEN (doc_id % 16 + 4) * ((doc_id * 7) % 16 + 4)
-    ELSE (doc_id % 50 + 10) * (CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 2 END)
+  CASE doc_id % 3 WHEN 0 THEN 'image/bmp'
+                  WHEN 1 THEN 'audio/wav'
+                  ELSE 'image/png' END AS mime,
+  CAST(CASE doc_id % 3
+    WHEN 0 THEN (doc_id % 16 + 4) * ((doc_id * 7) % 16 + 4)
+    WHEN 1 THEN (doc_id % 50 + 10)
+                * (CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 2 END)
+    ELSE (doc_id % 16 + 4) * ((doc_id * 5) % 16 + 4)
   END AS BIGINT) AS n_units,
-  CAST(CASE WHEN doc_id % 2 = 0
-    THEN list_sum(list_transform(
+  CAST(CASE doc_id % 3
+    WHEN 0 THEN list_sum(list_transform(
       range(0, (doc_id % 16 + 4) * ((doc_id * 7) % 16 + 4)),
       i -> ((3 * (i % (doc_id % 16 + 4))
              + 7 * (i // (doc_id % 16 + 4)) + doc_id) % 256) * (i + 1)))
-    ELSE list_sum(list_transform(
+    WHEN 1 THEN list_sum(list_transform(
       range(0, (doc_id % 50 + 10)
                * (CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 2 END)),
       i -> abs(((31 * doc_id + 17 * i) % 65536) - 32768) * (i + 1)))
+    ELSE list_sum(list_transform(
+      range(0, (doc_id % 16 + 4) * ((doc_id * 5) % 16 + 4)),
+      i -> ((5 * (i % (doc_id % 16 + 4))
+             + 11 * (i // (doc_id % 16 + 4)) + doc_id) % 256) * (i + 1)))
   END AS BIGINT) AS checksum
 FROM documents
 """
@@ -600,15 +779,20 @@ FROM documents
     tags=("multimodal", "python"),
 )
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L5c (round 7): REAL uncompressed-media decode — BMP pixel rows
-    and WAV PCM16 samples parsed with stdlib struct in Arrow-batched
-    kernels, verified by position-weighted integer checksums the DuckDB
-    oracle recomputes in closed form from doc_id.  The synthesized
-    corpus is adversarial on purpose: bottom-up BMP rows with 0xAB
-    stride padding (orientation and stride bugs change the weighted
-    checksum) and a JUNK chunk before WAV data (a naive fmt-then-data
-    reader breaks).  Compressed mimes remain env-stubbed; this closes
-    the round-6 judge's "decode uncompressed media for real" item."""
+    """L5c (rounds 7-8): REAL media decode — BMP pixel rows and WAV
+    PCM16 via stdlib struct, and (round 8) COMPRESSED grayscale PNG
+    via stdlib zlib (multi-IDAT inflate + None/Sub/Up/Average/Paeth
+    scanline unfilter) — all in Arrow-batched kernels, verified by
+    position-weighted integer checksums the DuckDB oracle recomputes
+    in closed form from doc_id.  The synthesized corpus is
+    adversarial on purpose: bottom-up BMP rows with 0xAB stride
+    padding (orientation and stride bugs change the weighted
+    checksum), a JUNK chunk before WAV data (a naive fmt-then-data
+    reader breaks), PNG scanline filters cycling through all five
+    types with IDAT split mid-stream at a 37-byte boundary (a
+    first-chunk-only or single-filter decoder cannot match).  The
+    honest stub surface is now JPEG/GIF/video — formats whose decode
+    needs a codec library this container does not ship."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     media = docs.mapInPandas(
         synth_decodable_payloads, schema="doc_id long, payload binary"

@@ -31,7 +31,7 @@ def test_resize_passthrough_schema_for_text(spark):
 
 
 def test_resize_raises_for_image_mime(spark):
-    out = multimodal.resize_images(_modal(spark, "image/png"), 64, 64)
+    out = multimodal.resize_images(_modal(spark, "image/jpeg"), 64, 64)
     # plan construction is lazy and fine; execution hits the stub
     with pytest.raises(Exception, match="NotImplementedError|PIL|opencv"):
         out.collect()
@@ -202,10 +202,78 @@ def test_resize_bmp_is_real(spark):
 
 
 def test_decode_payload_surface():
-    # uncompressed mimes decode for real; only compressed ones stub
+    # bmp/wav/png decode for real; only codec-library mimes stub
     g = _grid(4, 2)
     assert multimodal._decode_payload(
         multimodal.encode_bmp(g), "image/bmp"
     ) == bytes(v for row in g for v in row)
+    assert multimodal._decode_payload(
+        multimodal.encode_png(g), "image/png"
+    ) == bytes(v for row in g for v in row)
     with pytest.raises(NotImplementedError, match="compressed"):
-        multimodal._decode_payload(b"\x89PNG", "image/png")
+        multimodal._decode_payload(b"\xff\xd8\xff", "image/jpeg")
+
+
+# ---- PNG codec (round 8: stdlib zlib — inflate + unfilter) ----
+
+
+def test_png_roundtrip_all_filter_types():
+    # h=10 cycles filters 0-4 twice; w=5 exercises x=0 edge cases in
+    # Sub/Average/Paeth (left/up-left read as zero on the first pixel)
+    g = _grid(5, 10, d=9)
+    for filters in (None, [1] * 10, [2] * 10, [3] * 10, [4] * 10,
+                    [y % 5 for y in range(10)]):
+        w, h, got = multimodal.decode_png(
+            multimodal.encode_png(g, filters=filters)
+        )
+        assert (w, h) == (5, 10) and got == g, f"filters={filters}"
+
+
+def test_png_multi_idat_and_ancillary_chunks():
+    # a 24x24 image compresses past 37 bytes -> multiple IDAT chunks,
+    # plus the synthesizer's tEXt chunk before the first IDAT
+    g = _grid(24, 24, d=3)
+    enc = multimodal.encode_png(g, filters=[(y + 3) % 5 for y in range(24)])
+    assert enc.count(b"IDAT") > 1 and b"tEXt" in enc
+    assert multimodal.decode_png(enc) == (24, 24, g)
+
+
+def test_png_paeth_predictor_spec_order():
+    # PNG spec: ties break left, then up, then up-left
+    assert multimodal._paeth(1, 1, 1) == 1
+    assert multimodal._paeth(4, 9, 9) == 4    # pa=0 -> left wins
+    assert multimodal._paeth(2, 4, 3) == 3    # pa=1=pb, pc=0 -> up-left
+    assert multimodal._paeth(5, 2, 4) == 2    # p=3: pb=1=pc, pa=2 -> up
+    assert multimodal._paeth(0, 255, 128) == 128  # up-left closest
+
+
+def test_png_decode_fails_loud():
+    import struct
+    import zlib
+
+    g = _grid(4, 4)
+    enc = multimodal.encode_png(g)
+    with pytest.raises(ValueError, match="signature"):
+        multimodal.decode_png(b"\x89PNX" + enc[4:])
+    # flip one byte inside IHDR body -> CRC must catch it
+    bad = bytearray(enc)
+    ihdr_at = enc.index(b"IHDR")
+    bad[ihdr_at + 8] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        multimodal.decode_png(bytes(bad))
+    # interlace flag set (CRC recomputed so only the flag differs)
+    ihdr_body = bytearray(enc[ihdr_at + 4 : ihdr_at + 17])
+    ihdr_body[-1] = 1
+    crc = zlib.crc32(b"IHDR" + ihdr_body) & 0xFFFFFFFF
+    inter = (
+        enc[: ihdr_at + 4]
+        + bytes(ihdr_body)
+        + struct.pack(">I", crc)
+        + enc[ihdr_at + 21 :]
+    )
+    with pytest.raises(ValueError, match="interlaced"):
+        multimodal.decode_png(inter)
+    # truncated scanline stream: drop the IEND and final IDAT chunk
+    iend_at = enc.index(b"IEND")
+    with pytest.raises(ValueError, match="IHDR/IDAT/IEND|truncated"):
+        multimodal.decode_png(enc[: iend_at - 4])
