@@ -69,6 +69,177 @@ def test_broadcast_enrich_20m_rows(spark):
     assert sum(r.n for r in rows) == N
 
 
+# Hot-key streaming as-of harness: ONE key holds every row; events at
+# t = base+i (i < n_ev), orders only at grid multiples of `gap` up to
+# last_order_t.  Replayed through the real kernels in 5 time-ordered
+# micro-batches, with peak keyed-state metrics captured per batch.
+# A realistic epoch base matters: an event at exactly epoch-0 µs is
+# eaten by Spark's initial-watermark boundary (verified: only t_us=0
+# goes missing; any nonzero base is clean) — real corpora are never at
+# 1970, so the harness uses a 2023-era base like the fixtures.
+_HOT_BASE_US = 1_700_000_000_000_000
+
+
+def _run_hot_key_stream(spark, build_kernel, n_ev, gap, last_order_t, name):
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    base_us = _HOT_BASE_US
+    events = spark.range(n_ev).select(
+        F.lit(1).alias("user_id"),
+        (F.col("id") + base_us).alias("t_us"),
+        F.lit(1).alias("side"),
+        F.col("id").alias("event_id"),
+    )
+    orders = spark.range(1, last_order_t // gap + 1).select(
+        F.lit(1).alias("user_id"),
+        (F.col("id") * gap + base_us).alias("t_us"),
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    union = events.unionByName(orders)
+
+    # 5 time-ordered single-file shards, mtime-staggered so the file
+    # source replays them as 5 micro-batches (same contract as
+    # tests/test_multibatch.py's aligned-shard harness)
+    out = tempfile.mkdtemp(prefix="asof_hot_shards_")
+    mtime0 = time.time() - 3600
+    step = n_ev // 5
+    for k in range(5):
+        lo, hi = k * step + base_us, (k + 1) * step + base_us
+        tmp = tempfile.mkdtemp(prefix="asof_hot_tmp_")
+        union.filter(
+            (F.col("t_us") >= lo) & (F.col("t_us") < hi)
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        (part,) = glob.glob(f"{tmp}/part-*.parquet")
+        dest = os.path.join(out, f"shard-{k:02d}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (mtime0 + k, mtime0 + k))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    sdf = (
+        spark.readStream.schema(
+            "user_id long, t_us long, side int, event_id long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out)
+    )
+    flush_ms = (base_us + n_ev - 1) // 1000 - 1  # strictly under final wm
+    q = (
+        build_kernel(sdf, flush_ms)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="hot_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    peak_bytes, peak_rows = 0, 0
+    for prog in q.recentProgress:
+        for op in prog["stateOperators"]:
+            peak_bytes = max(peak_bytes, op["memoryUsedBytes"])
+            peak_rows = max(peak_rows, op["numRowsTotal"])
+    shutil.rmtree(out, ignore_errors=True)
+    return spark.table(name), peak_bytes, peak_rows
+
+
+def test_streaming_asof_forward_hot_key_2_5m_rows(spark):
+    """The buffering as-of twins' one growable state is the pending
+    buffer (events waiting for their key's next order).  This proves
+    the hot-key case at volume: ONE key, 2.5M events, orders only
+    every 10k events — replayed through the REAL asof_forward_stream
+    kernel in 5 time-ordered micro-batches.  Three contracts:
+
+    1. correctness at volume: every event's next-order is analytically
+       exact (ceil to the order grid; NULL for the 9,999-event tail
+       past the last order — the end-of-input timer flush at volume);
+    2. state stays ONE ROW for the one key (per-key list state, never
+       per-event rows);
+    3. PEAK STATE BOUND: memoryUsedBytes stays proportional to the
+       inter-order gap (~10k buffered ids), NOT the stream length — a
+       kernel that forgot to flush on arriving orders would hold ~2.5M
+       ids (~20 MB pickled) and trip the 4 MB ceiling."""
+    from flink_streaming_example_spark.streaming.queries import (
+        asof_forward_stream,
+    )
+
+    n_ev, gap = 2_500_000, 10_000
+    last_order_t = 2_490_000  # orders at gap, 2*gap, ..., 249*gap
+    got, peak_bytes, peak_rows = _run_hot_key_stream(
+        spark, asof_forward_stream, n_ev, gap, last_order_t,
+        "asof_hot_fwd_result",
+    )
+    assert got.count() == n_ev
+    # expected: smallest order >= t (grid ceil, min gap); NULL past
+    # the last order — all integer arithmetic, no floats
+    ceiled = F.col("event_id") + (gap - 1) - (F.col("event_id") + gap - 1) % gap
+    expected = F.when(
+        F.col("event_id") > last_order_t, F.lit(None).cast("long")
+    ).otherwise(
+        F.greatest(F.lit(gap).cast("long"), ceiled) + F.lit(_HOT_BASE_US)
+    )
+    wrong = got.filter(~F.col("next_order_us").eqNullSafe(expected)).count()
+    assert wrong == 0
+    n_null = got.filter(F.col("next_order_us").isNull()).count()
+    assert n_null == n_ev - 1 - last_order_t  # the timer-flushed tail
+    assert peak_rows == 1, "state must be one row per key, not per event"
+    assert 0 < peak_bytes < 4 * 1024 * 1024, (
+        f"peak state {peak_bytes}B — the pending buffer must track the "
+        f"inter-order gap (~{gap} ids), not the stream length"
+    )
+
+
+def test_streaming_asof_nearest_hot_key_1m_rows(spark):
+    """Same hot-key profile for the NEAREST kernel, whose pending
+    buffer carries THREE arrays (ids, times, backward snapshots) per
+    key.  1M events, orders every 10k: each event's nearest order is
+    analytically the closer grid neighbor (tie -> backward), the tail
+    past the last order resolves to its backward snapshot at the
+    end-of-input timer (no NULLs), and peak state must track the
+    inter-order gap, not the stream length."""
+    from flink_streaming_example_spark.streaming.queries import (
+        asof_nearest_stream,
+    )
+
+    n_ev, gap = 1_000_000, 10_000
+    last_order_t = 990_000
+    got, peak_bytes, peak_rows = _run_hot_key_stream(
+        spark, asof_nearest_stream, n_ev, gap, last_order_t,
+        "asof_hot_near_result",
+    )
+    assert got.count() == n_ev
+    eid = F.col("event_id")
+    r = eid % gap
+    b = eid - r  # backward grid point (an order iff >= gap)
+    fwd = b + gap  # forward grid point (an order iff <= last_order_t)
+    expected_near = (
+        F.when(eid < gap, fwd)  # no backward order yet
+        .when(eid > last_order_t, F.lit(last_order_t))  # no forward
+        .when(r <= gap // 2, b)  # tie (r == gap/2) -> backward
+        .otherwise(fwd)
+    ) + F.lit(_HOT_BASE_US)
+    expected_dist = (
+        F.when(eid < gap, gap - eid)
+        .when(eid > last_order_t, eid - last_order_t)
+        .otherwise(F.least(r, gap - r))
+    )
+    wrong = got.filter(
+        ~F.col("nearest_us").eqNullSafe(expected_near)
+        | ~F.col("dist_us").eqNullSafe(expected_dist)
+    ).count()
+    assert wrong == 0
+    assert got.filter(F.col("nearest_us").isNull()).count() == 0
+    assert peak_rows == 1
+    assert 0 < peak_bytes < 6 * 1024 * 1024, (
+        f"peak state {peak_bytes}B — three pending arrays must track "
+        f"the inter-order gap (~{gap} entries), not the stream length"
+    )
+
+
 def test_asof_hot_key_2_5m_rows(spark):
     """The joinless as-of's reason to exist: ONE pathological key
     holding every row.  2M events x 500k orders on a single key is
