@@ -88,6 +88,24 @@ def _n_reps() -> int:
     return max(1, args.reps)
 
 
+def write_artifacts(detail: dict, reps: int, detail_path: str) -> None:
+    """Persist the per-run detail, and — ONLY for reps>=2 runs — the
+    medians of record.  The guard is the contract the round-6/7 judges
+    pinned: BENCH_MEDIANS.json must never hold single-sample "medians"
+    (the driver's sweep runs reps=1 and would otherwise overwrite the
+    real statistics every round).  Belt-and-braces: even a caller
+    passing reps>=2 with single-sample stats is refused."""
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+    per_key_reps = [s.get("reps", 1) for s in detail.get("stats", {}).values()]
+    if reps >= 2 and (not per_key_reps or min(per_key_reps) >= 2):
+        with open(
+            os.path.join(os.path.dirname(detail_path), "BENCH_MEDIANS.json"),
+            "w",
+        ) as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+
+
 def main() -> None:
     reps = _n_reps()
     spark = get_spark("flink-streaming-example-spark-bench")
@@ -199,16 +217,7 @@ def main() -> None:
         "n_errors": len(errors),
     }
     detail = dict(payload, reps=reps, queries=timings, stats=stats)
-    with open(DETAIL_PATH, "w") as fh:
-        json.dump(detail, fh, indent=1, sort_keys=True)
-    if reps >= 2:
-        # medians of record: a separate artifact the driver's reps=1
-        # sweep never overwrites
-        with open(
-            os.path.join(os.path.dirname(DETAIL_PATH), "BENCH_MEDIANS.json"),
-            "w",
-        ) as fh:
-            json.dump(detail, fh, indent=1, sort_keys=True)
+    write_artifacts(detail, reps, DETAIL_PATH)
     # n_errors carries the full count; the printed list itself is capped
     # so a mass-failure round can't overflow the driver's capture window.
     print(compact_line(dict(payload, errors=errors[:20]), timings))

@@ -1,0 +1,63 @@
+"""Bench medians contract (round-7 judge item 7): BENCH_MEDIANS.json
+is the medians-of-record artifact — it must only ever hold statistics
+from reps>=2 runs, and bench.py must refuse to write reps=1 "medians"
+there (the driver's per-round sweep runs reps=1 and would otherwise
+overwrite the real statistics every round)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import bench
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MEDIANS = os.path.join(REPO, "BENCH_MEDIANS.json")
+
+
+def _detail(reps_per_key):
+    return {
+        "metric": "total_query_wall_seconds",
+        "value": 1.0,
+        "reps": max(reps_per_key, default=1),
+        "queries": {f"q{i}": 0.5 for i in range(len(reps_per_key))},
+        "stats": {
+            f"q{i}": {"median": 0.5, "min": 0.4, "max": 0.6, "reps": r}
+            for i, r in enumerate(reps_per_key)
+        },
+    }
+
+
+def test_repo_medians_artifact_has_reps_ge_2():
+    if not os.path.exists(MEDIANS):
+        return  # contract applies only when the artifact exists
+    with open(MEDIANS) as fh:
+        detail = json.load(fh)
+    assert detail.get("reps", 0) >= 2, "medians of record from a reps<2 run"
+    bad = {
+        k: s for k, s in detail.get("stats", {}).items()
+        if s.get("reps", 0) < 2
+    }
+    assert not bad, f"single-sample stats in BENCH_MEDIANS.json: {bad}"
+
+
+def test_write_artifacts_refuses_reps1_medians(tmp_path):
+    detail_path = str(tmp_path / "BENCH_DETAIL.json")
+    medians_path = str(tmp_path / "BENCH_MEDIANS.json")
+    # reps=1 -> detail written, medians NOT
+    bench.write_artifacts(_detail([1, 1]), 1, detail_path)
+    assert os.path.exists(detail_path)
+    assert not os.path.exists(medians_path)
+    # reps=3 with healthy per-key stats -> medians written
+    bench.write_artifacts(_detail([3, 3]), 3, detail_path)
+    assert os.path.exists(medians_path)
+    with open(medians_path) as fh:
+        assert min(s["reps"] for s in json.load(fh)["stats"].values()) >= 2
+
+
+def test_write_artifacts_refuses_single_sample_stats(tmp_path):
+    # belt-and-braces: a caller claiming reps=3 but carrying a
+    # single-sample key must still be refused
+    detail_path = str(tmp_path / "BENCH_DETAIL.json")
+    bench.write_artifacts(_detail([3, 1]), 3, detail_path)
+    assert not os.path.exists(str(tmp_path / "BENCH_MEDIANS.json"))
