@@ -170,6 +170,48 @@ GROUP BY lang, pack_id
 """
 
 
+def split_cap_pack_report(survivors: DataFrame) -> DataFrame:
+    """Stages 3-6 of the shard recipe over exact-deduped survivors
+    (doc_id, lang, n_tokens): content-hash train split -> per-language
+    bottom-{_MIX_CAP} cap -> {_MIX_BUDGET}-token packing -> per
+    (lang, pack) report.  THE single implementation — q_training_mix
+    applies it after its in-query dedup, q_streaming_training_mix
+    after draining the upsert dedup state, so the two keys' shard
+    rule cannot drift (the round-7 OHLC multiplier lesson, applied
+    preemptively)."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    train = survivors.where(bucket < 80)
+    w_cap = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    capped = (
+        train.withColumn("krn", F.row_number().over(w_cap))
+        .where(F.col("krn") <= _MIX_CAP)
+        .select("doc_id", "lang", "n_tokens")
+    )
+    w_pack = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pack_id = F.floor(
+        (F.sum("n_tokens").over(w_pack) - F.col("n_tokens"))
+        / float(_MIX_BUDGET)
+    ).cast("long")
+    return (
+        capped.withColumn("pack_id", pack_id)
+        .groupBy("lang", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("pack_tokens"),
+        )
+    )
+
+
 @register("q_training_mix", oracle=_TRAINING_MIX_ORACLE, tags=("llm", "pipeline"))
 def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed shard assembly (block comment above): quality gate ->
@@ -189,40 +231,10 @@ def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = (
         quality.withColumn("rn", F.row_number().over(w_dedup))
         .where(F.col("rn") == 1)
-        .drop("rn")
-    )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % 100
-    )
-    train = survivors.where(bucket < 80)
-    w_cap = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
-    )
-    capped = (
-        train.withColumn("krn", F.row_number().over(w_cap))
-        .where(F.col("krn") <= _MIX_CAP)
         .select(
             "doc_id",
             "lang",
             F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
         )
     )
-    w_pack = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    pack_id = F.floor(
-        (F.sum("n_tokens").over(w_pack) - F.col("n_tokens"))
-        / float(_MIX_BUDGET)
-    ).cast("long")
-    return (
-        capped.withColumn("pack_id", pack_id)
-        .groupBy("lang", "pack_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").cast("long").alias("pack_tokens"),
-        )
-    )
+    return split_cap_pack_report(survivors)

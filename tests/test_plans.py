@@ -23,13 +23,15 @@ _SPECS = all_specs()
 _BATCH = {
     n: s for n, s in _SPECS.items() if "streaming" not in s.tags
 }
-# q_streaming_upsert drains through foreachBatch, not run_to_memory;
-# its executed-plan gate (bucket-pruned merge scan) lives in
-# tests/test_upsert.py on the upsert module's own capture hook.
+# q_streaming_upsert and q_streaming_training_mix drain through
+# foreachBatch, not run_to_memory; their executed-plan gate
+# (bucket-pruned merge scan) lives in tests/test_upsert.py on the
+# upsert module's own capture hook.
 _STREAMING = {
     n: s
     for n, s in _SPECS.items()
-    if "streaming" in s.tags and n != "q_streaming_upsert"
+    if "streaming" in s.tags
+    and n not in ("q_streaming_upsert", "q_streaming_training_mix")
 }
 # Keys whose operator is a keyed Python state function — the ONE shape
 # Structured Streaming cannot express declaratively (count windows,
@@ -52,6 +54,7 @@ _EXPECTED_STATE_OPS = {
     "q_streaming_dedup": ["dedupeWithinWatermark"],
     "q_streaming_session": ["sessionWindowStateStoreSaveExec"],
     "q_streaming_session_dynamic": ["sessionWindowStateStoreSaveExec"],
+    "q_streaming_session_dynamic_append": ["sessionWindowStateStoreSaveExec"],
     "q_streaming_sliding": ["stateStoreSave"],
     "q_streaming_count_window": ["applyInPandasWithState"],
     "q_streaming_enrich": [],

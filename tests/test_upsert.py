@@ -191,3 +191,85 @@ def test_upsert_cdc_tombstones(spark, tmp_path):
 
     merge([(1, "a4", 4, False)])            # fresh insert wins
     assert state() == {1: ("a4", 4), 2: ("b1", 1)}
+
+
+def test_streaming_training_mix_composes_across_batches(spark, tmp_path):
+    """Incremental shard assembly (q_streaming_training_mix's engine):
+    textual duplicates are forced into DIFFERENT micro-batches, with
+    both orders — a larger-id dup arriving later (must LOSE to the
+    state's survivor) and a smaller-id dup arriving later (must WIN
+    and evict it) — so the min-doc_id election provably happens
+    through the upsert state, not within a batch.  The drained state,
+    fed through the shared split/cap/pack stage, must equal the batch
+    pipeline over the same augmented corpus."""
+    from pyspark.sql import Window
+
+    from flink_streaming_example_spark.operators.pipeline import (
+        _MIN_TOKENS,
+        split_cap_pack_report,
+    )
+    from flink_streaming_example_spark.streaming.upsert import (
+        training_mix_ingest,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    # duplicates that must LOSE (larger id) and must WIN (negative id)
+    losers = docs.orderBy("doc_id").limit(20).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "lang", "text"
+    )
+    winners = docs.orderBy(F.col("doc_id").desc()).limit(10).select(
+        (-F.col("doc_id")).alias("doc_id"), "lang", "text"
+    )
+    corpus = docs.unionByName(losers).unionByName(winners)
+
+    shards = tempfile.mkdtemp(prefix="mix_src_")
+    # shard by id hash: dup pairs (id differs) land in different files
+    corpus.repartition(5, F.pmod(F.hash("doc_id"), F.lit(5))).write.mode(
+        "overwrite"
+    ).parquet(shards)
+
+    table = str(tmp_path / "mix_state")
+    sdf = (
+        spark.readStream.schema("doc_id long, lang string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(shards)
+    )
+    q = upsert_sink(
+        training_mix_ingest(sdf),
+        table,
+        key_cols=["text_key"],
+        version_col="neg_doc_id",
+        checkpoint=tempfile.mkdtemp(prefix="mix_ckpt_"),
+    ).trigger(availableNow=True).start()
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 5  # the dup pairs really crossed batches
+
+    survivors = read_upsert_table(spark, table).select(
+        "doc_id", "lang", "n_tokens"
+    )
+    got = split_cap_pack_report(survivors)
+
+    # batch expectation over the same augmented corpus (q_training_mix's
+    # quality + dedup stages verbatim, then the SAME shared tail)
+    quality = corpus.where(
+        F.size(F.split(F.col("text"), " ")) >= _MIN_TOKENS
+    )
+    w = Window.partitionBy(F.lower(F.trim(F.col("text")))).orderBy("doc_id")
+    want = split_cap_pack_report(
+        quality.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        )
+    )
+    # the negative-id winners must be in the deduped state
+    assert survivors.filter(F.col("doc_id") < 0).count() > 0
+    result = compare_frames(got.toPandas(), want.toPandas())
+    assert result.ok, result.detail
+    import shutil
+
+    shutil.rmtree(shards, ignore_errors=True)
