@@ -418,3 +418,165 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bm25")
         )
     )
+
+
+# ---- repetition filter (round 8): the Gopher/C4-class quality rule
+# that exact/near dedup does NOT cover — duplication WITHIN a document
+# (boilerplate loops, scraper stutter).  Per-doc duplicate-bigram
+# fraction in integer permille (exact cross-engine: numerators and
+# denominators are small ints, integer DIV only), flagged above 100‰ (the fixture corpus tops out ~133‰, so the flag branch carries real signal).
+_REPETITION_THRESH = 100
+
+_REPETITION_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, lang, string_split(lower(text), ' ') AS t FROM documents
+), r AS (
+  SELECT lang,
+    CASE WHEN len(t) > 1 THEN
+      (1000 * (len(t) - 1
+               - len(list_distinct([t[i] || ' ' || t[i + 1]
+                                    FOR i IN range(1, len(t))]))))
+      // (len(t) - 1)
+    ELSE 0 END AS rep_permille
+  FROM d
+)
+SELECT lang,
+  COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN rep_permille > {_REPETITION_THRESH}
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+  CAST(SUM(rep_permille) AS BIGINT) AS sum_rep_permille,
+  CAST(MAX(rep_permille) AS BIGINT) AS max_rep_permille
+FROM r
+GROUP BY lang
+"""
+
+
+@register("q_repetition_filter", oracle=_REPETITION_ORACLE, tags=("text", "llm"))
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4j (round 8): intra-document repetition scoring — the
+    duplicate-bigram fraction per doc (1000 * dup_bigrams / bigrams,
+    integer DIV so both engines agree bit-for-bit), flagged above
+    100 permille, reported per language.  This is the quality rule
+    dedup cannot express: a document that repeats ITSELF.  Fully
+    row-local (zip_with tail-zip -> array_distinct, no explode and no
+    per-doc shuffle — at 100 TB the score rides the scan), then one
+    partial-aggregated shuffle on lang."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.lower(F.col("text")), " ")
+    bigrams = F.zip_with(
+        F.slice(t, 1, F.size(t) - 1),
+        F.slice(t, 2, F.size(t) - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    n_bi = F.size(t) - 1
+    dup = n_bi - F.size(F.array_distinct(bigrams))
+    # _nbi > 0 <=> the doc has >= 2 tokens (split never yields [])
+    rep = F.when(
+        F.col("_nbi") > 0, F.expr("(1000 * _dup) DIV _nbi")
+    ).otherwise(F.lit(0))
+    scored = docs.select(
+        "lang", dup.alias("_dup"), n_bi.alias("_nbi")
+    ).select("lang", rep.cast("long").alias("rep_permille"))
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            (F.col("rep_permille") > _REPETITION_THRESH).cast("long")
+        ).alias("n_flagged"),
+        F.sum("rep_permille").alias("sum_rep_permille"),
+        F.max("rep_permille").alias("max_rep_permille"),
+    )
+
+
+# ---- PII scrub (round 8): the redaction pass every training corpus
+# runs before the tokenizer.  The fixture text carries no PII (verified:
+# zero '@'/'http' occurrences), so payloads are planted DETERMINISTICALLY
+# from doc_id — the same synthesize-then-verify pattern as
+# multimodal's media corpus — via ONE expression string both engines
+# evaluate verbatim (valid Spark SQL and DuckDB SQL alike: no drift
+# surface).  Patterns are RE2-safe (character classes and bounded
+# repeats only — no backrefs/lookarounds), so Java regex (Spark) and
+# RE2 (DuckDB) agree byte-for-byte.
+_PII_AUG_EXPR = (
+    "concat(text, CASE CAST(doc_id % 4 AS INT)"
+    " WHEN 0 THEN ' contact user' || CAST(doc_id % 97 AS STRING)"
+    "   || '@mail' || CAST(doc_id % 7 AS STRING) || '.com now'"
+    " WHEN 1 THEN ' from 10.' || CAST(doc_id % 256 AS STRING)"
+    "   || '.' || CAST((doc_id * 3) % 256 AS STRING)"
+    "   || '.' || CAST((doc_id * 7) % 256 AS STRING) || ' logged'"
+    " WHEN 2 THEN ' call +1-' || lpad(CAST(doc_id % 1000 AS STRING), 3, '0')"
+    "   || '-' || lpad(CAST((doc_id * 9) % 10000 AS STRING), 4, '0')"
+    "   || ' today'"
+    " ELSE '' END)"
+)
+_PAT_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PAT_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PAT_PHONE = r"\+1-\d{3}-\d{4}"
+
+_PII_ORACLE = (
+    "WITH aug AS (\n"
+    "  SELECT lang, " + _PII_AUG_EXPR + " AS a FROM documents\n"
+    "), c AS (\n"
+    "  SELECT lang,\n"
+    "    len(regexp_extract_all(a, '" + _PAT_EMAIL + "')) AS n_e,\n"
+    "    len(regexp_extract_all(a, '" + _PAT_IP + "')) AS n_i,\n"
+    "    len(regexp_extract_all(a, '" + _PAT_PHONE + "')) AS n_p,\n"
+    "    length(regexp_replace(regexp_replace(regexp_replace(a,\n"
+    "      '" + _PAT_EMAIL + "', '[EMAIL]', 'g'),\n"
+    "      '" + _PAT_IP + "', '[IP]', 'g'),\n"
+    "      '" + _PAT_PHONE + "', '[PHONE]', 'g')) AS red_len\n"
+    "  FROM aug\n"
+    ")\n"
+    "SELECT lang, COUNT(*) AS n_docs,\n"
+    "  CAST(SUM(CASE WHEN n_e + n_i + n_p > 0 THEN 1 ELSE 0 END)\n"
+    "       AS BIGINT) AS n_docs_with_pii,\n"
+    "  CAST(SUM(n_e) AS BIGINT) AS n_emails,\n"
+    "  CAST(SUM(n_i) AS BIGINT) AS n_ips,\n"
+    "  CAST(SUM(n_p) AS BIGINT) AS n_phones,\n"
+    "  CAST(SUM(red_len) AS BIGINT) AS redacted_chars\n"
+    "FROM c GROUP BY lang"
+)
+
+
+@register("q_pii_scrub", oracle=_PII_ORACLE, tags=("text", "llm"))
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4k (round 8): PII detection + redaction — emails, IPv4s and
+    phone numbers found with RE2-safe regexes, replaced with typed
+    placeholders, reported per language (doc coverage, per-type
+    counts, and the redacted-corpus character total so the REPLACEMENT
+    itself is hash-verified, not just the match counts).  The planted
+    payloads come from the shared _PII_AUG_EXPR evaluated verbatim by
+    both engines.  Fully row-local scan work (regex rides the scan —
+    no Python, no shuffle before the lang aggregate): at 100 TB this
+    is the shape a scrub pass must have, since it touches every byte
+    of the corpus exactly once."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = F.expr(_PII_AUG_EXPR)
+    n_e = F.size(F.regexp_extract_all(a, F.lit(_PAT_EMAIL), F.lit(0)))
+    n_i = F.size(F.regexp_extract_all(a, F.lit(_PAT_IP), F.lit(0)))
+    n_p = F.size(F.regexp_extract_all(a, F.lit(_PAT_PHONE), F.lit(0)))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(a, _PAT_EMAIL, "[EMAIL]"),
+            _PAT_IP,
+            "[IP]",
+        ),
+        _PAT_PHONE,
+        "[PHONE]",
+    )
+    per_doc = docs.select(
+        "lang",
+        n_e.alias("n_e"),
+        n_i.alias("n_i"),
+        n_p.alias("n_p"),
+        F.length(redacted).alias("red_len"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            ((F.col("n_e") + F.col("n_i") + F.col("n_p")) > 0).cast("long")
+        ).alias("n_docs_with_pii"),
+        F.sum("n_e").cast("long").alias("n_emails"),
+        F.sum("n_i").cast("long").alias("n_ips"),
+        F.sum("n_p").cast("long").alias("n_phones"),
+        F.sum("red_len").cast("long").alias("redacted_chars"),
+    )
