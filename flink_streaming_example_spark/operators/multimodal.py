@@ -42,10 +42,9 @@ def _decode_payload(payload: bytes, mime: str) -> bytes:
 
     text/plain passes through; BMP 24-bit pixel rows and WAV PCM16
     decode for real with stdlib struct (round 7), PNG with stdlib
-    zlib (round 8: IDAT inflate + scanline unfilter).  Only mimes
-    needing a codec LIBRARY (JPEG's DCT, GIF's LZW, video) remain
-    stubbed.  The surrounding Spark plumbing is identical for any
-    modality.
+    zlib and GIF with a pure-Python LZW (round 8).  Only JPEG (DCT)
+    and video codecs remain stubbed.  The surrounding Spark plumbing
+    is identical for any modality.
     """
     if mime == "text/plain":
         return payload
@@ -54,6 +53,9 @@ def _decode_payload(payload: bytes, mime: str) -> bytes:
         return bytes(v for row in grid for v in row)
     if mime == "image/png":
         _w, _h, grid = decode_png(payload)
+        return bytes(v for row in grid for v in row)
+    if mime == "image/gif":
+        _w, _h, grid = decode_gif(payload)
         return bytes(v for row in grid for v in row)
     if mime == "audio/wav":
         _sr, _ch, samples = decode_wav(payload)
@@ -87,11 +89,11 @@ _FRAMES_SCHEMA = "doc_id long, frame_idx int, frame binary"
 
 
 # ---- real media codecs (rounds 7-8): BMP pixel rows and WAV PCM
-# samples need zero external codecs — stdlib struct only — and PNG
-# (round 8) needs only stdlib zlib: IDAT inflate + per-scanline
-# unfilter.  Decoders fail LOUD (ValueError) on anything truncated or
-# off-spec; only mimes whose decode needs a real codec LIBRARY
-# (JPEG's DCT, GIF's LZW, video) remain behind NotImplementedError.
+# samples need zero external codecs — stdlib struct only — PNG needs
+# only stdlib zlib (IDAT inflate + per-scanline unfilter), and GIF's
+# LZW is implemented here in pure Python (round 8).  Decoders fail
+# LOUD (ValueError) on anything truncated or off-spec; only JPEG (a
+# real DCT codec) and video remain behind NotImplementedError.
 
 
 def decode_bmp(payload: bytes) -> tuple[int, int, list[list[int]]]:
@@ -307,6 +309,214 @@ def encode_png(
     return bytes(out)
 
 
+def _lzw_decode(
+    data: bytes, min_code_size: int, max_units: int
+) -> list[int]:
+    """GIF-variant LZW decode (LSB-first variable-width codes, clear /
+    end-of-information codes, 12-bit cap).  `max_units` bounds output
+    so a corrupt stream cannot balloon memory.  Fails loud on codes
+    beyond the table, data before the first clear, or stream
+    exhaustion without EOI."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    code_size = min_code_size + 1
+    table: list[list[int]] | None = None
+    prev: list[int] | None = None
+    out: list[int] = []
+    acc = bits = pos = 0
+    while True:
+        while bits < code_size:
+            if pos >= len(data):
+                raise ValueError("LZW stream exhausted before EOI")
+            acc |= data[pos] << bits
+            bits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        bits -= code_size
+        if code == clear:
+            table = [[i] for i in range(clear)] + [[], []]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if table is None:
+            raise ValueError("LZW data before clear code")
+        if code < len(table) and code not in (clear, eoi):
+            entry = list(table[code])
+        elif code == len(table) and prev is not None:
+            entry = prev + [prev[0]]  # the KwKwK case
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out.extend(entry)
+        if len(out) > max_units:
+            raise ValueError("LZW output exceeds declared pixel count")
+        if prev is not None:
+            table.append(prev + [entry[0]])
+            # width grows when the NEXT add would not fit; 12-bit cap
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+
+
+def _lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+    """GIF-variant LZW encode (the real greedy-longest-match
+    algorithm, not a literal-only degenerate stream — so decode's
+    table growth, width bumps, KwKwK continuations and the 4096-entry
+    clear/reset all get exercised by the synthesized corpus)."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = bits = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += size
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    code_size = min_code_size + 1
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear, code_size)
+    w: tuple[int, ...] = ()
+    for k in indices:
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], code_size)
+        table[wk] = next_code
+        next_code += 1
+        # mirror the decoder: ITS table reaches 2^size one code later,
+        # so the encoder widens when next_code passes 2^size
+        if next_code == (1 << code_size) + 1 and code_size < 12:
+            code_size += 1
+        if next_code == 4097:  # 12-bit cap: reset the dictionary
+            emit(clear, code_size)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            code_size = min_code_size + 1
+        w = (k,)
+    if w:
+        emit(table[w], code_size)
+    emit(eoi, code_size)
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> tuple[int, int, list[list[int]]]:
+    """Decode a non-interlaced GIF87a/89a with a grayscale global
+    color table into (width, height, top-down pixel grid) — pure
+    Python, no codec library: block walk (extensions skipped by
+    sub-block size), LZW decompression (_lzw_decode), palette lookup.
+    Fails loud on interlacing, local color tables, non-grayscale
+    palette entries, or a pixel count that disagrees with the image
+    descriptor."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF signature")
+    w, h, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    palette: list[int] | None = None
+    if packed & 0x80:
+        n = 2 ** ((packed & 0x07) + 1)
+        gct = payload[pos : pos + 3 * n]
+        if len(gct) < 3 * n:
+            raise ValueError("truncated global color table")
+        palette = []
+        for i in range(n):
+            r, g, b = gct[3 * i : 3 * i + 3]
+            if not (r == g == b):
+                raise ValueError("non-grayscale GIF palette entry")
+            palette.append(r)
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x3B:  # trailer
+            raise ValueError("GIF trailer before image data")
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            if pos >= len(payload):
+                raise ValueError("truncated GIF extension block")
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        left, top, iw, ih, ipacked = struct.unpack(
+            "<HHHHB", payload[pos + 1 : pos + 10]
+        )
+        if ipacked & 0x80:
+            raise ValueError("local color tables not supported")
+        if ipacked & 0x40:
+            raise ValueError("interlaced GIF not supported")
+        if (left, top, iw, ih) != (0, 0, w, h):
+            raise ValueError("sub-rectangle GIF frames not supported")
+        if palette is None:
+            raise ValueError("GIF image without a color table")
+        pos += 10
+        if pos >= len(payload):
+            raise ValueError("truncated GIF image data")
+        min_code_size = payload[pos]
+        pos += 1
+        lzw = bytearray()
+        while pos < len(payload) and payload[pos] != 0:
+            size = payload[pos]
+            chunk = payload[pos + 1 : pos + 1 + size]
+            if len(chunk) < size:
+                raise ValueError("truncated GIF data sub-block")
+            lzw += chunk
+            pos += 1 + size
+        if pos >= len(payload):
+            raise ValueError("truncated GIF image data")
+        pos += 1
+        indices = _lzw_decode(bytes(lzw), min_code_size, w * h)
+        if len(indices) != w * h:
+            raise ValueError(
+                f"GIF decodes to {len(indices)} px, expected {w * h}"
+            )
+        if any(i >= len(palette) for i in indices):
+            raise ValueError("GIF index beyond palette")
+        grid = [
+            [palette[indices[y * w + x]] for x in range(w)]
+            for y in range(h)
+        ]
+        return w, h, grid
+    raise ValueError("GIF missing image descriptor")
+
+
+def encode_gif(grid: list[list[int]]) -> bytes:
+    """Encode a top-down grayscale grid as a GIF89a with a 256-entry
+    identity grayscale palette and REAL LZW compression, the image
+    data split into <=255-byte sub-blocks, plus a graphic-control
+    extension before the descriptor (a walker that assumes
+    header-then-image adjacency must skip it)."""
+    import struct
+
+    h = len(grid)
+    w = len(grid[0]) if h else 0
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 0x07, 0, 0)  # 256-entry GCT
+    for i in range(256):
+        out += bytes((i, i, i))
+    out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphic control ext
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(8)  # LZW min code size
+    lzw = _lzw_encode([v for row in grid for v in row], 8)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
     """Decode a PCM16 WAV into (sample_rate, channels, samples) with a
     REAL RIFF chunk walk — unknown chunks (JUNK/LIST/fact) are skipped
@@ -351,18 +561,22 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     """Image resize over (doc_id, payload, mime) -> _RESIZE_SCHEMA.
 
-    image/bmp and image/png resize FOR REAL: decode -> nearest-
-    neighbor sample -> re-encode, stdlib only (BMP round 7, PNG round
-    8).  text passes through; JPEG/GIF still raise — their decode
-    needs codec libraries this container does not ship."""
+    image/bmp, image/png and image/gif resize FOR REAL: decode ->
+    nearest-neighbor sample -> re-encode, pure Python (BMP round 7;
+    PNG and GIF round 8).  text passes through; JPEG still raises —
+    a real DCT codec this container does not ship."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads: list[bytes] = []
             for p, m in zip(pdf["payload"], pdf["mime"]):
-                if m in ("image/bmp", "image/png"):
-                    decode = decode_bmp if m == "image/bmp" else decode_png
-                    encode = encode_bmp if m == "image/bmp" else encode_png
+                if m in ("image/bmp", "image/png", "image/gif"):
+                    decode = {"image/bmp": decode_bmp,
+                              "image/png": decode_png,
+                              "image/gif": decode_gif}[m]
+                    encode = {"image/bmp": encode_bmp,
+                              "image/png": encode_png,
+                              "image/gif": encode_gif}[m]
                     w, h, grid = decode(p)
                     resized = [
                         [grid[y * h // height][x * w // width] for x in range(width)]
@@ -627,7 +841,7 @@ def synth_decodable_payloads(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
     """Deterministic FULL media payloads from doc_id — real pixel rows
-    / PCM samples, not just headers.  doc_id % 3 picks the format:
+    / PCM samples, not just headers.  doc_id % 4 picks the format:
     0 -> bottom-up 24-bit BMP (grayscale v(x,y) = (3x + 7y + d) mod
     256, row padding filled with 0xAB so a stride-ignoring decoder
     reads garbage); 1 -> PCM16 WAV with a JUNK chunk before data (so
@@ -636,8 +850,10 @@ def synth_decodable_payloads(
     PNG (v(x,y) = (5x + 11y + d) mod 256) whose scanline filters
     cycle (y + d) mod 5 so None/Sub/Up/Average/Paeth ALL occur, with
     a tEXt chunk before the image data and IDAT split at a 37-byte
-    boundary.  The DuckDB oracle recomputes all three invariants from
-    the same closed forms."""
+    boundary; 3 -> LZW-compressed GIF (v(x,y) = (7x + 13y + d) mod
+    256) with a graphic-control extension before the descriptor.
+    The DuckDB oracle recomputes all four invariants from the same
+    closed forms."""
     import struct
 
     def bmp(d: int) -> bytes:
@@ -661,7 +877,9 @@ def synth_decodable_payloads(
 
     def wav(d: int) -> bytes:
         n = d % 50 + 10
-        ch = 1 if d % 4 == 1 else 2
+        # d % 8 keeps BOTH mono and stereo present now that WAV is the
+        # d % 4 == 1 cohort (d alternates 1 and 5 mod 8)
+        ch = 1 if d % 8 == 1 else 2
         sr = 8000 * (d % 3 + 1)
         samples = [
             ((31 * d + 17 * i) % 65536) - 32768 for i in range(n * ch)
@@ -686,9 +904,17 @@ def synth_decodable_payloads(
         ]
         return encode_png(grid, filters=[(y + d) % 5 for y in range(h)])
 
-    makers = {0: bmp, 1: wav, 2: png}
+    def gif(d: int) -> bytes:
+        w, h = d % 16 + 4, (d * 3) % 16 + 4
+        grid = [
+            [(7 * x + 13 * y + d) % 256 for x in range(w)]
+            for y in range(h)
+        ]
+        return encode_gif(grid)
+
+    makers = {0: bmp, 1: wav, 2: png, 3: gif}
     for pdf in batches:
-        payloads = [makers[int(d) % 3](int(d)) for d in pdf["doc_id"]]
+        payloads = [makers[int(d) % 4](int(d)) for d in pdf["doc_id"]]
         yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
 
@@ -709,6 +935,9 @@ def media_decode(df: DataFrame) -> DataFrame:
                 elif head == b"\x89PNG\r\n\x1a\n":
                     w, h, grid = decode_png(p)
                     mimes.append("image/png")
+                elif head[:6] in (b"GIF87a", b"GIF89a"):
+                    w, h, grid = decode_gif(p)
+                    mimes.append("image/gif")
                 else:
                     _sr, _ch, samples = decode_wav(p)
                     mimes.append("audio/wav")
@@ -746,28 +975,34 @@ def media_decode(df: DataFrame) -> DataFrame:
 _MEDIA_DECODE_ORACLE = """
 SELECT
   doc_id,
-  CASE doc_id % 3 WHEN 0 THEN 'image/bmp'
+  CASE doc_id % 4 WHEN 0 THEN 'image/bmp'
                   WHEN 1 THEN 'audio/wav'
-                  ELSE 'image/png' END AS mime,
-  CAST(CASE doc_id % 3
+                  WHEN 2 THEN 'image/png'
+                  ELSE 'image/gif' END AS mime,
+  CAST(CASE doc_id % 4
     WHEN 0 THEN (doc_id % 16 + 4) * ((doc_id * 7) % 16 + 4)
     WHEN 1 THEN (doc_id % 50 + 10)
-                * (CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 2 END)
-    ELSE (doc_id % 16 + 4) * ((doc_id * 5) % 16 + 4)
+                * (CASE WHEN doc_id % 8 = 1 THEN 1 ELSE 2 END)
+    WHEN 2 THEN (doc_id % 16 + 4) * ((doc_id * 5) % 16 + 4)
+    ELSE (doc_id % 16 + 4) * ((doc_id * 3) % 16 + 4)
   END AS BIGINT) AS n_units,
-  CAST(CASE doc_id % 3
+  CAST(CASE doc_id % 4
     WHEN 0 THEN list_sum(list_transform(
       range(0, (doc_id % 16 + 4) * ((doc_id * 7) % 16 + 4)),
       i -> ((3 * (i % (doc_id % 16 + 4))
              + 7 * (i // (doc_id % 16 + 4)) + doc_id) % 256) * (i + 1)))
     WHEN 1 THEN list_sum(list_transform(
       range(0, (doc_id % 50 + 10)
-               * (CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 2 END)),
+               * (CASE WHEN doc_id % 8 = 1 THEN 1 ELSE 2 END)),
       i -> abs(((31 * doc_id + 17 * i) % 65536) - 32768) * (i + 1)))
-    ELSE list_sum(list_transform(
+    WHEN 2 THEN list_sum(list_transform(
       range(0, (doc_id % 16 + 4) * ((doc_id * 5) % 16 + 4)),
       i -> ((5 * (i % (doc_id % 16 + 4))
              + 11 * (i // (doc_id % 16 + 4)) + doc_id) % 256) * (i + 1)))
+    ELSE list_sum(list_transform(
+      range(0, (doc_id % 16 + 4) * ((doc_id * 3) % 16 + 4)),
+      i -> ((7 * (i % (doc_id % 16 + 4))
+             + 13 * (i // (doc_id % 16 + 4)) + doc_id) % 256) * (i + 1)))
   END AS BIGINT) AS checksum
 FROM documents
 """
@@ -790,9 +1025,11 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     checksum), a JUNK chunk before WAV data (a naive fmt-then-data
     reader breaks), PNG scanline filters cycling through all five
     types with IDAT split mid-stream at a 37-byte boundary (a
-    first-chunk-only or single-filter decoder cannot match).  The
-    honest stub surface is now JPEG/GIF/video — formats whose decode
-    needs a codec library this container does not ship."""
+    first-chunk-only or single-filter decoder cannot match), GIF
+    carrying real greedy-LZW streams through a pure-Python decoder
+    whose table growth and KwKwK continuation paths are fuzz-proven
+    (tests/test_multimodal.py).  The honest stub surface is now
+    JPEG/video only."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     media = docs.mapInPandas(
         synth_decodable_payloads, schema="doc_id long, payload binary"

@@ -277,3 +277,68 @@ def test_png_decode_fails_loud():
     iend_at = enc.index(b"IEND")
     with pytest.raises(ValueError, match="IHDR/IDAT/IEND|truncated"):
         multimodal.decode_png(enc[: iend_at - 4])
+
+
+# ---- GIF codec (round 8: pure-Python LZW) ----
+
+
+def test_lzw_roundtrip_fuzz_and_reset():
+    import random
+
+    rng = random.Random(7)
+    for trial in range(60):
+        alphabet = rng.randint(2, 256)
+        mcs = max(2, (alphabet - 1).bit_length())
+        if rng.random() < 0.5:
+            seq = [rng.randrange(alphabet) for _ in range(rng.randint(1, 400))]
+        else:  # repetitive: dictionary-heavy, KwKwK continuations
+            unit = [rng.randrange(alphabet) for _ in range(rng.randint(1, 5))]
+            seq = (unit * 200)[: rng.randint(1, 400)]
+        enc = multimodal._lzw_encode(seq, mcs)
+        assert multimodal._lzw_decode(enc, mcs, len(seq)) == seq, trial
+    # the 12-bit-cap clear/reset path needs >4096 table entries
+    seq = [(i * i) % 251 for i in range(30_000)]
+    enc = multimodal._lzw_encode(seq, 8)
+    assert multimodal._lzw_decode(enc, 8, len(seq)) == seq
+    assert len(enc) < len(seq)  # it actually compresses
+
+
+def test_gif_roundtrip_with_extension_blocks():
+    g = [[(7 * x + 13 * y + 3) % 256 for x in range(19)] for y in range(17)]
+    enc = multimodal.encode_gif(g)
+    assert enc[:6] == b"GIF89a" and b"\x21\xf9" in enc
+    assert multimodal.decode_gif(enc) == (19, 17, g)
+
+
+def test_gif_decode_fails_loud():
+    import struct
+
+    g = _grid(6, 5)
+    enc = multimodal.encode_gif(g)
+    with pytest.raises(ValueError, match="signature"):
+        multimodal.decode_gif(b"GIX89a" + enc[6:])
+    # image descriptor offset, computed structurally (searching for
+    # 0x2c would land inside the grayscale palette — entry 44 IS
+    # b"\\x2c\\x2c\\x2c"): 13B header + 768B GCT + 8B graphic-control
+    desc_at = 13 + 768 + 8
+    assert enc[desc_at] == 0x2C
+    bad = bytearray(enc)
+    bad[desc_at + 9] |= 0x40
+    with pytest.raises(ValueError, match="interlaced"):
+        multimodal.decode_gif(bytes(bad))
+    # local color table flag
+    bad = bytearray(enc)
+    bad[desc_at + 9] |= 0x80
+    with pytest.raises(ValueError, match="local color"):
+        multimodal.decode_gif(bytes(bad))
+    # non-grayscale palette entry
+    bad = bytearray(enc)
+    bad[13 + 3 * 10 + 1] ^= 0x55  # G channel of entry 10
+    with pytest.raises(ValueError, match="grayscale"):
+        multimodal.decode_gif(bytes(bad))
+    # truncated LZW stream: drop the last sub-block + trailer, claim
+    # continuation — decoder must hit stream exhaustion, not return
+    with pytest.raises(
+        ValueError, match="exhausted|pixel count|truncated|missing"
+    ):
+        multimodal.decode_gif(enc[:-10])
