@@ -97,3 +97,96 @@ def q_jsonl_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("total_chars"),
         F.sum(F.length("text")).cast("long").alias("measured_chars"),
     )
+
+
+# CSV twin: the other format corpora land in.  The synthesized export
+# carries a QUOTING-TORTURE column (embedded commas and double quotes,
+# built deterministically from row values) so a reader that mishandles
+# RFC-4180 escaping cannot reproduce the parquet-side oracle.
+# Embedded NEWLINES are deliberately excluded: Spark's CSV source
+# needs multiLine=true for them, which makes files non-splittable —
+# at 100 TB the operational rule is "no raw newlines in CSV fields";
+# corpora that need them belong in JSONL/parquet.
+_CSV_SCHEMA = (
+    "doc_id BIGINT, lang STRING, source STRING, n_chars INT, "
+    "tricky STRING"
+)
+# one expression string both engines evaluate verbatim (same
+# no-drift trick as text_analysis._PII_AUG_EXPR)
+_CSV_TRICKY_EXPR = (
+    "substr(text, 1, 40) || ', \"' || lang || '\" x,' "
+    "|| CAST(doc_id % 100 AS STRING)"
+)
+
+_csv_cache: dict[str, str] = {}
+
+
+def _cleanup_csv_cache() -> None:
+    for path in _csv_cache.values():
+        shutil.rmtree(path, ignore_errors=True)
+    _csv_cache.clear()
+
+
+atexit.register(_cleanup_csv_cache)
+
+
+def documents_as_csv(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the documents table as headered CSV with the
+    quoting-torture column (once per process per sf_dir)."""
+    cached = _csv_cache.get(sf_dir)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    out = tempfile.mkdtemp(prefix="docs_csv_")
+    (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            F.expr(_CSV_TRICKY_EXPR).alias("tricky"),
+        )
+        .write.mode("overwrite")
+        .option("header", "true")
+        .csv(out)
+    )
+    _csv_cache[sf_dir] = out
+    return out
+
+
+_CSV_ORACLE = (
+    "SELECT lang, source,\n"
+    "  COUNT(*) AS n_docs,\n"
+    "  CAST(SUM(n_chars) AS BIGINT) AS total_chars,\n"
+    "  CAST(SUM(length(" + _CSV_TRICKY_EXPR + ")) AS BIGINT)"
+    " AS tricky_chars,\n"
+    "  CAST(SUM(CASE WHEN " + _CSV_TRICKY_EXPR + " LIKE '%\"%'"
+    " THEN 1 ELSE 0 END) AS BIGINT) AS n_quoted\n"
+    "FROM documents\n"
+    "GROUP BY lang, source"
+)
+
+
+@register("q_csv_source", oracle=_CSV_ORACLE, tags=("source",))
+def q_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-depth (round 8): headered CSV ingestion with an explicit
+    schema and FAILFAST, against a quoting-torture export — embedded
+    commas and RFC-4180 doubled quotes in every row.  The per-group
+    report re-measures the tricky column's characters AND counts the
+    rows still carrying a literal double quote after the round-trip,
+    so a reader that strips, doubles, or mis-splits quoted fields
+    cannot hash-match the parquet-reading oracle.  Same splittable
+    one-task-per-file scan shape as the JSONL twin."""
+    path = documents_as_csv(spark, sf_dir)
+    docs = (
+        spark.read.schema(_CSV_SCHEMA)
+        .option("mode", "FAILFAST")
+        .option("header", "true")
+        .csv(path)
+    )
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(F.length("tricky")).cast("long").alias("tricky_chars"),
+        F.sum(F.col("tricky").contains('"').cast("long")).alias("n_quoted"),
+    )

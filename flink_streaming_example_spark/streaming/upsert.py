@@ -382,3 +382,75 @@ def _register_streaming_training_mix() -> None:
 
 
 _register_streaming_training_mix()
+
+
+# CDC changelog as a driver-checked key.  Flink's retract/upsert
+# stream (upsert-kafka with null-value DELETEs) is the one sink
+# semantics q_streaming_upsert does not cover: tombstones.  The
+# synthetic changelog rule is deterministic from row values — every
+# event whose event_id is divisible by 10 is a DELETE for its user —
+# so the oracle can recompute which users end live.
+_CDC_ORACLE = """
+SELECT user_id, event_id, event_type
+FROM (
+  SELECT user_id, event_id, event_type,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+) WHERE rn = 1 AND event_id % 10 <> 0
+"""
+
+
+def _register_streaming_cdc() -> None:
+    from flink_streaming_example_spark.plans.registry import register
+    from flink_streaming_example_spark.sources.streams import (
+        events_file_replay,
+    )
+
+    @register("q_streaming_cdc", oracle=_CDC_ORACLE, tags=("streaming",))
+    def q_streaming_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """S9-CDC (round 8): a full changelog — upserts AND deletes —
+        consumed through the keyed sink.  A user's latest change wins;
+        when that change is a tombstone the user disappears from the
+        read view (but stays on disk to block out-of-order
+        resurrection — the semantics tests/test_upsert.py pins with
+        hand-ordered merges; here the driver checks the end-state
+        against the batch latest-per-key + liveness window)."""
+        import shutil
+        import tempfile
+
+        ev = events_file_replay(spark, sf_dir).select(
+            "user_id",
+            "event_id",
+            "ts",
+            "event_type",
+            (F.col("event_id") % 10 == 0).alias("is_delete"),
+        )
+        table = tempfile.mkdtemp(prefix="cdc_q_")
+        ckpt = tempfile.mkdtemp(prefix="cdc_q_ckpt_")
+        try:
+            q = (
+                upsert_sink(
+                    ev,
+                    table,
+                    key_cols=["user_id"],
+                    version_col="ts",
+                    checkpoint=ckpt,
+                    tombstone_col="is_delete",
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            got = read_upsert_table(spark, table).select(
+                "user_id", "event_id", "event_type"
+            )
+            # materialize off the temp table before removing it
+            return got.localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(table, ignore_errors=True)
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+
+_register_streaming_cdc()

@@ -23,15 +23,19 @@ _SPECS = all_specs()
 _BATCH = {
     n: s for n, s in _SPECS.items() if "streaming" not in s.tags
 }
-# q_streaming_upsert and q_streaming_training_mix drain through
-# foreachBatch, not run_to_memory; their executed-plan gate
-# (bucket-pruned merge scan) lives in tests/test_upsert.py on the
-# upsert module's own capture hook.
+# q_streaming_upsert, q_streaming_training_mix and q_streaming_cdc
+# drain through foreachBatch, not run_to_memory; their executed-plan
+# gate (bucket-pruned merge scan) lives in tests/test_upsert.py on
+# the upsert module's own capture hook.
 _STREAMING = {
     n: s
     for n, s in _SPECS.items()
     if "streaming" in s.tags
-    and n not in ("q_streaming_upsert", "q_streaming_training_mix")
+    and n not in (
+        "q_streaming_upsert",
+        "q_streaming_training_mix",
+        "q_streaming_cdc",
+    )
 }
 # Keys whose operator is a keyed Python state function — the ONE shape
 # Structured Streaming cannot express declaratively (count windows,
