@@ -163,3 +163,143 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks.select("node", "rank", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= _TOP)
     )
+
+
+# ---- k-core peeling (round 8): the OTHER canonical iterate-to-shrink
+# graph workload next to PageRank's iterate-to-converge.  Each round
+# drops every node whose degree fell below K and the edges touching
+# it — community-detection's standard densest-region preprocessor and
+# the classic "peel the periphery" pass on interaction graphs.  A
+# fixed R=3 rounds unrolls into the plan (like PageRank's three
+# join+agg layers) so the DuckDB oracle states the identical
+# computation; exact k-core iterates the same step to fixed point
+# with localCheckpoint truncation every ~10 rounds (dedup.py's CC
+# loop shows the shape).  All counting is integer — bit-exact across
+# engines by construction.
+#
+# Graph choice matters: the customer->supplier procurement graph is
+# bipartite with supplier degrees ~15x customer degrees, so NO
+# constant K cascades (measured: K=3 removes zero nodes; K=25
+# removes only customers in round 1 and then stabilizes).  The PART
+# CO-PURCHASE graph (parts sharing an order, symmetrized) is
+# non-bipartite with graded degrees (min 42 / median 115 / max 206
+# at sf0.01), and K=75 peels a REAL multi-round cascade there:
+# 2000 -> 1949 -> 1941 -> 1939 survivors.  Per-order co-occurrence
+# is bounded by order size (a small constant), so the pair build is
+# linear in lineitem at any scale.
+_CORE_K = 75
+_CORE_ROUNDS = 3
+_CORE_TOP = 30
+
+
+def _kcore_oracle() -> str:
+    prev = "e0"
+    rounds = []
+    for r in range(1, _CORE_ROUNDS + 1):
+        rounds.append(
+            f"""n{r} AS (
+  SELECT src AS node FROM {prev}
+  GROUP BY src HAVING COUNT(*) >= {_CORE_K}
+), e{r} AS (
+  SELECT e.src, e.dst FROM {prev} e
+  JOIN n{r} a ON e.src = a.node
+  JOIN n{r} b ON e.dst = b.node
+)"""
+        )
+        prev = f"e{r}"
+    return f"""
+WITH copurchase AS (
+  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), e0 AS (
+  SELECT p1 AS src, p2 AS dst FROM copurchase
+  UNION ALL
+  SELECT p2, p1 FROM copurchase
+), {", ".join(rounds)}
+SELECT node, deg, CAST(rn AS INTEGER) AS rn FROM (
+  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, src) AS rn
+  FROM {prev}
+  GROUP BY src
+) WHERE rn <= {_CORE_TOP}
+"""
+
+
+@register("q_kcore", oracle=_kcore_oracle(), tags=("graph",))
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative k-core peeling (block comment above) on the part
+    co-purchase graph: three unrolled peel rounds — degree count (one
+    shuffle keyed by node), then two semi-joins filtering both edge
+    endpoints to survivors — and the top-{_CORE_TOP} surviving nodes
+    by residual degree.  Nothing driver-side; survivor filters are
+    broadcast semi-joins (survivors are node-sized — see the loop
+    comment for the at-scale fallback)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    # co-occurrence via ONE shuffle (groupBy order -> sorted part set
+    # -> in-row pair expansion with array natives), not a lineitem
+    # self-join: the join form pays two sorted 600k sides plus a 2.4M
+    # join output before its distinct (A/B at sf0.1: both land ~3 s
+    # warm here, but the self-join's sort-merge cost scales with
+    # |lineitem| log |lineitem| while this is one hash shuffle plus
+    # per-order O(k^2) array work with k bounded by order size).
+    po = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + F.lit(2), F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+            ),
+        )
+    )
+    pairs = (
+        po.select(F.explode(pair_arr).alias("p"))
+        .select("p.p1", "p.p2")
+        .distinct()
+    )
+    e = pairs.select(
+        F.col("p1").alias("src"), F.col("p2").alias("dst")
+    ).unionAll(pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
+    # each round references e THREE times (degree agg + two semi-join
+    # probes), so the unrolled lineage re-evaluates the distinct
+    # self-join 3^R times without a cut — measured 9.4 s warm at
+    # sf0.1; localCheckpoint per round makes it linear (same lesson
+    # as PageRank's edge-list checkpoint, graph.py above).  The
+    # materialized edge list is 2 ints x |E| — tiny next to the
+    # recomputation it removes.
+    e = e.localCheckpoint(eager=True)
+    for _ in range(_CORE_ROUNDS):
+        surv = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= _CORE_K)
+            .select("src")
+        )
+        # survivor sets are NODE-sized (PageRank's broadcast
+        # justification applies verbatim): broadcast both probes so a
+        # round costs one shuffle (the degree agg), not three.  At a
+        # scale where nodes themselves overflow broadcast, drop the
+        # hints — the semi-join shape is unchanged.
+        e = (
+            e.join(F.broadcast(surv), "src", "left_semi")
+            .join(
+                F.broadcast(surv.withColumnRenamed("src", "dst")),
+                "dst",
+                "left_semi",
+            )
+            .localCheckpoint(eager=True)
+        )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("deg").desc(), F.col("node"))
+    return (
+        e.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= _CORE_TOP)
+    )
