@@ -510,3 +510,57 @@ def q_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("lang").cast("long").alias("n_langs"),
         F.min("doc_id").cast("long").alias("first_doc"),
     )
+
+
+# ---- RAG / context chunking (round 8): fixed token windows with
+# overlap — the chunker every retrieval pipeline runs before
+# embedding.  Window 32 tokens, stride 24 (8-token overlap carries
+# boundary context); chunk starts are the arithmetic sequence
+# 0, 24, 48, ... below n_tokens, so the last chunk may be short.
+_CHUNK_W = 32
+_CHUNK_STRIDE = 24
+
+_CHUNK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+)
+SELECT doc_id,
+  CAST(s // {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+  CAST(len(list_slice(t, s + 1, s + {_CHUNK_W})) AS BIGINT)
+    AS n_chunk_tokens,
+  md5(array_to_string(list_slice(t, s + 1, s + {_CHUNK_W}), ' '))
+    AS chunk_md5
+FROM (
+  SELECT doc_id, t, unnest(range(0, len(t), {_CHUNK_STRIDE})) AS s
+  FROM toks
+)
+"""
+
+
+@register("q_chunk_documents", oracle=_CHUNK_ORACLE, tags=("llm", "datapipe"))
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking (block comment above): one row per overlapping
+    token window, with the chunk's md5 pinning the exact token span
+    (an off-by-one in start, width, or overlap changes the digest).
+    Row-local throughout — explode(sequence) + slice + array_join are
+    codegen'd array natives, no shuffle at all: at 100 TB the chunker
+    rides the scan and its output feeds the embedding UDF directly."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    starts = F.sequence(
+        F.lit(0), F.size(t) - F.lit(1), F.lit(_CHUNK_STRIDE)
+    )
+    return (
+        docs.select("doc_id", t.alias("t"), F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            (F.col("s") / _CHUNK_STRIDE).cast("long").alias("chunk_id"),
+            F.slice(F.col("t"), F.col("s") + 1, _CHUNK_W).alias("c"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("c").cast("long").alias("n_chunk_tokens"),
+            F.md5(F.array_join("c", " ")).alias("chunk_md5"),
+        )
+    )

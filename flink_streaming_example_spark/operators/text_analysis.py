@@ -545,7 +545,10 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, and the redacted-corpus character total so the REPLACEMENT
     itself is hash-verified, not just the match counts).  The planted
     payloads come from the shared _PII_AUG_EXPR evaluated verbatim by
-    both engines.  Fully row-local scan work (regex rides the scan —
+    both engines.  Complements datapipe.q_pattern_scrub, whose
+    email/phone rules can never FIRE on the fixture (its own
+    docstring): here every PII type has planted positives, so the
+    match-and-replace path is exercised, not just the no-match path.  Fully row-local scan work (regex rides the scan —
     no Python, no shuffle before the lang aggregate): at 100 TB this
     is the shape a scrub pass must have, since it touches every byte
     of the corpus exactly once."""

@@ -302,3 +302,80 @@ def q_cogroup_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id long, n_events long, n_clicks long, n_orders long",
         )
     )
+
+
+# ---- async external enrichment (round 8): Flink's AsyncDataStream /
+# AsyncFunction pattern — enrich a stream against an external service
+# without blocking per record.  Spark-first translation: the unit of
+# concurrency is the ARROW BATCH, not the record — mapInPandas
+# deduplicates the batch's keys (the async-cache trick), issues ONE
+# vectorized "request" per unique key, and maps results back onto
+# the rows order-preservingly.  The "service" here is a deterministic
+# pure function of the key (md5-derived score) so the DuckDB oracle
+# can recompute every response; a real deployment swaps _service for
+# an aiohttp/grpc batch call with identical batching shape.  At
+# 100 TB: requests per partition = unique keys per batch, never rows,
+# and the narrow map rides the scan — no shuffle until the report.
+_ASYNC_ORACLE = """
+WITH svc AS (
+  SELECT user_id, event_id,
+    CAST(CONCAT('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 8))
+         AS BIGINT) % 1000 AS score
+  FROM events
+)
+SELECT
+  CASE WHEN score >= 900 THEN 'gold'
+       WHEN score >= 500 THEN 'silver'
+       ELSE 'bronze' END AS tier,
+  COUNT(*) AS n_events,
+  COUNT(DISTINCT user_id) AS n_users,
+  CAST(SUM(score) AS BIGINT) AS total_score
+FROM svc
+GROUP BY tier
+"""
+
+
+def _service(user_ids):
+    """The deterministic stand-in external service: md5-derived score
+    per key (portable first-8-hex rule, same as the sampling family)."""
+    import hashlib
+
+    return {
+        u: int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 1000
+        for u in user_ids
+    }
+
+
+@register("q_async_enrich", oracle=_ASYNC_ORACLE, tags=("udf", "python"))
+def q_async_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 AsyncFunction equivalent (block comment above): per
+    Arrow batch, dedupe keys -> one batched service call -> map back.
+    The per-tier report makes the whole enrichment hash-checkable."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+
+    def kernel(batches):
+        for pdf in batches:
+            responses = _service(pdf["user_id"].unique())
+            score = pdf["user_id"].map(responses)
+            yield pd.DataFrame(
+                {
+                    "user_id": pdf["user_id"],
+                    "score": score.astype("int64"),
+                }
+            )
+
+    enriched = ev.mapInPandas(kernel, schema="user_id long, score long")
+    tier = (
+        F.when(F.col("score") >= 900, "gold")
+        .when(F.col("score") >= 500, "silver")
+        .otherwise("bronze")
+    )
+    return (
+        enriched.select(tier.alias("tier"), "user_id", "score")
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.sum("score").cast("long").alias("total_score"),
+        )
+    )
