@@ -273,6 +273,10 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialized edge list is 2 ints x |E| — tiny next to the
     # recomputation it removes.
     e = e.localCheckpoint(eager=True)
+    from flink_streaming_example_spark.operators.dedup import (
+        _release_checkpoint,
+    )
+
     for _ in range(_CORE_ROUNDS):
         surv = (
             e.groupBy("src")
@@ -285,6 +289,7 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         # round costs one shuffle (the degree agg), not three.  At a
         # scale where nodes themselves overflow broadcast, drop the
         # hints — the semi-join shape is unchanged.
+        superseded = e
         e = (
             e.join(F.broadcast(surv), "src", "left_semi")
             .join(
@@ -294,6 +299,10 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+        # each round supersedes the previous materialization — free
+        # its blocks deterministically (dedup.py's CC-loop idiom;
+        # clearCache cannot reach localCheckpoint RDDs)
+        _release_checkpoint(superseded)
     from pyspark.sql import Window
 
     w = Window.orderBy(F.col("deg").desc(), F.col("node"))

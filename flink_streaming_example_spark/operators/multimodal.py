@@ -216,10 +216,15 @@ def decode_png(payload: bytes) -> tuple[int, int, list[list[int]]]:
         )
     if interlace != 0:
         raise ValueError("interlaced (Adam7) PNG not supported")
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (w + 1):
+    # bounded inflate: a decompress bomb (tiny IDAT, huge IHDR or a
+    # stream that inflates past the declared scanline size) must fail
+    # loud without ever allocating past expected+1 bytes
+    expected = h * (w + 1)
+    d = zlib.decompressobj()
+    raw = d.decompress(bytes(idat), expected + 1)
+    if len(raw) != expected or not d.eof or d.unconsumed_tail:
         raise ValueError(
-            f"PNG scanline stream {len(raw)}B != expected {h * (w + 1)}B"
+            f"PNG scanline stream {len(raw)}B != expected {expected}B"
         )
     rows: list[list[int]] = []
     prior = [0] * w
