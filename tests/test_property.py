@@ -226,3 +226,72 @@ def test_dynamic_gap_session_matches_interval_union(spark, events):
     ).df()
     result = compare_frames(got.toPandas(), want)
     assert result.ok, result.detail
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "ab", "x y".replace(" ", "")]),
+            min_size=1,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_repetition_permille_matches_duckdb(spark, docs):
+    """q_repetition_filter's duplicate-bigram permille on arbitrary
+    tiny-alphabet token streams (small alphabets force heavy bigram
+    repetition, so both the dup-counting and the integer-DIV
+    boundaries are exercised, including the 1-token doc with zero
+    bigrams)."""
+    rows = pd.DataFrame(
+        {
+            "doc_id": range(len(docs)),
+            "lang": ["xx"] * len(docs),
+            "text": [" ".join(d) for d in docs],
+        }
+    )
+    sdf = spark.createDataFrame(rows)
+    t = F.split(F.lower(F.col("text")), " ")
+    bigrams = F.zip_with(
+        F.slice(t, 1, F.size(t) - 1),
+        F.slice(t, 2, F.size(t) - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    n_bi = F.size(t) - 1
+    dup = n_bi - F.size(F.array_distinct(bigrams))
+    got = (
+        sdf.select("doc_id", dup.alias("_dup"), n_bi.alias("_nbi"))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("_nbi") > 0, F.expr("(1000 * _dup) DIV _nbi")
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("rep_permille"),
+        )
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("d", rows)
+    want = con.execute(
+        """
+        SELECT doc_id,
+          CASE WHEN len(t) > 1 THEN
+            (1000 * (len(t) - 1
+                     - len(list_distinct([t[i] || ' ' || t[i + 1]
+                                          FOR i IN range(1, len(t))]))))
+            // (len(t) - 1)
+          ELSE 0 END AS rep_permille
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM d)
+        """
+    ).df()
+    result = compare_frames(got, want)
+    assert result.ok, result.detail
