@@ -128,6 +128,28 @@ SHOWCASE: tuple[tuple[str, str], ...] = (
         "a `BroadcastHashJoin` against node-sized ranks plus one "
         "groupBy-dst shuffle; all arithmetic is exact 64-bit integer.",
     ),
+    (
+        "q_kcore",
+        "Iterate-to-shrink shape (r8): each peel round reads the "
+        "PREVIOUS round's localCheckpoint (`Scan ExistingRDD` — the "
+        "three references per round would otherwise re-derive the "
+        "edge build 3^R times), filters through two broadcast "
+        "semi-joins on the node-sized survivor set, and the final "
+        "degree report is one partial+final aggregate.",
+    ),
+    (
+        "q_chunk_documents",
+        "RAG chunker (r8): explode(sequence) + slice + array_join as "
+        "one `WholeStageCodegen`-resident generate/project pipeline — "
+        "ZERO exchanges in the whole plan; the chunker rides the scan.",
+    ),
+    (
+        "q_pii_scrub",
+        "Scrub pass (r8): three chained JVM regexp_replace/extract "
+        "expressions inside the scan's project — every byte of the "
+        "corpus is touched exactly once, no Python, and the only "
+        "exchange is the final per-language aggregate.",
+    ),
 )
 
 
