@@ -148,6 +148,12 @@ def documents_as_csv(spark: SparkSession, sf_dir: str) -> str:
         )
         .write.mode("overwrite")
         .option("header", "true")
+        # RFC-4180 quote doubling ("" inside quoted fields), NOT
+        # Spark's default backslash convention: external producers
+        # (Excel, COPY, csv.writer) emit the doubled form, and a
+        # Spark reader left on its defaults silently mis-parses it —
+        # the interop gotcha this key exists to pin.
+        .option("escape", '"')
         .csv(out)
     )
     _csv_cache[sf_dir] = out
@@ -171,7 +177,9 @@ _CSV_ORACLE = (
 def q_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S-depth (round 8): headered CSV ingestion with an explicit
     schema and FAILFAST, against a quoting-torture export — embedded
-    commas and RFC-4180 doubled quotes in every row.  The per-group
+    commas in every row and RFC-4180 doubled quotes (escape='"' on
+    BOTH sides; Spark's default backslash escaping would round-trip
+    with itself but mis-parse real-world CSV).  The per-group
     report re-measures the tricky column's characters AND counts the
     rows still carrying a literal double quote after the round-trip,
     so a reader that strips, doubles, or mis-splits quoted fields
@@ -182,6 +190,7 @@ def q_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.schema(_CSV_SCHEMA)
         .option("mode", "FAILFAST")
         .option("header", "true")
+        .option("escape", '"')  # RFC-4180 (writer comment above)
         .csv(path)
     )
     return docs.groupBy("lang", "source").agg(
