@@ -205,3 +205,63 @@ def foreach_batch_sink(
     """S9: generic per-micro-batch sink (Flink SinkFunction) — fn gets
     (batch_df, batch_id); also the fan-out path for side outputs."""
     return df.writeStream.foreachBatch(fn)
+
+
+_FILE_SINK_ORACLE = """
+SELECT event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(event_id AS BIGINT)) AS BIGINT) AS id_sum
+FROM events
+GROUP BY event_type
+"""
+
+
+def _register_file_sink_key() -> None:
+    from flink_streaming_example_spark.plans.registry import register
+
+    @register(
+        "q_file_sink_roundtrip",
+        oracle=_FILE_SINK_ORACLE,
+        tags=("streaming", "sink"),
+    )
+    def q_file_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """S8 as a driver-checked key (round 8): stream the events
+        topic through the rolling-parquet FILE SINK, then read the
+        written directory back and aggregate.  The read-back goes
+        through the sink's _spark_metadata commit log — the
+        exactly-once mechanism itself: a batch re-run after failure
+        rewrites files but commits each batch id once, and readers
+        ignore any orphan not in the log.  The per-type count plus an
+        id SUM pins both row preservation and non-duplication (a
+        replayed batch would double the sum before it doubled the
+        distinct types)."""
+        import shutil
+        import tempfile
+
+        ev = events_file_replay(spark, sf_dir).select(
+            "event_id", "event_type"
+        )
+        out = tempfile.mkdtemp(prefix="file_sink_q_")
+        ckpt = tempfile.mkdtemp(prefix="file_sink_q_ckpt_")
+        try:
+            q = (
+                file_sink(ev, out, ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            back = spark.read.parquet(out)
+            return (
+                back.groupBy("event_type")
+                .agg(
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.sum(F.col("event_id").cast("long")).alias("id_sum"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+
+_register_file_sink_key()

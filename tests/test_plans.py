@@ -26,7 +26,9 @@ _BATCH = {
 # q_streaming_upsert, q_streaming_training_mix and q_streaming_cdc
 # drain through foreachBatch, not run_to_memory; their executed-plan
 # gate (bucket-pruned merge scan) lives in tests/test_upsert.py on
-# the upsert module's own capture hook.
+# the upsert module's own capture hook.  q_file_sink_roundtrip drains
+# through the parquet file sink (the sink IS the thing under test);
+# its stateless plan is the same projection q_streaming_enrich gates.
 _STREAMING = {
     n: s
     for n, s in _SPECS.items()
@@ -35,6 +37,7 @@ _STREAMING = {
         "q_streaming_upsert",
         "q_streaming_training_mix",
         "q_streaming_cdc",
+        "q_file_sink_roundtrip",
     )
 }
 # Keys whose operator is a keyed Python state function — the ONE shape
