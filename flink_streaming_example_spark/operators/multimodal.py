@@ -41,10 +41,10 @@ def _decode_payload(payload: bytes, mime: str) -> bytes:
     """Decode a payload for feature extraction.
 
     text/plain passes through; BMP 24-bit pixel rows and WAV PCM16
-    decode for real with stdlib struct (round 7), PNG with stdlib
-    zlib and GIF with a pure-Python LZW (round 8).  Only JPEG (DCT)
-    and video codecs remain stubbed.  The surrounding Spark plumbing
-    is identical for any modality.
+    decode for real with stdlib struct (round 7); PNG (zlib inflate +
+    unfilter), GIF (pure-Python LZW) and baseline JPEG (Huffman +
+    IDCT) decode for real in round 8.  Only VIDEO remains stubbed.
+    The surrounding Spark plumbing is identical for any modality.
     """
     if mime == "text/plain":
         return payload
@@ -57,13 +57,16 @@ def _decode_payload(payload: bytes, mime: str) -> bytes:
     if mime == "image/gif":
         _w, _h, grid = decode_gif(payload)
         return bytes(v for row in grid for v in row)
+    if mime == "image/jpeg":
+        _w, _h, grid = decode_jpeg_gray(payload)
+        return bytes(v for row in grid for v in row)
     if mime == "audio/wav":
         _sr, _ch, samples = decode_wav(payload)
         import struct
 
         return struct.pack(f"<{len(samples)}h", *samples)
     raise NotImplementedError(
-        f"no decoder for compressed mime type {mime!r}"
+        f"no decoder for mime type {mime!r} (video needs ffmpeg)"
     )
 
 
@@ -1076,3 +1079,454 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("text/plain").alias("mime"),
     )
     return modal.mapInPandas(_extract_features, schema=_FEATURE_SCHEMA)
+
+
+# ---- baseline JPEG (round 8): the last image-codec stub, closed with
+# a REAL pure-Python baseline sequential decoder — marker walk, DQT /
+# DHT (canonical Huffman from BITS/HUFFVAL), SOF0, entropy decode with
+# 0xFF00 unstuffing, DC prediction, zigzag, dequantize, IDCT, level
+# shift + clamp.  JPEG is lossy, so the oracle strategy differs from
+# PNG/GIF: the synthesized corpus is DC-ONLY (every AC coefficient
+# zero), where the IDCT of a block is EXACTLY flat — decoded pixel =
+# quantized-DC * q0 / 8 + 128, integer-exact when the synthesizer
+# picks even block values — so DuckDB can recompute every pixel in
+# closed form.  The general path (AC coefficients, the full IDCT) is
+# pinned by unit tests: the entropy layer round-trips coefficient
+# blocks bit-exactly, and the IDCT is checked on analytic cases.
+# Video remains the ONLY stubbed modality (a container demuxer plus
+# inter-frame codecs is out of scope without ffmpeg).
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+# JPEG Annex K.3 typical luminance Huffman specs (BITS, HUFFVAL)
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman: value -> (code, length), JPEG Annex C order."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decoder(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> value lookup for the decode side."""
+    return {
+        (length, code): v
+        for v, (code, length) in _huff_codes(bits, vals).items()
+    }
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc, self.n = 0, 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy stream exhausted")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
+                    raise ValueError("unexpected marker in entropy stream")
+                self.pos += 1  # skip stuffed 0x00
+            self.acc, self.n = b, 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _extend(v: int, size: int) -> int:
+    """JPEG EXTEND: map a `size`-bit magnitude to its signed value."""
+    return v if size == 0 or v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _category(v: int) -> int:
+    return 0 if v == 0 else abs(v).bit_length()
+
+
+def _idct_block(coeffs: list[int]) -> list[int]:
+    """Direct 2-D IDCT of one dequantized 8x8 block (row-major),
+    level-shifted (+128) and clamped.  O(64^2) doubles — exact for
+    DC-only blocks (the cosine terms are identically cos(0)=1) and
+    deterministic everywhere (fixed summation order)."""
+    import math
+
+    out = []
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for v in range(8):
+                for u in range(8):
+                    c = coeffs[v * 8 + u]
+                    if c == 0:
+                        continue
+                    cu = 0.7071067811865476 if u == 0 else 1.0
+                    cv = 0.7071067811865476 if v == 0 else 1.0
+                    s += (
+                        cu * cv * c
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            val = int(round(s / 4.0)) + 128
+            out.append(0 if val < 0 else 255 if val > 255 else val)
+    return out
+
+
+def encode_jpeg_gray(
+    qdc_blocks: list[list[int]],
+    blocks_w: int,
+    blocks_h: int,
+    qtable0: int = 16,
+    ac_coeffs: dict[tuple[int, int], int] | None = None,
+) -> bytes:
+    """Encode a baseline sequential grayscale JPEG from QUANTIZED
+    coefficient blocks: `qdc_blocks[by][bx]` is the quantized DC of
+    each 8x8 block; `ac_coeffs` optionally plants quantized AC values
+    {(block_index, zigzag_pos): value} for the general-path unit
+    tests.  Real Annex-K Huffman tables, real DC prediction, real
+    byte stuffing — the bitstream layer is the full thing; only the
+    forward DCT is skipped because the caller supplies coefficients."""
+    import struct
+
+    w, h = blocks_w * 8, blocks_h * 8
+    qt = bytes([qtable0] + [16] * 63)
+    dct = _huff_codes(_DC_BITS, _DC_VALS)
+    act = _huff_codes(_AC_BITS, _AC_VALS)
+    bw = _BitWriter()
+    pred = 0
+    bi = 0
+    for by in range(blocks_h):
+        for bx in range(blocks_w):
+            dc = qdc_blocks[by][bx]
+            diff = dc - pred
+            pred = dc
+            size = _category(diff)
+            code, length = dct[size]
+            bw.write(code, length)
+            if size:
+                mag = diff if diff >= 0 else diff + (1 << size) - 1
+                bw.write(mag & ((1 << size) - 1), size)
+            # AC scan: planted coefficients in zigzag order, else EOB
+            planted = sorted(
+                (z, v)
+                for (b, z), v in (ac_coeffs or {}).items()
+                if b == bi and v != 0
+            )
+            run = 0
+            last_z = 0
+            for z, v in planted:
+                run = z - last_z - 1
+                while run >= 16:
+                    code, length = act[0xF0]  # ZRL
+                    bw.write(code, length)
+                    run -= 16
+                size = _category(v)
+                code, length = act[(run << 4) | size]
+                bw.write(code, length)
+                mag = v if v >= 0 else v + (1 << size) - 1
+                bw.write(mag & ((1 << size) - 1), size)
+                last_z = z
+            if last_z < 63:
+                code, length = act[0x00]  # EOB
+                bw.write(code, length)
+            bi += 1
+    ecs = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xDB, b"\x00" + qt)  # DQT, table 0, 8-bit
+    out += seg(
+        0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes((1, 0x11, 0))
+    )  # SOF0: 8-bit, 1 component, 1x1 sampling, qtable 0
+    out += seg(
+        0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)
+    )  # DHT DC 0
+    out += seg(0xC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))  # DHT AC 0
+    out += seg(0xDA, bytes((1, 1, 0x00, 0, 63, 0)))  # SOS
+    out += ecs
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def decode_jpeg_gray(payload: bytes) -> tuple[int, int, list[list[int]]]:
+    """Decode a baseline sequential grayscale JPEG into (width,
+    height, top-down pixel grid) — pure Python.  Fails loud on
+    progressive (SOF2) / arithmetic / multi-component / 12-bit
+    streams, restart markers, missing tables, or a truncated entropy
+    stream."""
+    import struct
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    dc_dec: dict[int, dict] = {}
+    ac_dec: dict[int, dict] = {}
+    sof = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker misalignment")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            raise ValueError("JPEG EOI before scan data")
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:
+            b = 0
+            while b < len(body):
+                prec, tid = body[b] >> 4, body[b] & 0x0F
+                if prec != 0:
+                    raise ValueError("16-bit quant tables not supported")
+                qtables[tid] = list(body[b + 1 : b + 65])
+                b += 65
+        elif marker == 0xC4:
+            b = 0
+            while b < len(body):
+                cls, tid = body[b] >> 4, body[b] & 0x0F
+                bits = list(body[b + 1 : b + 17])
+                n = sum(bits)
+                vals = list(body[b + 17 : b + 17 + n])
+                (dc_dec if cls == 0 else ac_dec)[tid] = _huff_decoder(
+                    bits, vals
+                )
+                b += 17 + n
+        elif marker == 0xC0:
+            depth, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if depth != 8 or ncomp != 1:
+                raise ValueError(
+                    f"unsupported SOF0 (depth={depth} components={ncomp})"
+                )
+            sampling, qtid = body[7], body[8]
+            if sampling != 0x11:
+                raise ValueError("subsampling not supported for grayscale")
+            sof = (w, h, qtid)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
+            raise ValueError(
+                f"non-baseline JPEG (SOF marker 0xff{marker:02x})"
+            )
+        elif marker == 0xDD:
+            raise ValueError("restart intervals not supported")
+        elif marker == 0xDA:
+            if sof is None:
+                raise ValueError("JPEG SOS before SOF0")
+            ncomp = body[0]
+            if ncomp != 1:
+                raise ValueError("multi-component scan not supported")
+            dc_id, ac_id = body[2] >> 4, body[2] & 0x0F
+            w, h, qtid = sof
+            if qtid not in qtables or dc_id not in dc_dec or ac_id not in ac_dec:
+                raise ValueError("JPEG scan references missing tables")
+            qt = qtables[qtid]
+            ecs_start = pos + 2 + seglen
+            ecs_end = payload.rfind(b"\xff\xd9")
+            if ecs_end < ecs_start:
+                raise ValueError("JPEG missing EOI")
+            return _decode_scan(
+                payload[ecs_start:ecs_end],
+                w,
+                h,
+                qt,
+                dc_dec[dc_id],
+                ac_dec[ac_id],
+            )
+        pos += 2 + seglen
+    raise ValueError("JPEG missing SOS")
+
+
+def _read_huff(r: _BitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | r.bit()
+        length += 1
+        v = table.get((length, code))
+        if v is not None:
+            return v
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _decode_scan(ecs, w, h, qt, dct, act):
+    bw_, bh_ = (w + 7) // 8, (h + 7) // 8
+    r = _BitReader(ecs)
+    pred = 0
+    grid = [[0] * w for _ in range(h)]
+    for by in range(bh_):
+        for bx in range(bw_):
+            size = _read_huff(r, dct)
+            diff = _extend(r.bits(size), size) if size else 0
+            pred += diff
+            zz = [0] * 64
+            zz[0] = pred * qt[0]
+            z = 1
+            while z < 64:
+                rs = _read_huff(r, act)
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    z += 16
+                    continue
+                run, size = rs >> 4, rs & 0x0F
+                z += run
+                if z > 63:
+                    raise ValueError("JPEG AC run past block end")
+                zz[z] = _extend(r.bits(size), size) * qt[z]
+                z += 1
+            coeffs = [0] * 64
+            for i, zi in enumerate(_ZIGZAG):
+                coeffs[zi] = zz[i]
+            block = _idct_block(coeffs)
+            for yy in range(8):
+                gy = by * 8 + yy
+                if gy >= h:
+                    break
+                for xx in range(8):
+                    gx = bx * 8 + xx
+                    if gx < w:
+                        grid[gy][gx] = block[yy * 8 + xx]
+    return w, h, [row[:] for row in grid]
+
+
+def synth_jpeg_payloads(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Deterministic DC-only baseline JPEGs from doc_id: blocks_w =
+    d%3+1, blocks_h = (d*5)%4+1, quantized DC of block (bx,by) =
+    (bx*3 + by*5 + d) % 61 - 30 with qtable[0]=16, so every decoded
+    block is EXACTLY flat at 2*qdc + 128 (range [68,188]) and the
+    whole image is closed-form-predictable despite the codec being
+    lossy in general.  Real Annex-K Huffman, real DC prediction
+    across blocks, real byte stuffing."""
+    for pdf in batches:
+        payloads = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            bw_, bh_ = d % 3 + 1, (d * 5) % 4 + 1
+            qdc = [
+                [(bx * 3 + by * 5 + d) % 61 - 30 for bx in range(bw_)]
+                for by in range(bh_)
+            ]
+            payloads.append(encode_jpeg_gray(qdc, bw_, bh_))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+_JPEG_DECODE_ORACLE = """
+SELECT
+  doc_id,
+  CAST(8 * (doc_id % 3 + 1) * 8 * ((doc_id * 5) % 4 + 1) AS BIGINT)
+    AS n_units,
+  CAST(list_sum(list_transform(
+    range(0, 8 * (doc_id % 3 + 1) * 8 * ((doc_id * 5) % 4 + 1)),
+    i -> (2 * ((((i % (8 * (doc_id % 3 + 1))) // 8) * 3
+                + ((i // (8 * (doc_id % 3 + 1))) // 8) * 5
+                + doc_id) % 61) - 60 + 128) * (i + 1)
+  )) AS BIGINT) AS checksum
+FROM documents
+"""
+
+
+@register(
+    "q_jpeg_decode", oracle=_JPEG_DECODE_ORACLE, tags=("multimodal", "python")
+)
+def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5d (round 8): REAL baseline JPEG decode, pure Python — marker
+    walk, DQT/DHT canonical Huffman, entropy decode with byte
+    unstuffing and cross-block DC prediction, zigzag, dequantize,
+    IDCT, clamp.  The synthesized corpus is DC-only so the lossy
+    codec's output is exactly closed-form (synth_jpeg_payloads); the
+    general AC path is pinned by entropy-layer round-trip and
+    analytic-IDCT unit tests (tests/test_multimodal.py).  With this,
+    the stub surface of the multimodal family is VIDEO ONLY."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = docs.mapInPandas(
+        synth_jpeg_payloads, schema="doc_id long, payload binary"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            units, sums = [], []
+            for p in pdf["payload"]:
+                w, h, grid = decode_jpeg_gray(bytes(p))
+                units.append(w * h)
+                sums.append(
+                    sum(
+                        grid[y][x] * (1 + y * w + x)
+                        for y in range(h)
+                        for x in range(w)
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_units": pd.Series(units, dtype="int64"),
+                    "checksum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(
+        kernel, schema="doc_id long, n_units long, checksum long"
+    )

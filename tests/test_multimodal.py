@@ -210,8 +210,10 @@ def test_decode_payload_surface():
     assert multimodal._decode_payload(
         multimodal.encode_png(g), "image/png"
     ) == bytes(v for row in g for v in row)
-    with pytest.raises(NotImplementedError, match="compressed"):
-        multimodal._decode_payload(b"\xff\xd8\xff", "image/jpeg")
+    jp = multimodal.encode_jpeg_gray([[4]], 1, 1)
+    assert multimodal._decode_payload(jp, "image/jpeg") == bytes([136] * 64)
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        multimodal._decode_payload(b"\x00\x00\x00\x18ftyp", "video/mp4")
 
 
 # ---- PNG codec (round 8: stdlib zlib — inflate + unfilter) ----
@@ -342,3 +344,118 @@ def test_gif_decode_fails_loud():
         ValueError, match="exhausted|pixel count|truncated|missing"
     ):
         multimodal.decode_gif(enc[:-10])
+
+
+# ---- baseline JPEG codec (round 8: pure-Python Huffman + IDCT) ----
+
+
+def test_jpeg_dc_only_blocks_are_exact():
+    # DC prediction crosses blocks (DPCM); q0=16 -> pixel = 2*qdc+128
+    qdc = [[-30, 0, 30], [7, -7, 13]]
+    enc = multimodal.encode_jpeg_gray(qdc, 3, 2)
+    w, h, grid = multimodal.decode_jpeg_gray(enc)
+    assert (w, h) == (24, 16)
+    for by in range(2):
+        for bx in range(3):
+            vals = {
+                grid[by * 8 + y][bx * 8 + x]
+                for y in range(8)
+                for x in range(8)
+            }
+            assert vals == {2 * qdc[by][bx] + 128}
+
+
+def test_jpeg_entropy_layer_roundtrips_ac_coefficients(monkeypatch):
+    """The HARD part of JPEG is the entropy layer (canonical Huffman,
+    run/size AC coding, ZRL, EOB, byte stuffing, DC prediction) —
+    pin it bit-exactly by capturing the DEQUANTIZED coefficient
+    blocks the scan decoder hands to the IDCT and comparing with the
+    planted values."""
+    captured = []
+
+    real_idct = multimodal._idct_block
+
+    def spy(coeffs):
+        captured.append(list(coeffs))
+        return real_idct(coeffs)
+
+    monkeypatch.setattr(multimodal, "_idct_block", spy)
+    # block 0: AC at zigzag 1 and 5 plus a long zero run needing ZRL
+    # (zigzag 40); block 1: EOB immediately; block 2: negative ACs
+    ac = {(0, 1): 3, (0, 5): -2, (0, 40): 1, (2, 2): -5, (2, 63): 2}
+    qdc = [[4, -4, 9]]
+    enc = multimodal.encode_jpeg_gray(qdc, 3, 1, ac_coeffs=ac)
+    multimodal.decode_jpeg_gray(enc)
+    assert len(captured) == 3
+    q = 16
+    for bi, block in enumerate(captured):
+        # rebuild the expected dequantized block in raster order
+        zz = [0] * 64
+        zz[0] = qdc[0][bi] * q
+        for (b, z), v in ac.items():
+            if b == bi:
+                zz[z] = v * q
+        want = [0] * 64
+        for i, zi in enumerate(multimodal._ZIGZAG):
+            want[zi] = zz[i]
+        assert block == want, f"block {bi}"
+
+
+def test_jpeg_idct_analytic_cases():
+    import math
+
+    # single AC basis function: F(u=1,v=0) = c -> f(x,y) =
+    # 0.25 * C(0) * c * cos((2x+1)pi/16) with C(0)=1/sqrt(2) for the
+    # v=0 axis — constant down columns
+    c = 64
+    coeffs = [0] * 64
+    coeffs[1] = c  # u=1, v=0
+    block = multimodal._idct_block(coeffs)
+    inv_sqrt2 = 0.7071067811865476
+    for y in range(8):
+        for x in range(8):
+            want = (
+                int(round(0.25 * inv_sqrt2 * c
+                          * math.cos((2 * x + 1) * math.pi / 16)))
+                + 128
+            )
+            assert block[y * 8 + x] == want
+    # clamping: a huge DC must saturate at 255 / 0
+    big = [0] * 64
+    big[0] = 10_000
+    assert set(multimodal._idct_block(big)) == {255}
+    big[0] = -10_000
+    assert set(multimodal._idct_block(big)) == {0}
+
+
+def test_jpeg_decode_fails_loud():
+    import struct
+
+    enc = multimodal.encode_jpeg_gray([[1]], 1, 1)
+    with pytest.raises(ValueError, match="no SOI"):
+        multimodal.decode_jpeg_gray(b"\x89PNG" + enc)
+    # flip SOF0 -> SOF2 (progressive): marker byte 0xc0 -> 0xc2
+    sof_at = enc.index(b"\xff\xc0")
+    bad = bytearray(enc)
+    bad[sof_at + 1] = 0xC2
+    with pytest.raises(ValueError, match="non-baseline"):
+        multimodal.decode_jpeg_gray(bytes(bad))
+    # truncate the entropy stream: a 4x3-block image has a long
+    # entropy segment; cutting 4 bytes before the re-appended EOI
+    # leaves the scan starving mid-block
+    big = multimodal.encode_jpeg_gray(
+        [[(bx * 7 + by * 11) % 61 - 30 for bx in range(4)] for by in range(3)],
+        4,
+        3,
+    )
+    eoi_at = big.rfind(b"\xff\xd9")
+    with pytest.raises(ValueError, match="exhausted|Huffman|marker"):
+        multimodal.decode_jpeg_gray(big[: eoi_at - 4] + b"\xff\xd9")
+    # three-component SOF (color) is rejected, not misread
+    color_sof = (
+        b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, 8, 8, 3)
+        + bytes((1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1))
+    )
+    payload = enc[:sof_at] + color_sof + enc[sof_at + 2 + 11 :]
+    with pytest.raises(ValueError, match="components=3"):
+        multimodal.decode_jpeg_gray(payload)
