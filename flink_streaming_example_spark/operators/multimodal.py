@@ -1208,29 +1208,49 @@ def _category(v: int) -> int:
     return 0 if v == 0 else abs(v).bit_length()
 
 
+_COS16 = None  # lazily-built [x][u] -> cos((2x+1) * u * pi / 16)
+
+
 def _idct_block(coeffs: list[int]) -> list[int]:
     """Direct 2-D IDCT of one dequantized 8x8 block (row-major),
-    level-shifted (+128) and clamped.  O(64^2) doubles — exact for
-    DC-only blocks (the cosine terms are identically cos(0)=1) and
-    deterministic everywhere (fixed summation order)."""
-    import math
+    level-shifted (+128) and clamped.  Deterministic (fixed summation
+    order over the nonzero coefficients, cos table built once); the
+    sparse prefold makes DC-only blocks — the oracle corpus — cost 64
+    adds instead of 64x64 loop iterations (measured 2.7 s -> ~0.3 s
+    over the sf0.1 corpus)."""
+    global _COS16
+    if _COS16 is None:
+        import math
 
+        _COS16 = [
+            [math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)]
+            for x in range(8)
+        ]
+    inv_sqrt2 = 0.7071067811865476
+    nz = [
+        (u, v, (inv_sqrt2 if u == 0 else 1.0)
+               * (inv_sqrt2 if v == 0 else 1.0)
+               * coeffs[v * 8 + u])
+        for v in range(8)
+        for u in range(8)
+        if coeffs[v * 8 + u] != 0
+    ]
+    if not nz:
+        return [128] * 64
+    if len(nz) == 1 and nz[0][0] == 0 and nz[0][1] == 0:
+        # DC-only: exactly flat at round(DC/8) + 128
+        val = int(round(nz[0][2] / 4.0)) + 128
+        val = 0 if val < 0 else 255 if val > 255 else val
+        return [val] * 64
     out = []
+    cos = _COS16
     for y in range(8):
+        cy = cos[y]
         for x in range(8):
+            cx = cos[x]
             s = 0.0
-            for v in range(8):
-                for u in range(8):
-                    c = coeffs[v * 8 + u]
-                    if c == 0:
-                        continue
-                    cu = 0.7071067811865476 if u == 0 else 1.0
-                    cv = 0.7071067811865476 if v == 0 else 1.0
-                    s += (
-                        cu * cv * c
-                        * math.cos((2 * x + 1) * u * math.pi / 16)
-                        * math.cos((2 * y + 1) * v * math.pi / 16)
-                    )
+            for u, v, c in nz:
+                s += c * cx[u] * cy[v]
             val = int(round(s / 4.0)) + 128
             out.append(0 if val < 0 else 255 if val > 255 else val)
     return out
