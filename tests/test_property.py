@@ -295,3 +295,78 @@ def test_repetition_permille_matches_duckdb(spark, docs):
     ).df()
     result = compare_frames(got, want)
     assert result.ok, result.detail
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(
+                ["a", "b", "0", "1", ".", "@", "-", "+", "_", "%", " ",
+                 "..", "@@", ".c", "x@y.zz", "1.2.3.4", "+1-123-4567",
+                 "@mail.com", "a@b.c", "9.9.9.999", ".5.6.7.8",
+                 "a1.2.3.4b"]
+            ),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_pii_regexes_agree_across_engines(spark, frags):
+    """q_pii_scrub's contract rests on Java regex (Spark) and RE2
+    (DuckDB) agreeing byte-for-byte on the three patterns — fuzz that
+    agreement directly on adversarial near-miss strings (stacked
+    dots, bare @s, boundary-adjacent digits), comparing BOTH the
+    match counts and the redacted output through the real engines."""
+    from flink_streaming_example_spark.operators.text_analysis import (
+        _PAT_EMAIL,
+        _PAT_IP,
+        _PAT_PHONE,
+    )
+
+    rows = pd.DataFrame(
+        {"id": range(len(frags)), "s": ["".join(f) for f in frags]}
+    )
+    sdf = spark.createDataFrame(rows)
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("s"), _PAT_EMAIL, "[E]"), _PAT_IP, "[I]"
+        ),
+        _PAT_PHONE,
+        "[P]",
+    )
+    got = sdf.select(
+        "id",
+        F.size(F.regexp_extract_all("s", F.lit(_PAT_EMAIL), F.lit(0)))
+        .cast("long")
+        .alias("n_e"),
+        F.size(F.regexp_extract_all("s", F.lit(_PAT_IP), F.lit(0)))
+        .cast("long")
+        .alias("n_i"),
+        F.size(F.regexp_extract_all("s", F.lit(_PAT_PHONE), F.lit(0)))
+        .cast("long")
+        .alias("n_p"),
+        red.alias("redacted"),
+    ).toPandas()
+    con = duckdb.connect()
+    con.register("d", rows)
+    want = con.execute(
+        f"""
+        SELECT id,
+          CAST(len(regexp_extract_all(s, '{_PAT_EMAIL}')) AS BIGINT) AS n_e,
+          CAST(len(regexp_extract_all(s, '{_PAT_IP}')) AS BIGINT) AS n_i,
+          CAST(len(regexp_extract_all(s, '{_PAT_PHONE}')) AS BIGINT) AS n_p,
+          regexp_replace(regexp_replace(regexp_replace(s,
+            '{_PAT_EMAIL}', '[E]', 'g'), '{_PAT_IP}', '[I]', 'g'),
+            '{_PAT_PHONE}', '[P]', 'g') AS redacted
+        FROM d
+        """
+    ).df()
+    result = compare_frames(got, want)
+    assert result.ok, result.detail
