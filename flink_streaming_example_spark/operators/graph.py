@@ -257,33 +257,38 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    pairs = (
+    # the graph stays materialized as HALF-edges (p1 < p2): degrees
+    # and the final report derive the symmetric view per use via an
+    # exploded-endpoints aggregate, so every checkpoint carries |E|
+    # rows, not 2|E| (undirected degree = #pairs touching the node —
+    # identical to the symmetric-edge-list count, no self-loops by
+    # construction).
+    e = (
         po.select(F.explode(pair_arr).alias("p"))
         .select("p.p1", "p.p2")
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    e = pairs.select(
-        F.col("p1").alias("src"), F.col("p2").alias("dst")
-    ).unionAll(pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
-    # each round references e THREE times (degree agg + two semi-join
-    # probes), so the unrolled lineage re-evaluates the distinct
-    # self-join 3^R times without a cut — measured 9.4 s warm at
-    # sf0.1; localCheckpoint per round makes it linear (same lesson
-    # as PageRank's edge-list checkpoint, graph.py above).  The
-    # materialized edge list is 2 ints x |E| — tiny next to the
-    # recomputation it removes.
-    e = e.localCheckpoint(eager=True)
+    # each round references e multiple times (degree agg + survivor
+    # probes), so the unrolled lineage re-evaluates the pair build
+    # 3^R times without a cut — measured 9.4 s warm at sf0.1;
+    # localCheckpoint per round makes it linear (same lesson as
+    # PageRank's edge-list checkpoint, graph.py above).
     from flink_streaming_example_spark.operators.dedup import (
         _release_checkpoint,
     )
 
-    for _ in range(_CORE_ROUNDS):
-        surv = (
-            e.groupBy("src")
+    def degrees(pairs_df):
+        return (
+            pairs_df.select(
+                F.explode(F.array(F.col("p1"), F.col("p2"))).alias("node")
+            )
+            .groupBy("node")
             .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") >= _CORE_K)
-            .select("src")
         )
+
+    for _ in range(_CORE_ROUNDS):
+        surv = degrees(e).filter(F.col("deg") >= _CORE_K).select("node")
         # survivor sets are NODE-sized (PageRank's broadcast
         # justification applies verbatim): broadcast both probes so a
         # round costs one shuffle (the degree agg), not three.  At a
@@ -291,10 +296,14 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         # hints — the semi-join shape is unchanged.
         superseded = e
         e = (
-            e.join(F.broadcast(surv), "src", "left_semi")
+            e.join(
+                F.broadcast(surv.withColumnRenamed("node", "p1")),
+                "p1",
+                "left_semi",
+            )
             .join(
-                F.broadcast(surv.withColumnRenamed("src", "dst")),
-                "dst",
+                F.broadcast(surv.withColumnRenamed("node", "p2")),
+                "p2",
                 "left_semi",
             )
             .localCheckpoint(eager=True)
@@ -307,8 +316,7 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = Window.orderBy(F.col("deg").desc(), F.col("node"))
     return (
-        e.groupBy(F.col("src").alias("node"))
-        .agg(F.count(F.lit(1)).alias("deg"))
+        degrees(e)
         .withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= _CORE_TOP)
     )
