@@ -6,12 +6,16 @@ no custom Spark type needed.  Feature extraction runs in mapInPandas
 (Arrow batches, vectorized pandas ops — never row-at-a-time Python);
 the output schema is declared explicitly so the plan is fully typed.
 
-The fixture has no image/audio files, so the binary payload is the
-UTF-8 encoding of documents.text, and the "decode" step for non-text
-mime types is a clearly-marked stub (_decode_payload raises
-NotImplementedError) — the Spark-side plumbing (schema, Arrow batch
-shape, UDF signature, partitioning) is real and oracle-verified via
-byte-level features DuckDB can recompute (octet_length, first byte).
+The fixture has no image/audio files, so media payloads are
+SYNTHESIZED deterministically from doc_id (closed-form invariants the
+DuckDB oracle recomputes) and then decoded by REAL pure-Python
+codecs: BMP pixel rows and WAV PCM16 (stdlib struct, r7), PNG (zlib
+inflate + scanline unfilter, r8), GIF (our own LZW, r8), and
+baseline JPEG (canonical Huffman + IDCT, r8 — lossy, so its oracle
+corpus is DC-only where the decode is exactly flat).  The ONLY
+remaining NotImplementedError is video (container demux + inter-frame
+codecs need ffmpeg); JPEG re-encode (forward DCT) is also not
+claimed — resize_images supports BMP/PNG/GIF.
 
 Scale notes (100 TB): binary payloads ride the same columnar scan as
 any column; keep per-batch memory bounded with
