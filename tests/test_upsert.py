@@ -273,3 +273,76 @@ def test_streaming_training_mix_composes_across_batches(spark, tmp_path):
     import shutil
 
     shutil.rmtree(shards, ignore_errors=True)
+
+
+def test_training_mix_recovery_exactly_once(spark, tmp_path):
+    """Kill-and-restart for the INCREMENTAL shard assembly: the first
+    run merges half the corpus into the upsert dedup state, then the
+    query object dies (only the checkpoint and the state table
+    remain).  The restarted stream sees the other half PLUS duplicate
+    copies of everything; exactly-once requires (a) the offset log to
+    skip committed files, (b) the idempotent latest-per-key merge to
+    absorb the replayed rows, so the final state — and the shard
+    report cut from it — equals the batch pipeline over the full
+    corpus."""
+    from pyspark.sql import Window
+
+    from flink_streaming_example_spark.operators.pipeline import (
+        _MIN_TOKENS,
+        split_cap_pack_report,
+    )
+    from flink_streaming_example_spark.streaming.upsert import (
+        training_mix_ingest,
+    )
+
+    src = tempfile.mkdtemp(prefix="mix_recov_src_")
+    ckpt = tempfile.mkdtemp(prefix="mix_recov_ckpt_")
+    table = str(tmp_path / "mix_recov_state")
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    h1 = docs.filter(F.col("doc_id") % 2 == 0)
+    h2 = docs.filter(F.col("doc_id") % 2 == 1)
+    h1.write.mode("overwrite").parquet(src)
+
+    def run():
+        sdf = (
+            spark.readStream.schema("doc_id long, lang string, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = upsert_sink(
+            training_mix_ingest(sdf),
+            table,
+            key_cols=["text_key"],
+            version_col="neg_doc_id",
+            checkpoint=ckpt,
+        ).trigger(availableNow=True).start()
+        q.awaitTermination()
+
+    run()
+    # crash; new files arrive: the other half plus duplicates of BOTH
+    h2.write.mode("append").parquet(src)
+    h1.write.mode("append").parquet(src)
+    h2.write.mode("append").parquet(src)
+    run()
+    got = split_cap_pack_report(
+        read_upsert_table(spark, table).select("doc_id", "lang", "n_tokens")
+    )
+    quality = docs.where(F.size(F.split(F.col("text"), " ")) >= _MIN_TOKENS)
+    w = Window.partitionBy(F.lower(F.trim(F.col("text")))).orderBy("doc_id")
+    want = split_cap_pack_report(
+        quality.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        )
+    )
+    result = compare_frames(got.toPandas(), want.toPandas())
+    assert result.ok, result.detail
+    import shutil
+
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
