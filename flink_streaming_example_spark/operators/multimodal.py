@@ -1040,8 +1040,9 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-chunk-only or single-filter decoder cannot match), GIF
     carrying real greedy-LZW streams through a pure-Python decoder
     whose table growth and KwKwK continuation paths are fuzz-proven
-    (tests/test_multimodal.py).  The honest stub surface is now
-    JPEG/video only."""
+    (tests/test_multimodal.py).  JPEG decodes for real too, as its
+    own key (q_jpeg_decode — lossy, so its oracle corpus is DC-only);
+    the honest stub surface is video only."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     media = docs.mapInPandas(
         synth_decodable_payloads, schema="doc_id long, payload binary"

@@ -459,3 +459,44 @@ def test_jpeg_decode_fails_loud():
     payload = enc[:sof_at] + color_sof + enc[sof_at + 2 + 11 :]
     with pytest.raises(ValueError, match="components=3"):
         multimodal.decode_jpeg_gray(payload)
+
+
+def test_jpeg_entropy_layer_randomized(monkeypatch):
+    """Randomized generalization of the fixed entropy round-trip: many
+    (DC, sparse-AC) configurations — including max-category DCs,
+    adjacent ACs, zigzag-63 tails and multi-ZRL runs — must reach the
+    IDCT as exactly the planted dequantized blocks."""
+    import random
+
+    rng = random.Random(23)
+    for trial in range(25):
+        nb = rng.randint(1, 6)
+        qdc = [[rng.randint(-1023, 1023) for _ in range(nb)]]
+        ac = {}
+        for b in range(nb):
+            for z in sorted(rng.sample(range(1, 64), rng.randint(0, 6))):
+                ac[(b, z)] = rng.choice(
+                    [1, -1, 3, -7, 127, -128, 255, -255]
+                )
+        captured = []
+        real_idct = multimodal._idct_block
+        monkeypatch.setattr(
+            multimodal,
+            "_idct_block",
+            lambda c: (captured.append(list(c)), real_idct(c))[1],
+        )
+        enc = multimodal.encode_jpeg_gray(qdc, nb, 1, ac_coeffs=ac)
+        multimodal.decode_jpeg_gray(enc)
+        monkeypatch.setattr(multimodal, "_idct_block", real_idct)
+        assert len(captured) == nb, trial
+        q = 16
+        for bi, block in enumerate(captured):
+            zz = [0] * 64
+            zz[0] = qdc[0][bi] * q
+            for (b, z), v in ac.items():
+                if b == bi:
+                    zz[z] = v * q
+            want = [0] * 64
+            for i, zi in enumerate(multimodal._ZIGZAG):
+                want[zi] = zz[i]
+            assert block == want, (trial, bi)
