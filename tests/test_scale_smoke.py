@@ -282,3 +282,61 @@ def test_asof_hot_key_2_5m_rows(spark):
     ).count()
     assert wrong == 0
     assert got.count() == n_ev
+
+
+def test_kcore_peel_1m_edges(spark):
+    """Iterate-to-shrink at volume: a 1,010,000-edge graph with an
+    analytically known core — 1,000 ring nodes each linked to its 10
+    successors (degree 20 before leaves) plus 1M pendant leaves (one
+    edge each, ~1,000 per ring node).  Peeling with K=15: every leaf
+    dies in round 1 (degree 1), ring nodes then hold exactly their 20
+    ring edges and all survive round 2 — so the fixed point is the
+    ring, bit-exactly.  Runs the same half-edge degrees/semi-join/
+    checkpoint shape as q_kcore."""
+    from flink_streaming_example_spark.operators.dedup import (
+        _release_checkpoint,
+    )
+
+    n_ring, n_leaf, K = 1_000, 1_000_000, 15
+    ring = spark.range(n_ring).selectExpr(
+        "id AS p1", "stack(10, " + ", ".join(
+            f"(id + {k}) % {n_ring}" for k in range(1, 11)
+        ) + ") AS p2"
+    )
+    # leaves get ids >= n_ring so they never collide with ring nodes
+    leaves = spark.range(n_leaf).select(
+        (F.col("id") % n_ring).alias("p1"),
+        (F.col("id") + n_ring).alias("p2"),
+    )
+    e = ring.unionByName(leaves).localCheckpoint(eager=True)
+
+    def degrees(pairs_df):
+        return (
+            pairs_df.select(
+                F.explode(F.array(F.col("p1"), F.col("p2"))).alias("node")
+            )
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+
+    for _ in range(3):
+        surv = degrees(e).filter(F.col("deg") >= K).select("node")
+        superseded = e
+        e = (
+            e.join(
+                F.broadcast(surv.withColumnRenamed("node", "p1")),
+                "p1",
+                "left_semi",
+            )
+            .join(
+                F.broadcast(surv.withColumnRenamed("node", "p2")),
+                "p2",
+                "left_semi",
+            )
+            .localCheckpoint(eager=True)
+        )
+        _release_checkpoint(superseded)
+    final = degrees(e).toPandas()
+    assert len(final) == n_ring
+    assert set(final["deg"]) == {20}
+    assert set(final["node"]) == set(range(n_ring))
