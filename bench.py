@@ -98,7 +98,7 @@ def write_artifacts(detail: dict, reps: int, detail_path: str) -> None:
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
     per_key_reps = [s.get("reps", 1) for s in detail.get("stats", {}).values()]
-    if reps >= 2 and (not per_key_reps or min(per_key_reps) >= 2):
+    if reps >= 2 and per_key_reps and min(per_key_reps) >= 2:
         with open(
             os.path.join(os.path.dirname(detail_path), "BENCH_MEDIANS.json"),
             "w",

@@ -320,3 +320,8 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= _CORE_TOP)
     )
+
+
+# keep the docstring's constant in sync with _CORE_TOP (it reads as a
+# plain string otherwise — round-8 advisor)
+q_kcore.__doc__ = q_kcore.__doc__.replace("{_CORE_TOP}", str(_CORE_TOP))

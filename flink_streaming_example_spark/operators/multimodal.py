@@ -229,9 +229,18 @@ def decode_png(payload: bytes) -> tuple[int, int, list[list[int]]]:
     expected = h * (w + 1)
     d = zlib.decompressobj()
     raw = d.decompress(bytes(idat), expected + 1)
-    if len(raw) != expected or not d.eof or d.unconsumed_tail:
+    # fail-loud contract covers BOTH directions of slack: unconsumed_tail
+    # (stream inflates past expected) and unused_data (trailing garbage
+    # bytes inside IDAT after the deflate stream's own EOF).
+    if (
+        len(raw) != expected
+        or not d.eof
+        or d.unconsumed_tail
+        or d.unused_data
+    ):
         raise ValueError(
-            f"PNG scanline stream {len(raw)}B != expected {expected}B"
+            f"PNG scanline stream {len(raw)}B != expected {expected}B "
+            f"(eof={d.eof}, trailing={len(d.unused_data)}B)"
         )
     rows: list[list[int]] = []
     prior = [0] * w

@@ -212,6 +212,14 @@ def split_cap_pack_report(survivors: DataFrame) -> DataFrame:
     )
 
 
+# keep the docstring's constants in sync (plain string otherwise —
+# round-8 advisor)
+split_cap_pack_report.__doc__ = (
+    split_cap_pack_report.__doc__.replace("{_MIX_CAP}", str(_MIX_CAP))
+    .replace("{_MIX_BUDGET}", str(_MIX_BUDGET))
+)
+
+
 @register("q_training_mix", oracle=_TRAINING_MIX_ORACLE, tags=("llm", "pipeline"))
 def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed shard assembly (block comment above): quality gate ->

@@ -107,9 +107,18 @@ def _latest_per_key(
     df: DataFrame, key_cols: list[str], version_col: str
 ) -> DataFrame:
     # provenance: batch rows (is_new=1) beat existing rows on version
-    # ties, so a replayed batch converges to the same table.
+    # ties, so a replayed batch converges to the same table.  Final
+    # tiebreak: a stable content hash over every data column, so two
+    # DISTINCT rows sharing (key, version, provenance) inside one batch
+    # still elect the same winner on replay — without it, row_number's
+    # winner would depend on partition-internal order and the
+    # "overwrite is idempotent" exactly-once claim would only hold for
+    # callers whose (key, version) happens to be unique per batch.
+    data_cols = [c for c in df.columns if c != "_is_new"]
     w = Window.partitionBy(*key_cols).orderBy(
-        F.col(version_col).desc(), F.col("_is_new").desc()
+        F.col(version_col).desc(),
+        F.col("_is_new").desc(),
+        F.xxhash64(*data_cols).asc(),
     )
     return (
         df.withColumn("_rn", F.row_number().over(w))

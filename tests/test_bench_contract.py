@@ -61,3 +61,13 @@ def test_write_artifacts_refuses_single_sample_stats(tmp_path):
     detail_path = str(tmp_path / "BENCH_DETAIL.json")
     bench.write_artifacts(_detail([3, 1]), 3, detail_path)
     assert not os.path.exists(str(tmp_path / "BENCH_MEDIANS.json"))
+
+
+def test_write_artifacts_refuses_empty_stats(tmp_path):
+    # round-8 advisor: a reps>=2 call whose detail carries NO per-key
+    # stats at all (degenerate run) must not mint a medians artifact —
+    # the old `not per_key_reps` short-circuit let it through.
+    detail_path = str(tmp_path / "BENCH_DETAIL.json")
+    bench.write_artifacts(_detail([]), 3, detail_path)
+    assert os.path.exists(detail_path)
+    assert not os.path.exists(str(tmp_path / "BENCH_MEDIANS.json"))

@@ -21,3 +21,15 @@ def test_pagerank_bipartite_flow_and_base_floor(spark, sf_dir):
     assert (pdf["rank"] >= _BASE).all()
     # ranking column is a contiguous 1..N permutation
     assert sorted(pdf.rn.tolist()) == list(range(1, _TOP + 1))
+
+
+def test_docstring_constants_interpolated():
+    # round-8 advisor: docstrings carried literal '{_CORE_TOP}' /
+    # '{_MIX_CAP}' placeholders (plain strings, never interpolated)
+    from flink_streaming_example_spark.operators import graph, pipeline
+
+    assert "{_CORE_TOP}" not in graph.q_kcore.__doc__
+    assert f"top-{graph._CORE_TOP}" in graph.q_kcore.__doc__
+    d = pipeline.split_cap_pack_report.__doc__
+    assert "{_MIX_CAP}" not in d and "{_MIX_BUDGET}" not in d
+    assert str(pipeline._MIX_CAP) in d and str(pipeline._MIX_BUDGET) in d

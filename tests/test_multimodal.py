@@ -500,3 +500,23 @@ def test_jpeg_entropy_layer_randomized(monkeypatch):
             for i, zi in enumerate(multimodal._ZIGZAG):
                 want[zi] = zz[i]
             assert block == want, (trial, bi)
+
+
+def test_png_trailing_garbage_after_deflate_eof():
+    # round-8 advisor: garbage bytes inside IDAT *after* the deflate
+    # stream's own EOF were silently tolerated (unused_data unchecked);
+    # the fail-loud contract must cover that direction too.  The junk
+    # rides in a second, correctly-CRC'd IDAT chunk so only the inflate
+    # layer can catch it.
+    import struct
+    import zlib
+
+    g = _grid(4, 4)
+    enc = multimodal.encode_png(g)
+    junk = b"\x00garbage-after-eof"
+    chunk = struct.pack(">I", len(junk)) + b"IDAT" + junk
+    chunk += struct.pack(">I", zlib.crc32(b"IDAT" + junk) & 0xFFFFFFFF)
+    iend_at = enc.index(b"IEND")
+    bad = enc[: iend_at - 4] + chunk + enc[iend_at - 4 :]
+    with pytest.raises(ValueError, match="trailing"):
+        multimodal.decode_png(bad)

@@ -346,3 +346,50 @@ def test_training_mix_recovery_exactly_once(spark, tmp_path):
 
     shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_upsert_same_key_version_tie_is_deterministic(spark, tmp_path):
+    # round-8 advisor (medium): two DISTINCT rows sharing (key, version)
+    # inside one micro-batch (both _is_new=1) must elect the SAME winner
+    # regardless of input row order / partitioning — the content-hash
+    # tiebreak in _latest_per_key decides, not partition-internal order.
+    # Without it the "overwrite is idempotent" exactly-once claim held
+    # only for callers whose (key, version) is unique per batch.
+    rows = [
+        (1, "payload-a", 10),
+        (1, "payload-b", 10),
+        (2, "payload-x", 5),
+        (2, "payload-y", 5),
+        (3, "only", 7),
+    ]
+    cols = ["user_id", "payload", "ts"]
+    t1, t2 = str(tmp_path / "t1"), str(tmp_path / "t2")
+    fwd = spark.createDataFrame(rows, cols).repartition(4)
+    rev = spark.createDataFrame(list(reversed(rows)), cols).repartition(2)
+    upsert_batch(spark, fwd, t1, ["user_id"], "ts")
+    upsert_batch(spark, rev, t2, ["user_id"], "ts")
+    a = (
+        read_upsert_table(spark, t1)
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        read_upsert_table(spark, t2)
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert len(a) == 3 and len(b) == 3
+    result = compare_frames(a, b)
+    assert result.ok, result.detail
+    # and replay of the same tied batch converges (idempotence)
+    upsert_batch(spark, rev, t1, ["user_id"], "ts")
+    c = (
+        read_upsert_table(spark, t1)
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    result = compare_frames(a, c)
+    assert result.ok, result.detail
