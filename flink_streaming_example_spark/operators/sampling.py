@@ -290,3 +290,85 @@ def q_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cross_source"
         ),
     )
+
+
+_IMPORTANCE_ORACLE = """
+WITH lc AS (
+  SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang
+), t AS (
+  SELECT CAST(SUM(n_lang) AS BIGINT) AS n_total,
+         CAST(COUNT(*) AS BIGINT) AS n_langs
+  FROM lc
+), thr AS (
+  SELECT lang, n_lang,
+         LEAST(1000, (1000 * n_total) // (n_langs * n_lang))
+           AS thr_permille
+  FROM lc, t
+)
+SELECT d.lang,
+  CAST(MIN(thr.n_lang) AS BIGINT) AS n_docs,
+  CAST(MIN(thr.thr_permille) AS BIGINT) AS thr_permille,
+  CAST(COALESCE(SUM(CASE WHEN
+        CAST(CONCAT('0x', substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+             AS BIGINT) % 1000 < thr.thr_permille
+        THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_selected
+FROM documents d JOIN thr ON d.lang = thr.lang
+GROUP BY d.lang
+"""
+
+
+@register(
+    "q_importance_sample",
+    oracle=_IMPORTANCE_ORACLE,
+    tags=("sampling", "llm"),
+)
+def q_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance resampling to rebalance the corpus's language mix
+    toward uniform (the DSIR recipe shape: weight = target share /
+    empirical share, acceptance by a content-hash coin — deterministic
+    where seeded Bernoulli sampling is not, SURVEY.md §2.9).  Each
+    language's acceptance threshold is the integer permille
+    min(1000, (1000 * n_total) DIV (n_langs * n_lang)): over-represented
+    languages (en) are downsampled toward the uniform share,
+    under-represented ones keep everything (weight capped at 1 — this
+    is subsampling, not replication).  Plan: one tiny per-language agg,
+    its grand total folded in and BROADCAST back onto the corpus (the
+    dimension side is vocabulary-sized at any corpus scale), then a
+    row-local md5 coin — no second full shuffle of the documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    lc = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    tot = lc.agg(
+        F.sum("n_lang").alias("n_total"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    thr = (
+        lc.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_lang",
+            F.least(
+                F.lit(1000).cast("long"),
+                F.expr("(1000 * n_total) DIV (n_langs * n_lang)"),
+            ).alias("thr_permille"),
+        )
+    )
+    coin = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 1000
+    )
+    return (
+        docs.join(F.broadcast(thr), "lang")
+        .select(
+            "lang",
+            "n_lang",
+            "thr_permille",
+            (coin < F.col("thr_permille")).cast("int").alias("sel"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.min("n_lang").cast("long").alias("n_docs"),
+            F.min("thr_permille").cast("long").alias("thr_permille"),
+            F.coalesce(F.sum("sel"), F.lit(0)).cast("long").alias("n_selected"),
+        )
+    )

@@ -1,0 +1,292 @@
+"""Time-series operators beyond the windows.py family: exponential
+decay smoothing, gap interpolation, and statistical anomaly flagging
+(SURVEY.md §2.9 spirit — the keyed ProcessFunction patterns a metrics
+pipeline runs, expressed as window/HOF plans, not Python loops).
+
+Cross-engine exactness strategy (the repo-wide playbook):
+
+- EWMA is float-hostile (an infinite product of alphas), so the
+  operator is defined as its exact truncated form: a binary-decay
+  weighted trailing average over the last 16 events, weight 2^-(lag+1)
+  relative to the newest.  Numerator (micro-scaled to BIGINT — a
+  decimal's pandas string repr differs between engines, an integer's
+  cannot) and denominator are emitted SEPARATELY — no division ever
+  happens, so both engines agree bit-for-bit.  Weights are powers of
+  two built with shiftleft on integers, never pow() on doubles.
+- Interpolation runs on micro-scaled integers (value -> DECIMAL(30,6)
+  -> x1e6 -> BIGINT, exact by construction) and the interpolated value
+  is the integer floor form (pv*(n-k) + nv*k) DIV n — integer division
+  agrees across engines on non-negative operands.
+- The z-score flag is algebraically cleared of division and sqrt:
+  |x - mu| > 3*sigma  <=>  (n*x - s1)^2 > 9*(n*s2 - s1^2), all in
+  exact wide-integer arithmetic (Spark DECIMAL(38,0), DuckDB HUGEINT).
+
+Scale shape: every operator is one-to-two shuffles keyed by user_id
+(window + regroup on the SAME key, so the exchange is reused), the
+interpolation grid is bounded by span/step per key, and nothing is
+collected to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_streaming_example_spark.plans.registry import register
+from flink_streaming_example_spark.sources.tables import load_table
+
+_DEC = "decimal(30,6)"
+
+# trailing-window span for the binary-decay EWMA (newest event weight
+# 2^15, oldest surviving weight 2^0; denominator 2^16 - 2^(16-m))
+_EWMA_SPAN = 16
+
+_EWMA_ORACLE = f"""
+WITH v AS (
+  SELECT user_id, event_id,
+         CAST(CAST(value AS STRING) AS DECIMAL(30,6)) AS dv,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events
+)
+SELECT a.user_id, a.event_id,
+  CAST(SUM(b.dv * (1::BIGINT << ({_EWMA_SPAN} - 1 - (a.rn - b.rn))))
+       * 1000000 AS BIGINT) AS ewma_num_micro,
+  CAST((1::BIGINT << {_EWMA_SPAN})
+       - (1::BIGINT << ({_EWMA_SPAN} - COUNT(*))) AS BIGINT) AS ewma_den
+FROM v a JOIN v b
+  ON a.user_id = b.user_id
+ AND b.rn BETWEEN a.rn - {_EWMA_SPAN - 1} AND a.rn
+GROUP BY a.user_id, a.event_id
+"""
+
+
+@register("q_ewma", oracle=_EWMA_ORACLE, tags=("timeseries", "window"))
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key exponential smoothing (Flink: keyed ProcessFunction with
+    a ValueState accumulator), as its exact truncated form: binary-
+    decay weighted average over each user's trailing 16 events by
+    (ts, event_id).  One window shuffle keyed by user_id; the weighted
+    sum is a whole-stage-codegen higher-order fold over the frame's
+    collect_list (deterministic frame order), weights are shiftleft
+    powers of two, and num/den are emitted separately so no engine
+    ever divides (module docstring).  The oracle replays the same
+    frame as a banded rn self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_EWMA_SPAN - 1), 0)
+    )
+    arr = F.collect_list(F.col("value").cast(_DEC)).over(w)
+    return (
+        ev.select("user_id", "event_id", arr.alias("arr"))
+        .select(
+            "user_id",
+            "event_id",
+            F.expr(
+                f"""CAST(aggregate(
+                  zip_with(arr, sequence(1, size(arr)),
+                    (x, i) -> x * shiftleft(CAST(1 AS BIGINT),
+                                            {_EWMA_SPAN} - size(arr) + i - 1)),
+                  CAST(0 AS DECIMAL(38,6)),
+                  (acc, x) -> acc + CAST(x AS DECIMAL(38,6))
+                ) * 1000000 AS BIGINT)"""
+            ).alias("ewma_num_micro"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), {_EWMA_SPAN}) - "
+                f"shiftleft(CAST(1 AS BIGINT), {_EWMA_SPAN} - size(arr))"
+            ).alias("ewma_den"),
+        )
+    )
+
+
+# 6-hour buckets over the fixture's 30-day span: ~120 grid points per
+# user, sparse enough (~66 events/user) that interpolation does real
+# work.  The grid is generated per key from its own [min, max] bucket
+# span — bounded by span/step, never a global cross join.
+_STEP_SEC = 6 * 3600
+
+_INTERP_ORACLE = f"""
+WITH obs AS (
+  SELECT user_id,
+         time_bucket(INTERVAL '{_STEP_SEC} seconds', CAST(ts AS TIMESTAMP))
+           AS bstart,
+         CAST(SUM(CAST(CAST(CAST(value AS STRING) AS DECIMAL(30,6))
+                       * 1000000 AS BIGINT)) AS BIGINT) AS obs_micro
+  FROM events
+  GROUP BY 1, 2
+), grid AS (
+  SELECT user_id,
+         unnest(generate_series(MIN(bstart), MAX(bstart),
+                                INTERVAL '{_STEP_SEC} seconds')) AS bstart
+  FROM obs
+  GROUP BY user_id
+), joined AS (
+  SELECT g.user_id, g.bstart, o.obs_micro,
+    last_value(o.obs_micro IGNORE NULLS) OVER (
+      PARTITION BY g.user_id ORDER BY g.bstart
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    last_value(CASE WHEN o.obs_micro IS NOT NULL THEN g.bstart END
+               IGNORE NULLS) OVER (
+      PARTITION BY g.user_id ORDER BY g.bstart
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+    first_value(o.obs_micro IGNORE NULLS) OVER (
+      PARTITION BY g.user_id ORDER BY g.bstart
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN o.obs_micro IS NOT NULL THEN g.bstart END
+                IGNORE NULLS) OVER (
+      PARTITION BY g.user_id ORDER BY g.bstart
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM grid g LEFT JOIN obs o
+    ON g.user_id = o.user_id AND g.bstart = o.bstart
+)
+SELECT user_id, bstart,
+  CAST(CASE WHEN obs_micro IS NOT NULL THEN obs_micro
+       ELSE (pv * ((CAST(epoch(nt) AS BIGINT) - CAST(epoch(bstart) AS BIGINT))
+                   // {_STEP_SEC})
+             + nv * ((CAST(epoch(bstart) AS BIGINT) - CAST(epoch(pt) AS BIGINT))
+                     // {_STEP_SEC}))
+            // ((CAST(epoch(nt) AS BIGINT) - CAST(epoch(pt) AS BIGINT))
+                // {_STEP_SEC})
+       END AS BIGINT) AS val_micro,
+  CASE WHEN obs_micro IS NOT NULL THEN 'obs' ELSE 'interp' END AS src
+FROM joined
+"""
+
+
+@register("q_interpolate", oracle=_INTERP_ORACLE, tags=("timeseries",))
+def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap fill by LINEAR INTERPOLATION (q_gap_fill's step-function
+    sibling): per user, 6-hour buckets from the key's first to last
+    observation; missing buckets get the integer-exact interpolation
+    (pv*(n-k) + nv*k) DIV n between their flanking observations
+    (micro-scaled — module docstring).  Plan: bucket agg, per-key
+    min/max, an in-row sequence() explode for the grid (bounded by
+    span/step), one left join and two framed windows — all keyed by
+    user_id, nothing driver-side."""
+    ev = load_table(spark, sf_dir, "events")
+    vi = (F.col("value").cast(_DEC) * 1000000).cast("long")
+    obs = ev.groupBy(
+        "user_id", F.window("ts", f"{_STEP_SEC} seconds")["start"].alias("bstart")
+    ).agg(F.sum(vi).alias("obs_micro"))
+    grid = (
+        obs.groupBy("user_id")
+        .agg(F.min("bstart").alias("mn"), F.max("bstart").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("mn", "mx", F.expr(f"interval {_STEP_SEC} seconds"))
+            ).alias("bstart"),
+        )
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("bstart")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("bstart")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    j = (
+        grid.join(obs, ["user_id", "bstart"], "left")
+        .withColumn("pv", F.last("obs_micro", ignorenulls=True).over(wp))
+        .withColumn(
+            "pt",
+            F.last(
+                F.when(F.col("obs_micro").isNotNull(), F.col("bstart")),
+                ignorenulls=True,
+            ).over(wp),
+        )
+        .withColumn("nv", F.first("obs_micro", ignorenulls=True).over(wn))
+        .withColumn(
+            "nt",
+            F.first(
+                F.when(F.col("obs_micro").isNotNull(), F.col("bstart")),
+                ignorenulls=True,
+            ).over(wn),
+        )
+    )
+    interp = F.expr(
+        f"(pv * ((unix_timestamp(nt) - unix_timestamp(bstart)) DIV {_STEP_SEC})"
+        f" + nv * ((unix_timestamp(bstart) - unix_timestamp(pt)) DIV {_STEP_SEC}))"
+        f" DIV ((unix_timestamp(nt) - unix_timestamp(pt)) DIV {_STEP_SEC})"
+    )
+    return j.select(
+        "user_id",
+        "bstart",
+        F.when(F.col("obs_micro").isNotNull(), F.col("obs_micro"))
+        .otherwise(interp)
+        .cast("long")
+        .alias("val_micro"),
+        F.when(F.col("obs_micro").isNotNull(), F.lit("obs"))
+        .otherwise(F.lit("interp"))
+        .alias("src"),
+    )
+
+
+_ANOMALY_ORACLE = """
+WITH v AS (
+  SELECT user_id,
+         CAST(CAST(CAST(CAST(value AS STRING) AS DECIMAL(30,6)) * 1000000
+              AS BIGINT) AS HUGEINT) AS vi
+  FROM events
+), st AS (
+  SELECT user_id, vi,
+         COUNT(*) OVER w AS n,
+         SUM(vi) OVER w AS s1,
+         SUM(vi * vi) OVER w AS s2
+  FROM v
+  WINDOW w AS (PARTITION BY user_id)
+)
+SELECT user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(COALESCE(SUM(CASE WHEN (n * vi - s1) * (n * vi - s1)
+                              > 9 * (n * s2 - s1 * s1)
+                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_anomalies
+FROM st
+GROUP BY user_id
+"""
+
+
+@register("q_anomaly_zscore", oracle=_ANOMALY_ORACLE, tags=("timeseries",))
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical outlier flagging per key — |x - mu| > 3*sigma
+    against the key's own population, cleared of division/sqrt into
+    exact wide-integer arithmetic (module docstring; Spark side
+    DECIMAL(38,0), oracle side HUGEINT — only the BIGINT counts ever
+    leave the engines).  Plan: one unbounded window keyed by user_id
+    for (n, sum, sum-of-squares), then a regroup on the SAME key —
+    the exchange is reused, so this is effectively a single shuffle.
+    The fixture's value distribution is exponential-ish (sigma ~ mean),
+    so ~1% of events trip the 3-sigma rule — the key asserts real
+    work, not a vacuous zero column."""
+    ev = load_table(spark, sf_dir, "events")
+    vi = (
+        (F.col("value").cast(_DEC) * 1000000)
+        .cast("long")
+        .cast("decimal(38,0)")
+    )
+    w = Window.partitionBy("user_id")
+    st = ev.select(
+        "user_id",
+        vi.alias("vi"),
+    ).select(
+        "user_id",
+        "vi",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("vi").over(w).alias("s1"),
+        F.sum(F.col("vi") * F.col("vi")).over(w).alias("s2"),
+    )
+    dev = F.col("n") * F.col("vi") - F.col("s1")
+    flag = (dev * dev) > F.lit(9) * (
+        F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    )
+    return st.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.coalesce(
+            F.sum(F.when(flag, 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_anomalies"),
+    )
