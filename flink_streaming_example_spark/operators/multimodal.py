@@ -12,10 +12,11 @@ DuckDB oracle recomputes) and then decoded by REAL pure-Python
 codecs: BMP pixel rows and WAV PCM16 (stdlib struct, r7), PNG (zlib
 inflate + scanline unfilter, r8), GIF (our own LZW, r8), and
 baseline JPEG (canonical Huffman + IDCT, r8 — lossy, so its oracle
-corpus is DC-only where the decode is exactly flat).  The ONLY
-remaining NotImplementedError is video (container demux + inter-frame
-codecs need ffmpeg); JPEG re-encode (forward DCT) is also not
-claimed — resize_images supports BMP/PNG/GIF.
+corpus is DC-only where the decode is exactly flat), and uncompressed
+AVI video (RIFF demux + DIB frames + idx1 cross-check, r9).  The ONLY
+remaining NotImplementedError is COMPRESSED video (inter-frame codecs
+need ffmpeg); JPEG re-encode (forward DCT) is also not claimed —
+resize_images supports BMP/PNG/GIF.
 
 Scale notes (100 TB): binary payloads ride the same columnar scan as
 any column; keep per-batch memory bounded with
@@ -47,8 +48,10 @@ def _decode_payload(payload: bytes, mime: str) -> bytes:
     text/plain passes through; BMP 24-bit pixel rows and WAV PCM16
     decode for real with stdlib struct (round 7); PNG (zlib inflate +
     unfilter), GIF (pure-Python LZW) and baseline JPEG (Huffman +
-    IDCT) decode for real in round 8.  Only VIDEO remains stubbed.
-    The surrounding Spark plumbing is identical for any modality.
+    IDCT) decode for real in round 8; uncompressed AVI demuxes for
+    real in round 9 (concatenated sampled-frame pixel bytes).  Only
+    COMPRESSED video remains stubbed.  The surrounding Spark plumbing
+    is identical for any modality.
     """
     if mime == "text/plain":
         return payload
@@ -69,8 +72,13 @@ def _decode_payload(payload: bytes, mime: str) -> bytes:
         import struct
 
         return struct.pack(f"<{len(samples)}h", *samples)
+    if mime == "video/x-msvideo":
+        _w, _h, frames = decode_avi(payload)
+        return bytes(
+            v for g in frames[::_VIDEO_SAMPLE_EVERY] for row in g for v in row
+        )
     raise NotImplementedError(
-        f"no decoder for mime type {mime!r} (video needs ffmpeg)"
+        f"no decoder for mime type {mime!r} (compressed video needs ffmpeg)"
     )
 
 
@@ -99,8 +107,10 @@ _FRAMES_SCHEMA = "doc_id long, frame_idx int, frame binary"
 # samples need zero external codecs — stdlib struct only — PNG needs
 # only stdlib zlib (IDAT inflate + per-scanline unfilter), and GIF's
 # LZW is implemented here in pure Python (round 8).  Decoders fail
-# LOUD (ValueError) on anything truncated or off-spec; only JPEG (a
-# real DCT codec) and video remain behind NotImplementedError.
+# LOUD (ValueError) on anything truncated or off-spec; JPEG decodes
+# for real too (round 8), and uncompressed AVI demuxes for real
+# (round 9) — only COMPRESSED video remains behind
+# NotImplementedError.
 
 
 def decode_bmp(payload: bytes) -> tuple[int, int, list[list[int]]]:
@@ -625,18 +635,35 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
 
 def sample_frames(df: DataFrame, every_n: int) -> DataFrame:
     """Video frame sampling -> one row per sampled frame
-    (_FRAMES_SCHEMA).  Same contract as resize_images: schema,
-    batching and the 1->N row expansion are real; the decoder
-    (ffmpeg) is stubbed."""
+    (_FRAMES_SCHEMA, frame = row-major grayscale pixel bytes).
+    Uncompressed AVI demuxes for REAL (decode_avi, round 9) — the
+    1->N row expansion, batching and sampling rule all execute;
+    compressed containers (mp4/h264) still need ffmpeg and fail
+    loud."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if len(pdf):
-                raise NotImplementedError(
-                    "video frame extraction requires ffmpeg (absent)"
-                )
+            ids, idxs, blobs = [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(p)
+                if p[:4] != b"RIFF" or p[8:12] != b"AVI ":
+                    raise NotImplementedError(
+                        "compressed video frame extraction requires "
+                        "ffmpeg (absent); only uncompressed AVI demuxes"
+                    )
+                _w, _h, frames = decode_avi(p)
+                for fi in range(0, len(frames), every_n):
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    blobs.append(
+                        bytes(v for row in frames[fi] for v in row)
+                    )
             yield pd.DataFrame(
-                {"doc_id": [], "frame_idx": [], "frame": []}
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": blobs,
+                }
             )
 
     return df.mapInPandas(kernel, schema=_FRAMES_SCHEMA)
@@ -1050,8 +1077,9 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     carrying real greedy-LZW streams through a pure-Python decoder
     whose table growth and KwKwK continuation paths are fuzz-proven
     (tests/test_multimodal.py).  JPEG decodes for real too, as its
-    own key (q_jpeg_decode — lossy, so its oracle corpus is DC-only);
-    the honest stub surface is video only."""
+    own key (q_jpeg_decode — lossy, so its oracle corpus is DC-only),
+    and uncompressed AVI demuxes as its own key (q_video_decode,
+    round 9); the honest stub surface is compressed video only."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     media = docs.mapInPandas(
         synth_decodable_payloads, schema="doc_id long, payload binary"
@@ -1107,8 +1135,9 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # closed form.  The general path (AC coefficients, the full IDCT) is
 # pinned by unit tests: the entropy layer round-trips coefficient
 # blocks bit-exactly, and the IDCT is checked on analytic cases.
-# Video remains the ONLY stubbed modality (a container demuxer plus
-# inter-frame codecs is out of scope without ffmpeg).
+# Compressed video remains the ONLY stubbed modality (inter-frame
+# codecs are out of scope without ffmpeg; the uncompressed-AVI
+# container path demuxes for real — decode_avi, round 9).
 
 _ZIGZAG = [
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -1533,8 +1562,9 @@ def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     IDCT, clamp.  The synthesized corpus is DC-only so the lossy
     codec's output is exactly closed-form (synth_jpeg_payloads); the
     general AC path is pinned by entropy-layer round-trip and
-    analytic-IDCT unit tests (tests/test_multimodal.py).  With this,
-    the stub surface of the multimodal family is VIDEO ONLY."""
+    analytic-IDCT unit tests (tests/test_multimodal.py).  With this
+    and q_video_decode (round 9), the stub surface of the multimodal
+    family is COMPRESSED VIDEO ONLY."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     media = docs.mapInPandas(
         synth_jpeg_payloads, schema="doc_id long, payload binary"
@@ -1564,3 +1594,327 @@ def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(
         kernel, schema="doc_id long, n_units long, checksum long"
     )
+
+
+# ---- AVI video codec (round 9: uncompressed DIB frames, stdlib struct)
+
+
+def encode_avi(frames: list[list[list[int]]], fps: int = 10) -> bytes:
+    """Encode grayscale frame grids as an uncompressed AVI: RIFF('AVI ')
+    with a real hdrl (avih + strl(strh 'vids'/'DIB ' + strf
+    BITMAPINFOHEADER biBitCount=24), a JUNK chunk before movi, '00db'
+    DIB frames (bottom-up BGR rows, stride padded to 4 bytes with 0xAB
+    so stride-ignoring readers decode garbage), and a trailing idx1
+    whose entry offsets are relative to the 'movi' fourcc position —
+    the same adversarial construction discipline as encode_bmp/png/gif.
+    """
+    import struct
+
+    h = len(frames[0])
+    w = len(frames[0][0])
+    stride = (w * 3 + 3) // 4 * 4
+    dibs = []
+    for g in frames:
+        if len(g) != h or any(len(row) != w for row in g):
+            raise ValueError("ragged frame list")
+        body = bytearray()
+        for y in range(h - 1, -1, -1):  # bottom-up rows
+            line = bytearray()
+            for x in range(w):
+                v = g[y][x]
+                line += bytes((v, v, v))  # B == G == R (grayscale)
+            line += b"\xab" * (stride - len(line))
+            body += line
+        dibs.append(bytes(body))
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) % 2 else b""
+        )
+
+    def lst(fourcc: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + body)
+
+    frame_bytes = stride * h
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps,            # dwMicroSecPerFrame
+        frame_bytes * fps,           # dwMaxBytesPerSec
+        0,                           # dwPaddingGranularity
+        0x10,                        # dwFlags: AVIF_HASINDEX
+        len(frames),                 # dwTotalFrames
+        0,                           # dwInitialFrames
+        1,                           # dwStreams
+        frame_bytes,                 # dwSuggestedBufferSize
+        w,
+        h,
+        0, 0, 0, 0,
+    )
+    strh = (
+        b"vids"
+        + b"DIB "
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0,
+                      len(frames), frame_bytes, 0, 0)
+        + struct.pack("<4h", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 2835, 2835, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    junk = chunk(b"JUNK", b"\xab" * 6)
+    # movi body with idx1 offsets relative to the 'movi' fourcc start
+    movi_body = bytearray()
+    offsets = []
+    for dib in dibs:
+        offsets.append(4 + len(movi_body))  # 4 = the 'movi' fourcc itself
+        movi_body += chunk(b"00db", dib)
+    movi = lst(b"movi", bytes(movi_body))
+    idx1 = chunk(
+        b"idx1",
+        b"".join(
+            b"00db" + struct.pack("<III", 0x10, off, len(dib))
+            for off, dib in zip(offsets, dibs)
+        ),
+    )
+    riff_body = b"AVI " + hdrl + junk + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi(payload: bytes) -> tuple[int, int, list[list[list[int]]]]:
+    """Decode an uncompressed AVI into (w, h, frames) with a strict
+    RIFF walk: verifies the avih dimensions and frame count against
+    what the movi list actually holds, requires biCompression=0 /
+    biBitCount=24, checks every idx1 entry's offset points at its
+    '00db' chunk (an index that lies is corruption, not decoration),
+    reads bottom-up BGR rows honoring the 4-byte stride, and fails
+    loud on non-grayscale pixels or truncation.  Unknown chunks (JUNK
+    etc.) are skipped by declared size with RIFF odd-padding.
+    Compressed video codecs (mp4/h264 etc.) remain env-stubbed —
+    they need a codec library; the CONTAINER path here is real."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI container")
+    (riff_size,) = struct.unpack("<I", payload[4:8])
+    if 8 + riff_size > len(payload):
+        raise ValueError("truncated RIFF payload")
+    avih = None
+    strf = None
+    movi_at = None
+    frames_raw: list[tuple[int, bytes]] = []  # (offset rel. movi fourcc, dib)
+    idx1 = None
+    pos = 12
+    while pos + 8 <= 8 + riff_size:
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"truncated AVI chunk {cid!r}")
+        if cid == b"LIST":
+            fourcc = body[:4]
+            if fourcc == b"hdrl":
+                # nested walk: avih, then LIST strl -> strh/strf
+                ip = 4
+                while ip + 8 <= size:
+                    icid = body[ip : ip + 4]
+                    (isize,) = struct.unpack("<I", body[ip + 4 : ip + 8])
+                    ibody = body[ip + 8 : ip + 8 + isize]
+                    if len(ibody) < isize:
+                        raise ValueError("truncated hdrl chunk")
+                    if icid == b"avih":
+                        avih = struct.unpack("<IIIIIIIIII4I", ibody[:56])
+                    elif icid == b"LIST" and ibody[:4] == b"strl":
+                        sp = 4
+                        while sp + 8 <= isize:
+                            scid = ibody[sp : sp + 4]
+                            (ssize,) = struct.unpack(
+                                "<I", ibody[sp + 4 : sp + 8]
+                            )
+                            sbody = ibody[sp + 8 : sp + 8 + ssize]
+                            if scid == b"strh" and sbody[:4] == b"vids":
+                                pass  # stream header consistency via strf
+                            elif scid == b"strf":
+                                strf = struct.unpack(
+                                    "<IiiHHIIiiII", sbody[:40]
+                                )
+                            sp += 8 + ssize + (ssize % 2)
+                    ip += 8 + isize + (isize % 2)
+            elif fourcc == b"movi":
+                movi_at = pos + 8  # position of the 'movi' fourcc
+                mp = 4
+                while mp + 8 <= size:
+                    mcid = body[mp : mp + 4]
+                    (msize,) = struct.unpack("<I", body[mp + 4 : mp + 8])
+                    mbody = body[mp + 8 : mp + 8 + msize]
+                    if len(mbody) < msize:
+                        raise ValueError("truncated movi chunk")
+                    if mcid == b"00db":
+                        frames_raw.append((mp, mbody))
+                    mp += 8 + msize + (msize % 2)
+        elif cid == b"idx1":
+            idx1 = body
+        pos += 8 + size + (size % 2)
+    if avih is None or strf is None or movi_at is None:
+        raise ValueError("AVI missing avih/strf/movi")
+    w, h, n_frames = avih[8], avih[9], avih[4]
+    bi_w, bi_h, bit_count, compression = strf[1], strf[2], strf[4], strf[5]
+    if (bi_w, bi_h) != (w, h):
+        raise ValueError(
+            f"strf dims ({bi_w}x{bi_h}) disagree with avih ({w}x{h})"
+        )
+    if compression != 0 or bit_count != 24:
+        raise NotImplementedError(
+            f"compressed AVI stream (biCompression={compression} "
+            f"biBitCount={bit_count}) needs a codec library"
+        )
+    if len(frames_raw) != n_frames:
+        raise ValueError(
+            f"avih declares {n_frames} frames, movi holds {len(frames_raw)}"
+        )
+    if idx1 is not None:
+        if len(idx1) != 16 * n_frames:
+            raise ValueError("idx1 entry count disagrees with frame count")
+        for i, (off, dib) in enumerate(frames_raw):
+            ckid = idx1[16 * i : 16 * i + 4]
+            flags, ioff, isize = struct.unpack(
+                "<III", idx1[16 * i + 4 : 16 * i + 16]
+            )
+            if ckid != b"00db" or ioff != off or isize != len(dib):
+                raise ValueError(
+                    f"idx1 entry {i} lies: offset {ioff} != {off} "
+                    f"or size {isize} != {len(dib)}"
+                )
+    stride = (w * 3 + 3) // 4 * 4
+    frames = []
+    for _off, dib in frames_raw:
+        if len(dib) != stride * h:
+            raise ValueError(
+                f"frame size {len(dib)} != stride*h {stride * h}"
+            )
+        grid = [[0] * w for _ in range(h)]
+        for yy in range(h):
+            row = dib[yy * stride : yy * stride + w * 3]
+            y = h - 1 - yy  # bottom-up
+            for x in range(w):
+                b, g, r = row[3 * x], row[3 * x + 1], row[3 * x + 2]
+                if b != g or g != r:
+                    raise ValueError("non-grayscale AVI pixel")
+                grid[y][x] = b
+        frames.append(grid)
+    return w, h, frames
+
+
+def synth_video_payloads(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Deterministic uncompressed AVI payloads from doc_id: w = d%12+4,
+    h = (d*7)%12+4, n_frames = d%6+2, pixel v(x,y,f) = (3x + 5y + 11f
+    + d) mod 256 — frame-dependent so frame ORDER and the every-Nth
+    sampling rule are both visible in the checksum.  The container is
+    adversarial per encode_avi: bottom-up rows, 0xAB stride padding, a
+    JUNK chunk before movi, and an idx1 the decoder cross-checks."""
+    for pdf in batches:
+        payloads = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            w, h, nf = d % 12 + 4, (d * 7) % 12 + 4, d % 6 + 2
+            frames = [
+                [
+                    [(3 * x + 5 * y + 11 * f + d) % 256 for x in range(w)]
+                    for y in range(h)
+                ]
+                for f in range(nf)
+            ]
+            payloads.append(encode_avi(frames))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+_VIDEO_SAMPLE_EVERY = 2
+
+
+def video_decode(df: DataFrame, every_n: int = _VIDEO_SAMPLE_EVERY) -> DataFrame:
+    """(doc_id, payload) -> decoded-video invariants, Arrow-batched:
+    full container decode, then EVERY-NTH frame sampling (the
+    frame-sample primitive of a video training pipeline) and an
+    order-sensitive position-weighted checksum over the sampled
+    frames' pixels — flipped rows, mis-strided pixels, wrong frame
+    order, or an off-by-one sampling rule all change the value."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            nfs, units, sums = [], [], []
+            for p in pdf["payload"]:
+                w, h, frames = decode_avi(bytes(p))
+                sampled = frames[::every_n]
+                nfs.append(len(frames))
+                units.append(len(sampled) * w * h)
+                acc, i = 0, 0
+                for g in sampled:
+                    for y in range(h):
+                        for x in range(w):
+                            i += 1
+                            acc += g[y][x] * i
+                sums.append(acc)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_frames": pd.Series(nfs, dtype="int32"),
+                    "n_units": pd.Series(units, dtype="int64"),
+                    "checksum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(
+        kernel,
+        schema="doc_id long, n_frames int, n_units long, checksum long",
+    )
+
+
+_VIDEO_DECODE_ORACLE = """
+WITH p AS (
+  SELECT doc_id,
+         doc_id % 12 + 4 AS w,
+         (doc_id * 7) % 12 + 4 AS h,
+         doc_id % 6 + 2 AS nf,
+         (doc_id % 6 + 2 + 1) // 2 AS ns
+  FROM documents
+)
+SELECT doc_id,
+  CAST(nf AS INT) AS n_frames,
+  CAST(ns * w * h AS BIGINT) AS n_units,
+  CAST(list_sum(list_transform(range(0, ns * w * h),
+    i -> ((3 * (i % w)
+           + 5 * ((i % (w * h)) // w)
+           + 11 * ((i // (w * h)) * 2)
+           + doc_id) % 256) * (i + 1))) AS BIGINT) AS checksum
+FROM p
+"""
+
+
+@register(
+    "q_video_decode",
+    oracle=_VIDEO_DECODE_ORACLE,
+    tags=("multimodal", "python"),
+)
+def q_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5d (round 9): REAL video-container decode + frame sampling —
+    uncompressed AVI (RIFF) via stdlib struct: strict hdrl/avih/strf
+    walk, '00db' DIB frames read bottom-up honoring the 4-byte row
+    stride, idx1 offsets cross-checked against the movi chunks they
+    claim to index, then every-2nd-frame sampling and a position-
+    weighted checksum the DuckDB oracle recomputes in closed form
+    from doc_id.  The synthesized corpus is adversarial per
+    encode_avi (JUNK before movi, 0xAB stride padding, frame-varying
+    pixels so sampling and order bugs can't cancel).  With this,
+    every uncompressed media family (BMP/WAV/PNG/GIF/JPEG-baseline/
+    AVI) decodes for real; the honest stub surface is compressed
+    video codecs (mp4/h264) only."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = docs.mapInPandas(
+        synth_video_payloads, schema="doc_id long, payload binary"
+    )
+    return video_decode(media)

@@ -520,3 +520,102 @@ def test_png_trailing_garbage_after_deflate_eof():
     bad = enc[: iend_at - 4] + chunk + enc[iend_at - 4 :]
     with pytest.raises(ValueError, match="trailing"):
         multimodal.decode_png(bad)
+
+
+# ---- AVI codec (round 9: uncompressed RIFF video demux) ----
+
+
+def _avi_frames(d: int):
+    w, h, nf = d % 12 + 4, (d * 7) % 12 + 4, d % 6 + 2
+    return [
+        [[(3 * x + 5 * y + 11 * f + d) % 256 for x in range(w)] for y in range(h)]
+        for f in range(nf)
+    ]
+
+
+def test_avi_roundtrip_shapes():
+    for d in (0, 1, 5, 11, 17, 23):
+        frames = _avi_frames(d)
+        w, h, dec = multimodal.decode_avi(multimodal.encode_avi(frames))
+        assert (w, h) == (len(frames[0][0]), len(frames[0]))
+        assert dec == frames, f"d={d}"
+
+
+def test_avi_decode_fails_loud():
+    import struct
+
+    enc = multimodal.encode_avi(_avi_frames(9))
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        multimodal.decode_avi(b"RIFX" + enc[4:])
+    # avih declares one frame more than movi holds
+    bad = bytearray(enc)
+    (n,) = struct.unpack("<I", enc[48:52])  # dwTotalFrames in avih body
+    bad[48:52] = struct.pack("<I", n + 1)
+    with pytest.raises(ValueError, match="declares"):
+        multimodal.decode_avi(bytes(bad))
+    # an idx1 entry whose offset lies
+    idx_at = enc.index(b"idx1")
+    bad = bytearray(enc)
+    (off,) = struct.unpack("<I", enc[idx_at + 16 : idx_at + 20])
+    bad[idx_at + 16 : idx_at + 20] = struct.pack("<I", off + 2)
+    with pytest.raises(ValueError, match="idx1 entry 0 lies"):
+        multimodal.decode_avi(bytes(bad))
+    # a non-grayscale pixel (B != G)
+    db_at = enc.index(b"00db")
+    bad = bytearray(enc)
+    bad[db_at + 8] = (bad[db_at + 8] + 1) % 256
+    with pytest.raises(ValueError, match="non-grayscale"):
+        multimodal.decode_avi(bytes(bad))
+    # compressed stream marker -> honest stub, not a wrong decode
+    strf_at = enc.index(b"strf")
+    bad = bytearray(enc)
+    bad[strf_at + 8 + 16 : strf_at + 8 + 20] = struct.pack("<I", 0x34363248)
+    with pytest.raises(NotImplementedError, match="codec"):
+        multimodal.decode_avi(bytes(bad))
+    # truncation
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_avi(enc[: len(enc) // 2])
+
+
+def test_avi_stride_padding_is_honored():
+    # w=5 -> stride 16 with 1 pad byte per row of 0xAB; a decoder that
+    # reads rows at w*3 would consume the pad bytes as pixels
+    frames = [[[(x * 7 + y * 3) % 256 for x in range(5)] for y in range(6)]]
+    enc = multimodal.encode_avi(frames)
+    assert b"\xab" in enc
+    _w, _h, dec = multimodal.decode_avi(enc)
+    assert dec == frames
+
+
+def test_sample_frames_real_for_avi(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(6)
+    media = docs.select("doc_id").mapInPandas(
+        multimodal.synth_video_payloads, schema="doc_id long, payload binary"
+    )
+    rows = multimodal.sample_frames(media, 2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    for d, idxs in by_doc.items():
+        nf = d % 6 + 2
+        assert sorted(idxs) == list(range(0, nf, 2)), (d, idxs)
+        w, h = d % 12 + 4, (d * 7) % 12 + 4
+    # frame payload bytes are the top-down row-major pixels
+    r0 = next(r for r in rows if r["frame_idx"] == 0)
+    d = r0["doc_id"]
+    w, h = d % 12 + 4, (d * 7) % 12 + 4
+    expect = bytes(
+        (3 * x + 5 * y + d) % 256 for y in range(h) for x in range(w)
+    )
+    assert bytes(r0["frame"]) == expect
+
+
+def test_decode_payload_avi():
+    frames = _avi_frames(4)
+    got = multimodal._decode_payload(
+        multimodal.encode_avi(frames), "video/x-msvideo"
+    )
+    expect = bytes(v for g in frames[::2] for row in g for v in row)
+    assert got == expect
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        multimodal._decode_payload(b"\x00\x00\x00\x18ftyp", "video/mp4")
