@@ -1684,3 +1684,107 @@ def q_streaming_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("last_view_ts").cast("timestamp_ntz").alias("last_view_ts"),
         F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
     )
+
+
+_STREAM_ANOMALY_ORACLE = """
+WITH v AS (
+  SELECT user_id, ts, event_id,
+         CAST(ROUND(CAST(CAST(value AS STRING) AS DECIMAL(30,6)), 3) * 1000
+              AS BIGINT) AS vi
+  FROM events
+), st AS (
+  SELECT user_id, vi,
+    COUNT(*) OVER w AS m,
+    CAST(COALESCE(SUM(CAST(vi AS HUGEINT)) OVER w, 0) AS HUGEINT) AS s1,
+    CAST(COALESCE(SUM(CAST(vi AS HUGEINT) * CAST(vi AS HUGEINT)) OVER w, 0)
+         AS HUGEINT) AS s2
+  FROM v
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(COALESCE(SUM(CASE WHEN m >= 8
+                          AND (m * vi - s1) * (m * vi - s1)
+                              > 9 * (m * s2 - s1 * s1)
+                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_anomalies
+FROM st
+GROUP BY user_id
+"""
+
+
+def anomaly_stream(ev: DataFrame) -> DataFrame:
+    """The running-stats judge kernel behind q_streaming_anomaly,
+    factored out so the multibatch test drives the IDENTICAL code over
+    time-split shards (the repo's one-implementation rule).  Input:
+    a streaming frame with (user_id, ts, event_id, vi)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def judge(key, pdfs, state: GroupState):
+        (user_id,) = key
+        m, s1, s2, flags = state.get if state.exists else (0, 0, 0, 0)
+        m, s1, s2, flags = int(m), int(s1), int(s2), int(flags)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for x in (int(v) for v in pdf["vi"]):
+                if m >= 8 and (m * x - s1) ** 2 > 9 * (m * s2 - s1 * s1):
+                    flags += 1
+                m += 1
+                s1 += x
+                s2 += x * x
+        state.update((m, s1, s2, flags))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [m],
+                "n_anomalies": [flags],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        judge,
+        outputStructType="user_id long, n_events long, n_anomalies long",
+        stateStructType="m long, s1 long, s2 long, flags long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# milli-scaling of value, JVM-side, identical in both engines (round
+# half-up at scale 3 on DECIMAL)
+ANOMALY_VI_EXPR = (
+    "CAST(round(CAST(CAST(value AS STRING) AS DECIMAL(30,6)), 3) * 1000"
+    " AS BIGINT)"
+)
+
+
+@register(
+    "q_streaming_anomaly", oracle=_STREAM_ANOMALY_ORACLE, tags=("streaming",)
+)
+def q_streaming_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming z-score anomaly detection — the Flink keyed
+    ProcessFunction-with-ValueState pattern: each key carries running
+    (m, sum, sum-of-squares) of its HISTORY, and every arriving event
+    is judged against the statistics of the events BEFORE it
+    (|x - mu_prefix| > 3*sigma_prefix, after an 8-event warmup).  The
+    prefix form is what makes this a genuinely STATEFUL operator —
+    unlike q_anomaly_zscore's whole-population batch form, the verdict
+    for an event depends on arrival order, and the oracle mirrors that
+    with an exclusive-prefix window (UNBOUNDED PRECEDING .. 1
+    PRECEDING).
+
+    Exactness: values are milli-scaled to integers JVM-side (round
+    half-up at scale 3 on DECIMAL — both engines agree) BEFORE the
+    Python kernel, whose comparisons run in arbitrary-precision Python
+    ints; the oracle computes the same in HUGEINT.  State per key is
+    three BIGINTs — constant, watermark-free.  Events are sorted by
+    (ts, event_id) within each micro-batch; across batches the
+    time-ordered replay preserves prefix order (the multibatch test
+    feeds time-split shards and still matches)."""
+    ev = events_file_replay(spark, sf_dir).select(
+        "user_id", "ts", "event_id", F.expr(ANOMALY_VI_EXPR).alias("vi")
+    )
+    return run_to_memory(anomaly_stream(ev), spark, output_mode="update")

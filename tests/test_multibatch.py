@@ -953,3 +953,78 @@ def test_session_dynamic_append_across_24_shards(spark):
     import shutil
 
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_streaming_anomaly_prefix_order_across_batches(spark):
+    """q_streaming_anomaly's verdicts depend on arrival ORDER (each
+    event is judged against its key's prefix stats) — state must carry
+    (m, s1, s2, flags) across micro-batches and the time-split replay
+    must preserve the prefix.  Expected = the same exclusive-prefix
+    rule computed in batch SQL."""
+    import os
+
+    from pyspark.sql import Window
+
+    from flink_streaming_example_spark.streaming.queries import (
+        ANOMALY_VI_EXPR,
+        anomaly_stream,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    bounds = list(
+        ev.selectExpr(
+            "min(ts) AS a", "timestamp'2024-01-08' AS b",
+            "timestamp'2024-01-15' AS c", "timestamp'2024-01-22' AS d",
+            "max(ts) AS e"
+        ).collect()[0]
+    )
+    out_dir = tempfile.mkdtemp(prefix="anomaly_shards_")
+    _write_time_aligned_shards(ev, "ts", bounds, out_dir)
+    assert len(os.listdir(out_dir)) == len(bounds) - 1
+
+    stream = _replay(spark, out_dir).select(
+        "user_id", "ts", "event_id", F.expr(ANOMALY_VI_EXPR).alias("vi")
+    )
+    got, batches = _drain(spark, anomaly_stream(stream), "update")
+    assert batches >= len(bounds) - 1
+    final = got.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("n_anomalies").alias("n_anomalies"),
+    )
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    st = ev.select(
+        "user_id", "ts", "event_id", F.expr(ANOMALY_VI_EXPR).alias("vi")
+    ).select(
+        "user_id",
+        "vi",
+        F.count(F.lit(1)).over(w).alias("m"),
+        F.coalesce(F.sum(F.col("vi").cast("decimal(38,0)")).over(w), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("s1"),
+        F.coalesce(
+            F.sum(
+                (F.col("vi").cast("decimal(38,0)") * F.col("vi")).cast(
+                    "decimal(38,0)"
+                )
+            ).over(w),
+            F.lit(0),
+        )
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    dev = F.col("m") * F.col("vi") - F.col("s1")
+    flag = (F.col("m") >= 8) & (
+        (dev * dev)
+        > F.lit(9) * (F.col("m") * F.col("s2") - F.col("s1") * F.col("s1"))
+    )
+    want = st.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(flag.cast("long")).alias("n_anomalies"),
+    )
+    result = compare_frames(final.toPandas(), want.toPandas())
+    assert result.ok, result.detail

@@ -52,6 +52,7 @@ _STATE_FN_KEYS = {
     "q_streaming_asof_forward",
     "q_streaming_asof_nearest",
     "q_streaming_topn",
+    "q_streaming_anomaly",
 }
 # Expected state-store operator shape per key (lastProgress
 # stateOperators operatorName); stateless keys must carry NO state.
@@ -76,6 +77,7 @@ _EXPECTED_STATE_OPS = {
     "q_streaming_asof_forward": ["applyInPandasWithState"],
     "q_streaming_asof_nearest": ["applyInPandasWithState"],
     "q_streaming_topn": ["applyInPandasWithState"],
+    "q_streaming_anomaly": ["applyInPandasWithState"],
 }
 
 
