@@ -290,3 +290,87 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(flag, 1).otherwise(0)), F.lit(0)
         ).cast("long").alias("n_anomalies"),
     )
+
+
+# trailing window (in observed days) for the rolling correlation
+_CORR_DAYS = 7
+
+_ROLLING_CORR_ORACLE = f"""
+WITH daily AS (
+  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+      AS x,
+    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+      AS y
+  FROM events
+  GROUP BY 1, 2
+), rolled AS (
+  SELECT user_id, day,
+    COUNT(*) OVER w AS n,
+    SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+    SUM(x * x) OVER w AS sxx, SUM(y * y) OVER w AS syy,
+    SUM(x * y) OVER w AS sxy
+  FROM daily
+  WINDOW w AS (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN {_CORR_DAYS - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, day,
+  CAST(n AS BIGINT) AS n_days,
+  CAST(n * sxy - sx * sy AS BIGINT) AS corr_num,
+  CAST(n * sxx - sx * sx AS BIGINT) AS corr_den_x,
+  CAST(n * syy - sy * sy AS BIGINT) AS corr_den_y
+FROM rolled
+"""
+
+
+@register("q_rolling_corr", oracle=_ROLLING_CORR_ORACLE, tags=("timeseries",))
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling Pearson correlation between two per-key daily series
+    (view count vs purchase count) over a trailing 7-observed-day
+    frame — the two-stream CoProcessFunction metric (does engagement
+    track conversion?) as one daily agg plus one framed window, both
+    keyed by user_id.  Cross-engine exactness: the correlation is
+    emitted as its three integer components (corr_num, corr_den_x,
+    corr_den_y with corr = num / sqrt(den_x * den_y)) — counts are
+    integers, so n*Sxy - Sx*Sy etc. are exact BIGINTs in both engines
+    and no sqrt or division ever runs engine-side."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-(_CORR_DAYS - 1), 0)
+    )
+    rolled = daily.select(
+        "user_id",
+        "day",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+    )
+    return rolled.select(
+        "user_id",
+        "day",
+        F.col("n").alias("n_days"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias(
+            "corr_num"
+        ),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias(
+            "corr_den_x"
+        ),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias(
+            "corr_den_y"
+        ),
+    )

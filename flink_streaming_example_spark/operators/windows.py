@@ -638,3 +638,49 @@ def q_delta_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(w)
         ).cast("long").alias("gap_us"),
     )
+
+
+_NTILE_ORACLE = """
+WITH t AS (
+  SELECT o_orderpriority,
+         o_totalprice,
+         ntile(10) OVER (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+)
+SELECT o_orderpriority, decile,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  MIN(o_totalprice) AS lo,
+  MAX(o_totalprice) AS hi
+FROM t
+GROUP BY o_orderpriority, decile
+"""
+
+
+@register("q_ntile", oracle=_NTILE_ORACLE, tags=("window",))
+def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8-adjacent: NTILE decile bucketing per group — the equal-
+    frequency binning behind percentile reports and feature
+    discretization.  Both engines implement ANSI NTILE (first n mod k
+    tiles get the extra row), and the order key is made total with the
+    unique o_orderkey tiebreak, so tile assignment is deterministic
+    cross-engine.  min/max per tile pass doubles through untouched
+    (no summation — exact).  One window shuffle + a regroup on the
+    same key."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_totalprice",
+            F.ntile(10).over(w).alias("decile"),
+        )
+        .groupBy("o_orderpriority", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )

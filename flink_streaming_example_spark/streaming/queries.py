@@ -1788,3 +1788,80 @@ def q_streaming_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_id", F.expr(ANOMALY_VI_EXPR).alias("vi")
     )
     return run_to_memory(anomaly_stream(ev), spark, output_mode="update")
+
+
+def ewma_stream(ev: DataFrame) -> DataFrame:
+    """The ring-buffer kernel behind q_streaming_ewma: per key, state
+    is the last <=15 micro-scaled values (oldest first) — Flink's
+    ListState sliding buffer — and every arriving event emits its
+    binary-decay weighted trailing average as exact integers.  Input:
+    a streaming frame with (user_id, ts, event_id, vi_micro)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from flink_streaming_example_spark.operators.timeseries import _EWMA_SPAN
+
+    def smooth(key, pdfs, state: GroupState):
+        (user_id,) = key
+        buf = list(state.get[0]) if state.exists else []
+        ids, nums, dens = [], [], []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for eid, x in zip(pdf["event_id"], pdf["vi_micro"]):
+                buf.append(int(x))
+                if len(buf) > _EWMA_SPAN:
+                    buf.pop(0)
+                m = len(buf)
+                num = sum(
+                    v << (_EWMA_SPAN - m + j) for j, v in enumerate(buf)
+                )
+                ids.append(int(eid))
+                nums.append(num)
+                dens.append((1 << _EWMA_SPAN) - (1 << (_EWMA_SPAN - m)))
+        state.update((buf,))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(ids),
+                "event_id": ids,
+                "ewma_num_micro": nums,
+                "ewma_den": dens,
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        smooth,
+        outputStructType=(
+            "user_id long, event_id long, ewma_num_micro long, ewma_den long"
+        ),
+        stateStructType="buf array<bigint>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# micro-scaling of value, JVM-side (exact: DECIMAL(30,6) * 10^6 is
+# integral by construction)
+EWMA_VI_EXPR = (
+    "CAST(CAST(CAST(value AS STRING) AS DECIMAL(30,6)) * 1000000 AS BIGINT)"
+)
+
+
+from flink_streaming_example_spark.operators.timeseries import _EWMA_ORACLE
+
+
+@register("q_streaming_ewma", oracle=_EWMA_ORACLE, tags=("streaming",))
+def q_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_ewma — the keyed ListState sliding buffer
+    (Flink: ProcessFunction holding the last 15 values per key), each
+    event emitting its trailing binary-decay average on arrival.
+    State is a bounded <=16-element ring per key (constant,
+    watermark-free); values are micro-scaled JVM-side and the weighted
+    sum is pure integer shifts in the kernel, so the emitted rows are
+    BIT-EQUAL to the batch q_ewma plan — the key shares q_ewma's
+    oracle SQL verbatim (same output schema, same exact integers)."""
+    ev = events_file_replay(spark, sf_dir).select(
+        "user_id", "ts", "event_id", F.expr(EWMA_VI_EXPR).alias("vi_micro")
+    )
+    return run_to_memory(ewma_stream(ev), spark, output_mode="append")

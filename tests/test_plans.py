@@ -53,6 +53,7 @@ _STATE_FN_KEYS = {
     "q_streaming_asof_nearest",
     "q_streaming_topn",
     "q_streaming_anomaly",
+    "q_streaming_ewma",
 }
 # Expected state-store operator shape per key (lastProgress
 # stateOperators operatorName); stateless keys must carry NO state.
@@ -78,6 +79,7 @@ _EXPECTED_STATE_OPS = {
     "q_streaming_asof_nearest": ["applyInPandasWithState"],
     "q_streaming_topn": ["applyInPandasWithState"],
     "q_streaming_anomaly": ["applyInPandasWithState"],
+    "q_streaming_ewma": ["applyInPandasWithState"],
 }
 
 
