@@ -165,6 +165,44 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def copurchase_half_edges(li: DataFrame) -> DataFrame:
+    """Distinct part co-purchase HALF-edges (p1 < p2) — the shared
+    graph build behind q_kcore and q_triangles (one implementation, so
+    the two keys' edge semantics cannot drift).
+
+    Co-occurrence via ONE shuffle (groupBy order -> sorted part set ->
+    in-row pair expansion with array natives), not a lineitem
+    self-join: the join form pays two sorted 600k sides plus a 2.4M
+    join output before its distinct (A/B at sf0.1: both land ~3 s
+    warm here, but the self-join's sort-merge cost scales with
+    |lineitem| log |lineitem| while this is one hash shuffle plus
+    per-order O(k^2) array work with k bounded by order size).
+
+    The graph stays materialized as HALF-edges (p1 < p2): degrees and
+    reports derive the symmetric view per use via exploded-endpoints
+    aggregates, so a checkpoint carries |E| rows, not 2|E| (undirected
+    degree = #pairs touching the node — identical to the
+    symmetric-edge-list count, no self-loops by construction)."""
+    po = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + F.lit(2), F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+            ),
+        )
+    )
+    return (
+        po.select(F.explode(pair_arr).alias("p"))
+        .select("p.p1", "p.p2")
+        .distinct()
+    )
+
+
+
 # ---- k-core peeling (round 8): the OTHER canonical iterate-to-shrink
 # graph workload next to PageRank's iterate-to-converge.  Each round
 # drops every node whose degree fell below K and the edges touching
@@ -238,37 +276,7 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    # co-occurrence via ONE shuffle (groupBy order -> sorted part set
-    # -> in-row pair expansion with array natives), not a lineitem
-    # self-join: the join form pays two sorted 600k sides plus a 2.4M
-    # join output before its distinct (A/B at sf0.1: both land ~3 s
-    # warm here, but the self-join's sort-merge cost scales with
-    # |lineitem| log |lineitem| while this is one hash shuffle plus
-    # per-order O(k^2) array work with k bounded by order size).
-    po = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("ps")
-    )
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("ps"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ps"), i + F.lit(2), F.size(F.col("ps"))),
-                lambda y: F.struct(x.alias("p1"), y.alias("p2")),
-            ),
-        )
-    )
-    # the graph stays materialized as HALF-edges (p1 < p2): degrees
-    # and the final report derive the symmetric view per use via an
-    # exploded-endpoints aggregate, so every checkpoint carries |E|
-    # rows, not 2|E| (undirected degree = #pairs touching the node —
-    # identical to the symmetric-edge-list count, no self-loops by
-    # construction).
-    e = (
-        po.select(F.explode(pair_arr).alias("p"))
-        .select("p.p1", "p.p2")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    e = copurchase_half_edges(li).localCheckpoint(eager=True)
     # each round references e multiple times (degree agg + survivor
     # probes), so the unrolled lineage re-evaluates the pair build
     # 3^R times without a cut — measured 9.4 s warm at sf0.1;
@@ -325,3 +333,74 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 # keep the docstring's constant in sync with _CORE_TOP (it reads as a
 # plain string otherwise — round-8 advisor)
 q_kcore.__doc__ = q_kcore.__doc__.replace("{_CORE_TOP}", str(_CORE_TOP))
+
+
+_TRI_TOP = 20
+
+_TRI_ORACLE = f"""
+WITH cop AS (
+  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), tri AS (
+  SELECT x.p1 AS a, x.p2 AS b, y.p2 AS c
+  FROM cop x
+  JOIN cop y ON x.p2 = y.p1
+  JOIN cop z ON z.p1 = x.p1 AND z.p2 = y.p2
+), pernode AS (
+  SELECT node, COUNT(*) AS n_tri FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY node
+)
+SELECT node, CAST(n_tri AS BIGINT) AS n_tri, CAST(rn AS INTEGER) AS rn
+FROM (
+  SELECT node, n_tri,
+         ROW_NUMBER() OVER (ORDER BY n_tri DESC, node) AS rn
+  FROM pernode
+) WHERE rn <= {_TRI_TOP}
+"""
+
+
+@register("q_triangles", oracle=_TRI_ORACLE, tags=("graph",))
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the part co-purchase graph — the third
+    canonical graph workload beside PageRank (iterate-to-converge) and
+    k-core (iterate-to-shrink): clustering-coefficient numerators and
+    the densest-community signal.  The node-iterator form on ordered
+    half-edges (p1 < p2, shared build: copurchase_half_edges): wedges
+    a<b<c from two ordered edge copies joined on the middle node, then
+    closure against the edge set — every triangle found exactly once,
+    no orientation double-count.  Output: top-20 nodes by triangle
+    participation (each triangle credits all three corners), exact
+    integer counts, deterministic tiebreak.
+
+    Scale: the wedge join shuffles on single node keys and its output
+    is bounded by sum-of-squared-degrees; at a scale where a hub
+    explodes that bound, the standard fix is degree-ordered
+    orientation (direct each edge toward the higher-degree endpoint,
+    bounding wedges by min-degree^2) — same plan shape, one extra
+    degree join.  The edge list is localCheckpointed once because the
+    join tree references it three times (the q_kcore 3^R-reevaluation
+    lesson)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    e = copurchase_half_edges(li).localCheckpoint(eager=True)
+    x = e.select(F.col("p1").alias("a"), F.col("p2").alias("b"))
+    y = e.select(F.col("p1").alias("b"), F.col("p2").alias("c"))
+    z = e.select(F.col("p1").alias("a"), F.col("p2").alias("c"))
+    tri = x.join(y, "b").join(z, ["a", "c"])
+    pernode = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n_tri").desc(), F.col("node"))
+    return (
+        pernode.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= _TRI_TOP)
+    )

@@ -158,3 +158,96 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     exhaustive GROUP BY because CMS has no false negatives and the
     verify pass drops its false positives."""
     return heavy_hitters(doc_tokens(spark, sf_dir))
+
+
+_BASKET_ORACLE = """
+WITH baskets AS (
+  SELECT DISTINCT user_id,
+         date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         event_type
+  FROM events
+), nb AS (
+  SELECT COUNT(*) AS n_baskets
+  FROM (SELECT DISTINCT user_id, day FROM baskets)
+), c1 AS (
+  SELECT event_type, COUNT(*) AS c FROM baskets GROUP BY event_type
+), p AS (
+  SELECT a.event_type AS t1, b.event_type AS t2, COUNT(*) AS c12
+  FROM baskets a JOIN baskets b
+    ON a.user_id = b.user_id AND a.day = b.day
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.t1, p.t2,
+  CAST(p.c12 AS BIGINT) AS c12,
+  CAST(nb.n_baskets * p.c12 AS BIGINT) AS lift_num,
+  CAST(x.c * y.c AS BIGINT) AS lift_den
+FROM p
+CROSS JOIN nb
+JOIN c1 x ON p.t1 = x.event_type
+JOIN c1 y ON p.t2 = y.event_type
+"""
+
+
+@register("q_basket_lift", oracle=_BASKET_ORACLE, tags=("sketch", "mining"))
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining, the frequent-itemset pass: per
+    (user, day) basket of distinct event types, pairwise co-occurrence
+    support and LIFT — the Apriori/market-basket primitive next to the
+    CMS heavy-hitters key (single-item frequency -> item-PAIR
+    frequency).  Lift(t1,t2) = N*c12 / (c1*c2) is emitted as exact
+    integer components (lift_num, lift_den), so no engine divides.
+
+    Scale shape: baskets are one distinct-shuffle keyed by
+    (user, day, type); pair expansion is IN-ROW over each basket's
+    sorted type array (bounded by basket cardinality — the vocabulary,
+    not the corpus), pair counts shuffle on the compact pair key, and
+    the singleton-count and grand-total sides are vocabulary-sized
+    broadcasts.  The q_kcore co-occurrence lesson applied to itemsets:
+    never self-join the event log when an in-row expansion is
+    available."""
+    ev = load_table(spark, sf_dir, "events")
+    baskets = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.array_sort(F.collect_set("event_type")).alias("types"))
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("types"),
+            lambda x, i: F.transform(
+                F.slice(F.col("types"), i + F.lit(2), F.size(F.col("types"))),
+                lambda y: F.struct(x.alias("t1"), y.alias("t2")),
+            ),
+        )
+    )
+    pairs = (
+        baskets.select(F.explode(pair_arr).alias("p"))
+        .select("p.t1", "p.t2")
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    c1 = (
+        baskets.select(F.explode("types").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nb = baskets.agg(F.count(F.lit(1)).alias("n_baskets"))
+    return (
+        pairs.crossJoin(F.broadcast(nb))
+        .join(
+            F.broadcast(c1.select(F.col("event_type").alias("t1"),
+                                  F.col("c").alias("c1v"))),
+            "t1",
+        )
+        .join(
+            F.broadcast(c1.select(F.col("event_type").alias("t2"),
+                                  F.col("c").alias("c2v"))),
+            "t2",
+        )
+        .select(
+            "t1",
+            "t2",
+            "c12",
+            (F.col("n_baskets") * F.col("c12")).alias("lift_num"),
+            (F.col("c1v") * F.col("c2v")).alias("lift_den"),
+        )
+    )
