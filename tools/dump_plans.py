@@ -150,6 +150,35 @@ SHOWCASE: tuple[tuple[str, str], ...] = (
         "corpus is touched exactly once, no Python, and the only "
         "exchange is the final per-language aggregate.",
     ),
+    (
+        "q_ewma",
+        "Exact time-series smoothing (r9): ONE window exchange keyed by "
+        "user_id; the binary-decay weighted sum is a codegen'd "
+        "higher-order fold (aggregate/zip_with/shiftleft) over the "
+        "frame's collect_list — no Python, no second shuffle, and no "
+        "division anywhere in the plan (num/den emitted separately).",
+    ),
+    (
+        "q_anomaly_zscore",
+        "3-sigma outlier counts (r9): an unbounded window and the "
+        "per-key regroup share the SAME hashpartitioning(user_id) — the "
+        "exchange is reused, so the whole operator is effectively one "
+        "shuffle; all arithmetic is exact DECIMAL(38,0) inside codegen.",
+    ),
+    (
+        "q_fuzzy_join",
+        "Record linkage (r9): the catalog side replicates exactly 3x "
+        "(length band) and BROADCASTs; levenshtein evaluates only "
+        "INSIDE first-char x length blocks — no cartesian, no shuffle "
+        "of the probe side beyond the final per-probe aggregate.",
+    ),
+    (
+        "q_triangles",
+        "Triangle counting (r9): ordered half-edges localCheckpointed "
+        "once, wedge join shuffled on the middle node, closure as a "
+        "hash join against the edge set, endpoint explode + count — "
+        "integer-exact, nothing driver-side.",
+    ),
 )
 
 
