@@ -340,3 +340,147 @@ def test_kcore_peel_1m_edges(spark):
     assert len(final) == n_ring
     assert set(final["deg"]) == {20}
     assert set(final["node"]) == set(range(n_ring))
+
+
+def _run_hot_key_single_stream(spark, build_kernel, df, name, shards=4,
+                               mode="update"):
+    """Replay a single-input frame (user_id, ts, event_id, vi...) as
+    mtime-staggered single-file shards split on event_id order, drain
+    the kernel with availableNow, return (result, peak_bytes,
+    peak_rows).  The single-stream sibling of _run_hot_key_stream."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    bounds = df.agg(
+        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+    ).collect()[0]
+    step = (bounds.hi - bounds.lo + shards) // shards
+    out = tempfile.mkdtemp(prefix="hot_single_shards_")
+    mtime0 = time.time() - 3600
+    for k in range(shards):
+        lo = bounds.lo + k * step
+        tmp = tempfile.mkdtemp(prefix="hot_single_tmp_")
+        df.filter(
+            (F.col("event_id") >= lo) & (F.col("event_id") < lo + step)
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        (part,) = glob.glob(f"{tmp}/part-*.parquet")
+        dest = os.path.join(out, f"shard-{k:02d}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (mtime0 + k, mtime0 + k))
+        shutil.rmtree(tmp, ignore_errors=True)
+    sdf = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out)
+    )
+    q = (
+        build_kernel(sdf)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="hot_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    peak_bytes, peak_rows = 0, 0
+    for prog in q.recentProgress:
+        for op in prog["stateOperators"]:
+            peak_bytes = max(peak_bytes, op["memoryUsedBytes"])
+            peak_rows = max(peak_rows, op["numRowsTotal"])
+    shutil.rmtree(out, ignore_errors=True)
+    return spark.table(name), peak_bytes, peak_rows
+
+
+def test_streaming_anomaly_hot_key_1m_rows(spark):
+    """q_streaming_anomaly's state is THREE BIGINTs + a counter per
+    key — constant by construction.  Volume proof on ONE key, 1M
+    events in 4 micro-batches: alternating 0/1000 baseline (never
+    trips 3-sigma: deviation^2 = 2.5e5*m^2 vs threshold 2.25e6*m^2)
+    with a 10^9 spike every 100k events (always trips after warmup:
+    (n-k)^2 > 9k(n-k) for spike count k << n).  Expected flags = 9
+    (the id-0 spike falls inside the 8-event warmup), state one row,
+    peak bytes far under 1 MB."""
+    from flink_streaming_example_spark.streaming.queries import (
+        anomaly_stream,
+    )
+
+    n = 1_000_000
+    ev = spark.range(n).select(
+        F.lit(1).alias("user_id"),
+        F.timestamp_micros(F.col("id") + _HOT_BASE_US).alias("ts"),
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") % 100_000 == 0, F.lit(1_000_000_000))
+        .otherwise((F.col("id") % 2) * 1000)
+        .cast("long")
+        .alias("vi"),
+    )
+    got, peak_bytes, peak_rows = _run_hot_key_single_stream(
+        spark, anomaly_stream, ev, "anomaly_hot_result"
+    )
+    final = got.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("n_anomalies").alias("n_anomalies"),
+    ).collect()
+    assert len(final) == 1
+    assert final[0]["n_events"] == n
+    assert final[0]["n_anomalies"] == 9
+    assert peak_rows == 1
+    assert 0 < peak_bytes < 1024 * 1024, peak_bytes
+
+
+def test_streaming_ewma_hot_key_1m_rows(spark):
+    """q_streaming_ewma's state is a <=16-element ring per key.  ONE
+    key, 1M events in 4 micro-batches: every emitted (num, den) must
+    equal the batch window form computed over the same frame, and the
+    ring must never leak (one state row, bytes ~ the 16-long buffer,
+    NOT the stream length)."""
+    from pyspark.sql import Window
+
+    from flink_streaming_example_spark.streaming.queries import ewma_stream
+
+    n = 1_000_000
+    ev = spark.range(n).select(
+        F.lit(1).alias("user_id"),
+        F.timestamp_micros(F.col("id") + _HOT_BASE_US).alias("ts"),
+        F.col("id").alias("event_id"),
+        ((F.col("id") * 37) % 1000).alias("vi_micro"),
+    )
+    got, peak_bytes, peak_rows = _run_hot_key_single_stream(
+        spark, ewma_stream, ev, "ewma_hot_result", mode="append"
+    )
+    assert got.count() == n
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-15, 0)
+    )
+    arr = F.collect_list("vi_micro").over(w)
+    expected = ev.withColumn("arr", arr).select(
+        "event_id",
+        F.expr(
+            """aggregate(
+                 zip_with(arr, sequence(1, size(arr)),
+                   (x, i) -> x * shiftleft(CAST(1 AS BIGINT),
+                                           16 - size(arr) + i - 1)),
+                 CAST(0 AS BIGINT), (acc, x) -> acc + x)"""
+        ).alias("exp_num"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), 16) - "
+            "shiftleft(CAST(1 AS BIGINT), 16 - size(arr))"
+        ).alias("exp_den"),
+    )
+    wrong = (
+        got.join(expected, "event_id")
+        .filter(
+            (F.col("ewma_num_micro") != F.col("exp_num"))
+            | (F.col("ewma_den") != F.col("exp_den"))
+        )
+        .count()
+    )
+    assert wrong == 0
+    assert peak_rows == 1
+    assert 0 < peak_bytes < 1024 * 1024, peak_bytes
