@@ -199,3 +199,70 @@ def q_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("tricky")).cast("long").alias("tricky_chars"),
         F.sum(F.col("tricky").contains('"').cast("long")).alias("n_quoted"),
     )
+
+
+_orc_cache: dict[str, str] = {}
+
+
+def _cleanup_orc_cache() -> None:
+    for path in _orc_cache.values():
+        shutil.rmtree(path, ignore_errors=True)
+    _orc_cache.clear()
+
+
+atexit.register(_cleanup_orc_cache)
+
+
+def events_as_orc(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the events table as zlib ORC (once per process per
+    sf_dir) and return the directory path — same cache/cleanup idiom
+    as the JSONL/CSV twins."""
+    cached = _orc_cache.get(sf_dir)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    out = tempfile.mkdtemp(prefix="events_orc_")
+    (
+        load_table(spark, sf_dir, "events")
+        .write.mode("overwrite")
+        .option("compression", "zlib")
+        .orc(out)
+    )
+    _orc_cache[sf_dir] = out
+    return out
+
+
+_ORC_ORACLE = """
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(SUM(CAST(CAST(CAST(value AS STRING) AS DECIMAL(30,6)) * 1000000
+           AS BIGINT)) AS BIGINT) AS total_micro,
+  CAST(MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS min_ts_us,
+  CAST(MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS max_ts_us
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("q_orc_source", oracle=_ORC_ORACLE, tags=("source",))
+def q_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-depth (round 9): ORC ingestion — the second columnar format
+    next to parquet (Flink ships an ORC bulk format for exactly this
+    interop role).  The events table round-trips through zlib ORC and
+    the per-type report re-aggregates counts, distinct users, the
+    exact micro-scaled value total, and the min/max event times in
+    MICROSECONDS — so a reader that drops rows, mangles the timestamp
+    unit (the round-3 parquet lesson), or loses double precision in
+    transit cannot hash-match the parquet-reading oracle.  Scan shape
+    is identical to parquet: columnar batched read, splittable per
+    stripe, predicate pushdown available."""
+    path = events_as_orc(spark, sf_dir)
+    ev = spark.read.orc(path)
+    vi = (F.col("value").cast("decimal(30,6)") * 1000000).cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(vi).cast("long").alias("total_micro"),
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("min_ts_us"),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("max_ts_us"),
+    )
