@@ -202,14 +202,38 @@ def test_stale_window_keys_lead_rotation():
     if stale:
         oldest_round = min(rounds_in_order)
         cohort = [n for n in stale_in_order if hist[n][0] == oldest_round]
-        fit = min(budget, n_priority + len(cohort))
-        late_oldest = {
-            n: ordered.index(n) for n in cohort if ordered.index(n) >= fit
-        }
-        assert not late_oldest, (
-            f"oldest-evidence cohort (round {oldest_round}) sorts outside "
-            f"the next driver window ({fit}): {late_oldest}"
-        )
+        need = n_priority + len(cohort)
+        if need <= budget:
+            late_oldest = {
+                n: ordered.index(n)
+                for n in cohort
+                if ordered.index(n) >= budget
+            }
+            assert not late_oldest, (
+                f"oldest-evidence cohort (round {oldest_round}) sorts "
+                f"outside the next driver window ({budget}): {late_oldest}"
+            )
+        else:
+            # Tiers 1-3 plus the cohort genuinely exceed the budget (a
+            # round that registers many NEW keys — e.g. round 9's 12 —
+            # can displace the cohort's tail by one round).  Then the
+            # policy is: a cohort key may sit past the budget ONLY when
+            # everything ahead of it is higher-priority evidence or the
+            # cohort itself — never a fresher-stale or fresh-green key
+            # jumping the queue.
+            cohort_set = set(cohort)
+            for n in cohort:
+                if ordered.index(n) < budget:
+                    continue
+                jumpers = [
+                    a
+                    for a in ordered[: ordered.index(n)]
+                    if a not in cohort_set and not higher_priority(a)
+                ]
+                assert not jumpers, (
+                    f"{n} displaced past the window by non-priority "
+                    f"keys: {jumpers[:5]}"
+                )
     # and nothing fresh-green may precede any stale key
     for n in stale:
         ahead = ordered[: ordered.index(n)]
