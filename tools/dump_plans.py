@@ -174,10 +174,13 @@ SHOWCASE: tuple[tuple[str, str], ...] = (
     ),
     (
         "q_triangles",
-        "Triangle counting (r9): ordered half-edges localCheckpointed "
-        "once, wedge join shuffled on the middle node, closure as a "
-        "hash join against the edge set, endpoint explode + count — "
-        "integer-exact, nothing driver-side.",
+        "Triangle counting (r9): edge-intersection form — ordered "
+        "half-edges localCheckpointed once, sorted higher-neighbor "
+        "lists BROADCAST onto the edges, third corners via per-row "
+        "JVM array_intersect (never materializing the 49M-row wedge "
+        "set the self-join form shuffles; A/B 6.6 -> 3.4 s at sf0.1), "
+        "endpoint explode + count — integer-exact, nothing "
+        "driver-side.",
     ),
 )
 
