@@ -42,6 +42,8 @@ _OPERATOR_MODULES: tuple[str, ...] = (
     "flink_streaming_example_spark.operators.graph",
     "flink_streaming_example_spark.operators.datapipe",
     "flink_streaming_example_spark.operators.timeseries",
+    "flink_streaming_example_spark.operators.features",
+    "flink_streaming_example_spark.operators.analytics",
     "flink_streaming_example_spark.operators.functions_surface",
     "flink_streaming_example_spark.operators.dedup",
     "flink_streaming_example_spark.operators.similarity",

@@ -1,0 +1,263 @@
+"""Semantic unit tests for the feature-engineering (features.py) and
+product-analytics (analytics.py) families — closed-form expectations
+on crafted micro-frames plus invariants on the fixture output
+(test_parity.py proves cross-engine equality; these prove the
+operators compute the RIGHT thing)."""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from flink_streaming_example_spark.plans.registry import all_specs
+
+SF_DIR = "/root/testdata/sf0.01"
+
+_SPECS = all_specs()
+
+
+def _h32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _write_part(rows, out_dir):
+    """rows: (p_partkey, p_name) with fixture physical schema."""
+    table = pa.table(
+        {
+            "p_partkey": pa.array([r[0] for r in rows], pa.int64()),
+            "p_name": pa.array([r[1] for r in rows], pa.string()),
+            "p_brand": pa.array(["Brand#1"] * len(rows), pa.string()),
+            "p_type": pa.array(["STANDARD"] * len(rows), pa.string()),
+            "p_size": pa.array([1] * len(rows), pa.int32()),
+            "p_retailprice": pa.array([1.0] * len(rows), pa.float64()),
+        }
+    )
+    pq.write_table(table, f"{out_dir}/part.parquet")
+
+
+def _write_customer(rows, out_dir):
+    """rows: (c_custkey, c_nationkey, c_acctbal, c_mktsegment)."""
+    table = pa.table(
+        {
+            "c_custkey": pa.array([r[0] for r in rows], pa.int64()),
+            "c_name": pa.array([f"Customer#{r[0]}" for r in rows], pa.string()),
+            "c_nationkey": pa.array([r[1] for r in rows], pa.int32()),
+            "c_acctbal": pa.array([float(r[2]) for r in rows], pa.float64()),
+            "c_mktsegment": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(table, f"{out_dir}/customer.parquet")
+
+
+def _write_orders(rows, out_dir):
+    """rows: (o_orderkey, o_custkey, o_totalprice)."""
+    table = pa.table(
+        {
+            "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+            "o_orderstatus": pa.array(["O"] * len(rows), pa.string()),
+            "o_totalprice": pa.array([float(r[2]) for r in rows], pa.float64()),
+            "o_orderdate": pa.array(
+                [datetime.datetime(2024, 1, 1)] * len(rows), pa.timestamp("us")
+            ),
+            "o_orderpriority": pa.array(["1-URGENT"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(table, f"{out_dir}/orders.parquet")
+
+
+def _write_events(rows, out_dir):
+    """rows: (user_id, event_id, ts_iso, event_type)."""
+    rows = sorted(rows, key=lambda r: r[1])
+    table = pa.table(
+        {
+            "event_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [datetime.datetime.fromisoformat(r[2]) for r in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(table, f"{out_dir}/events.parquet")
+
+
+# ---- features.py ----------------------------------------------------
+
+
+def test_feature_hash_crafted(spark, tmp_path):
+    # two parts, four tokens, one repeated -> brute-force bucket/sign
+    _write_part([(1, "alpha beta"), (2, "alpha gamma")], str(tmp_path))
+    got = {
+        r["bucket"]: (r["n_tokens"], r["signed_sum"])
+        for r in _SPECS["q_feature_hash"].fn(spark, str(tmp_path)).collect()
+    }
+    expected: dict[int, list[int]] = {}
+    for tok in ["alpha", "beta", "alpha", "gamma"]:
+        h = _h32(tok)
+        b, s = h % 128, 1 if ((h >> 7) % 2 == 0) else -1
+        expected.setdefault(b, [0, 0])
+        expected[b][0] += 1
+        expected[b][1] += s
+    assert got == {b: tuple(v) for b, v in expected.items()}
+
+
+def test_target_encode_crafted(spark, tmp_path):
+    # segment A: 2 orders of 10.00; segment B: 1 order of 40.00
+    # global mean = 60e6 // 3 = 20e6 micros
+    # enc(A) = (20e6 + 20*20e6) // 22 = 420e6 // 22
+    # enc(B) = (40e6 + 20*20e6) // 21 = 440e6 // 21
+    _write_customer([(1, 0, 0.0, "A"), (2, 0, 0.0, "B")], str(tmp_path))
+    _write_orders([(1, 1, 10.0), (2, 1, 10.0), (3, 2, 40.0)], str(tmp_path))
+    got = {
+        r["segment"]: (r["n_orders"], r["sum_micros"], r["enc_micros"])
+        for r in _SPECS["q_target_encode"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got["A"] == (2, 20_000_000, (20_000_000 + 20 * 20_000_000) // 22)
+    assert got["B"] == (1, 40_000_000, (40_000_000 + 20 * 20_000_000) // 21)
+
+
+def test_minmax_scale_crafted(spark, tmp_path):
+    # nation 0: balances 0 / 5 / 10 -> permille 0 / 500 / 1000;
+    # nation 1: single customer -> degenerate range pins to 0;
+    # nation 2: negative-to-positive range, exact midpoint
+    _write_customer(
+        [
+            (1, 0, 0.0, "S"),
+            (2, 0, 5.0, "S"),
+            (3, 0, 10.0, "S"),
+            (4, 1, 123.45, "S"),
+            (5, 2, -10.0, "S"),
+            (6, 2, 30.0, "S"),
+            (7, 2, 10.0, "S"),
+        ],
+        str(tmp_path),
+    )
+    got = {
+        r["c_custkey"]: r["permille"]
+        for r in _SPECS["q_minmax_scale"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: 0, 2: 500, 3: 1000, 4: 0, 5: 0, 6: 1000, 7: 500}
+
+
+def test_feature_hash_fixture_invariants(spark):
+    rows = _SPECS["q_feature_hash"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["bucket"] < 128
+        assert abs(r["signed_sum"]) <= r["n_tokens"]
+
+
+def test_minmax_fixture_bounds(spark):
+    rows = _SPECS["q_minmax_scale"].fn(spark, SF_DIR).collect()
+    assert rows and all(0 <= r["permille"] <= 1000 for r in rows)
+
+
+# ---- analytics.py ---------------------------------------------------
+
+
+def test_retention_crafted(spark, tmp_path):
+    # u1 first seen week W, active W and W+1; u2 first seen W+1 only
+    _write_events(
+        [
+            (1, 0, "2024-01-01T00:00:00", "view"),
+            (1, 1, "2024-01-09T00:00:00", "view"),
+            (2, 2, "2024-01-10T00:00:00", "view"),
+        ],
+        str(tmp_path),
+    )
+    out = {
+        (r["cohort_wk"], r["week_offset"]): r["n_users"]
+        for r in _SPECS["q_retention_cohorts"].fn(spark, str(tmp_path)).collect()
+    }
+    wk = (
+        int(datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+        // (7 * 86_400 * 1_000_000)
+    )
+    # 2024-01-09/10 land in the next epoch week bucket
+    assert out == {(wk, 0): 1, (wk, 1): 1, (wk + 1, 0): 1}
+
+
+def test_funnel_crafted(spark, tmp_path):
+    # u1 completes in order; u2 purchases BEFORE clicking (stops at
+    # click); u3 never signs up (in no step at all)
+    _write_events(
+        [
+            (1, 0, "2024-01-01T00:00:00", "signup"),
+            (1, 1, "2024-01-01T01:00:00", "view"),
+            (1, 2, "2024-01-01T02:00:00", "click"),
+            (1, 3, "2024-01-01T03:00:00", "purchase"),
+            (2, 4, "2024-01-01T00:00:00", "signup"),
+            (2, 5, "2024-01-01T01:00:00", "view"),
+            (2, 6, "2024-01-01T01:30:00", "purchase"),
+            (2, 7, "2024-01-01T02:00:00", "click"),
+            (3, 8, "2024-01-01T00:00:00", "view"),
+            (3, 9, "2024-01-01T01:00:00", "purchase"),
+        ],
+        str(tmp_path),
+    )
+    out = {
+        r["step"]: (r["step_order"], r["n_users"])
+        for r in _SPECS["q_funnel_steps"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        "signup": (1, 2),
+        "view": (2, 2),
+        "click": (3, 2),
+        "purchase": (4, 1),
+    }
+
+
+def test_funnel_fixture_monotone(spark):
+    rows = sorted(
+        _SPECS["q_funnel_steps"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r["step_order"],
+    )
+    counts = [r["n_users"] for r in rows]
+    assert len(counts) == 4
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+
+
+def test_running_distinct_crafted(spark, tmp_path):
+    # day 0: u1, u2; day 1: u1 only; day 2: u3
+    _write_events(
+        [
+            (1, 0, "2024-01-01T05:00:00", "view"),
+            (2, 1, "2024-01-01T06:00:00", "view"),
+            (1, 2, "2024-01-02T05:00:00", "view"),
+            (3, 3, "2024-01-03T05:00:00", "view"),
+        ],
+        str(tmp_path),
+    )
+    out = sorted(
+        (r["day"], r["n_active"], r["cum_distinct"])
+        for r in _SPECS["q_running_distinct"].fn(spark, str(tmp_path)).collect()
+    )
+    d0 = (
+        int(datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+        // (86_400 * 1_000_000)
+    )
+    assert out == [(d0, 2, 2), (d0 + 1, 1, 2), (d0 + 2, 1, 3)]
+
+
+def test_running_distinct_fixture_invariants(spark):
+    rows = sorted(
+        (r["day"], r["n_active"], r["cum_distinct"])
+        for r in _SPECS["q_running_distinct"].fn(spark, SF_DIR).collect()
+    )
+    assert rows
+    # cumulative distinct is non-decreasing and >= any day's actives;
+    # the final value equals total distinct users
+    cums = [c for _, _, c in rows]
+    assert all(a <= b for a, b in zip(cums, cums[1:]))
+    assert all(a <= c for _, a, c in rows)
+    from flink_streaming_example_spark.sources.tables import load_table
+
+    total = load_table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    assert cums[-1] == total
