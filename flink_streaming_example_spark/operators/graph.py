@@ -165,7 +165,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def copurchase_half_edges(li: DataFrame) -> DataFrame:
+def copurchase_half_edges(li: DataFrame, min_support: int = 1) -> DataFrame:
     """Distinct part co-purchase HALF-edges (p1 < p2) — the shared
     graph build behind q_kcore and q_triangles (one implementation, so
     the two keys' edge semantics cannot drift).
@@ -195,10 +195,20 @@ def copurchase_half_edges(li: DataFrame) -> DataFrame:
             ),
         )
     )
+    pairs = po.select(F.explode(pair_arr).alias("p")).select("p.p1", "p.p2")
+    if min_support <= 1:
+        return pairs.distinct()
+    # Support-thresholded variant: a pair appears at most once per
+    # order (collect_set), so its occurrence count IS the number of
+    # co-purchasing orders.  Same shuffle as the distinct(), just a
+    # counting aggregate + filter — and the threshold is the standard
+    # graph-sparsifier (sf0.01: >=2 keeps 3.6k of 115k edges and the
+    # component structure becomes non-trivial).
     return (
-        po.select(F.explode(pair_arr).alias("p"))
-        .select("p.p1", "p.p2")
-        .distinct()
+        pairs.groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
+        .select("p1", "p2")
     )
 
 
@@ -428,4 +438,143 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pernode.withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= _TRI_TOP)
+    )
+
+
+# ---- connected components + bounded BFS (round 9): the two
+# reachability workloads next to PageRank / k-core / triangles.  Both
+# run on the SUPPORT-THRESHOLDED co-purchase graph (pairs bought
+# together in >= _SUPPORT orders): the raw co-occurrence graph is one
+# near-clique (every threshold-1 pair connects), while support >= 2
+# sparsifies it into a giant component plus genuine fragments — the
+# shape CC is actually used on (catalog clustering, account linking).
+#
+# The DuckDB oracles are recursive CTEs — label closure for CC (the
+# UNION-dedup recursion generates (node, reachable-label) pairs, then
+# MIN per node; exact because closure = component) and a depth-bounded
+# frontier recursion for BFS.  The Spark sides are the SCALABLE forms
+# of the same semantics: large-star/small-star contraction (O(log n)
+# rounds, dedup.py's shared kernel) and level-synchronous frontier
+# BFS with anti-join dedup (state = node-sized distance table, no
+# closure blow-up).  The closure oracle is O(sum |C|^2) rows — fine at
+# oracle scale, and exactly the thing you must NOT run at 100 TB,
+# which is the point of checking the scalable plan against it.
+_SUPPORT = 2
+_BFS_MAX_HOPS = 6
+
+_COPURCHASE_SUPPORT_CTE = f"""op AS (
+  SELECT DISTINCT a.l_orderkey AS ok, a.l_partkey AS p1, b.l_partkey AS p2
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), cop AS (
+  SELECT p1, p2 FROM op GROUP BY p1, p2 HAVING COUNT(*) >= {_SUPPORT}
+), e AS (
+  SELECT p1 AS src, p2 AS dst FROM cop
+  UNION ALL SELECT p2, p1 FROM cop
+)"""
+
+_CC_ORACLE = f"""
+WITH RECURSIVE {_COPURCHASE_SUPPORT_CTE}, reach(node, label) AS (
+  SELECT src, src FROM e
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.node
+)
+SELECT component, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM (
+  SELECT node, MIN(label) AS component FROM reach GROUP BY node
+) GROUP BY component
+"""
+
+
+@register("q_connected_components", oracle=_CC_ORACLE, tags=("graph",))
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the support-thresholded co-purchase
+    graph (block comment above): component = min member id, sized.
+    Spark side is the large-star/small-star contraction shared with
+    the dedup-cluster keys (O(log n) rounds, every step a groupBy +
+    join, localCheckpoint-truncated) — the at-scale algorithm — while
+    the oracle states the semantics as a recursive label closure."""
+    from flink_streaming_example_spark.operators.dedup import (
+        cc_large_star_small_star,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    edges = copurchase_half_edges(li, min_support=_SUPPORT).select(
+        F.col("p1").alias("doc_id_a"), F.col("p2").alias("doc_id_b")
+    )
+    labels = cc_large_star_small_star(edges)
+    return labels.groupBy(F.col("cluster_id").alias("component")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+
+
+_BFS_ORACLE = f"""
+WITH RECURSIVE {_COPURCHASE_SUPPORT_CTE}, bfs(node, d) AS (
+  SELECT DISTINCT src, 0 FROM e WHERE src % 100 = 0
+  UNION
+  SELECT e.dst, b.d + 1 FROM bfs b JOIN e ON e.src = b.node
+  WHERE b.d < {_BFS_MAX_HOPS}
+)
+SELECT hop, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM (
+  SELECT node, MIN(d) AS hop FROM bfs GROUP BY node
+) GROUP BY hop
+"""
+
+
+@register("q_bfs_hops", oracle=_BFS_ORACLE, tags=("graph",))
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source bounded BFS: hop-distance histogram (<= 6 hops)
+    from the seed set {nodes with id % 100 == 0} over the thresholded
+    co-purchase graph — the reachability/neighborhood-expansion
+    primitive (recall expansion, blast-radius queries).
+
+    Level-synchronous frontier form: per hop, the next frontier is
+    (undirected edges ⋈ frontier) minus already-visited — two
+    node-sized joins; the visited set never exceeds |V| rows, unlike
+    the oracle's closure.  Frontier and visited sides carry broadcast
+    hints (node-sized — PageRank's justification); at a scale where
+    nodes outgrow broadcast, drop the hints, same shape.  Fixed
+    _BFS_MAX_HOPS rounds unroll with localCheckpoint truncation per
+    level (the k-core re-evaluation lesson)."""
+    from flink_streaming_example_spark.operators.dedup import (
+        _release_checkpoint,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    e = copurchase_half_edges(li, min_support=_SUPPORT).localCheckpoint(
+        eager=True
+    )
+    und = e.selectExpr("p1 AS src", "p2 AS dst").unionByName(
+        e.selectExpr("p2 AS src", "p1 AS dst")
+    )
+    seeds = (
+        und.select(F.col("src").alias("node"))
+        .where(F.col("node") % 100 == 0)
+        .distinct()
+    )
+    frontier = seeds.select("node", F.lit(0).cast("long").alias("d"))
+    frontier = frontier.localCheckpoint(eager=True)
+    visited = frontier
+    for h in range(1, _BFS_MAX_HOPS + 1):
+        nxt = (
+            und.join(
+                F.broadcast(frontier.select(F.col("node").alias("src"))),
+                "src",
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(F.broadcast(visited.select("node")), "node", "left_anti")
+            .select("node", F.lit(h).cast("long").alias("d"))
+        )
+        superseded_f, superseded_v = frontier, visited
+        frontier = nxt.localCheckpoint(eager=True)
+        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+        _release_checkpoint(superseded_f)
+        if superseded_v is not superseded_f:
+            _release_checkpoint(superseded_v)
+    return visited.groupBy(F.col("d").alias("hop")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
     )
