@@ -673,3 +673,143 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("cat_name").alias("best_match"),
         )
     )
+
+
+# ---- scale-join patterns (round 9): the two explicit shuffle-volume
+# controls a 100 TB join plan leans on.  Both keys compute results
+# that are BIT-EQUAL to their plain-join oracles — the techniques
+# change the data movement, never the answer.
+#
+# Bloom prefilter: the runtime-row-filter pattern (Spark's own
+# spark.sql.optimizer.runtimeFilter.* does this behind the scenes for
+# suitable shapes) made explicit: hash the dimension's join keys into
+# a small bit set, broadcast it, and drop fact rows that cannot
+# possibly join BEFORE the shuffle / exact probe.  Bloom filters have
+# no false negatives, so prefilter + exact semi-join == semi-join.
+# At 100 TB the win is shuffle volume: the fact side shrinks by the
+# filter's selectivity for the cost of a ~KB broadcast.
+_BLOOM_BITS = 4096
+_BLOOM_HASHES = 3
+_BLOOM_BAL = 9000.0
+
+
+def _bloom_positions_sql(key_expr: str) -> list[str]:
+    return [
+        f"CAST(CONCAT('0x', substring(md5(CAST({key_expr} AS VARCHAR)"
+        f" || ':{i}'), 1, 8)) AS BIGINT) % {_BLOOM_BITS}"
+        for i in range(1, _BLOOM_HASHES + 1)
+    ]
+
+
+def bloom_positions(key: str) -> list:
+    """The _BLOOM_HASHES md5-derived bit positions for a key column —
+    module-level so tests can probe the filter's selectivity with the
+    exact production hash family."""
+    return [
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(key).cast("string"), F.lit(f":{i}"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _BLOOM_BITS
+        for i in range(1, _BLOOM_HASHES + 1)
+    ]
+
+
+_BLOOM_ORACLE = f"""
+SELECT l_returnflag,
+  CAST(COUNT(*) AS BIGINT) AS n_items,
+  {sql_stable_sum("l_quantity", "sum_qty")}
+FROM lineitem
+WHERE l_suppkey IN
+  (SELECT s_suppkey FROM supplier WHERE s_acctbal > {_BLOOM_BAL})
+GROUP BY l_returnflag
+"""
+
+
+@register("q_bloom_prefilter", oracle=_BLOOM_ORACLE, tags=("join", "scale"))
+def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi join (block comment above): lineitems of
+    high-balance suppliers.  The supplier keys hash into a 4096-bit /
+    3-hash Bloom set (md5-derived positions — the portable integer
+    hash), broadcast as ONE array row; fact rows failing any probe are
+    dropped in-scan, and the survivors take the exact broadcast semi
+    join.  No false negatives => identical to the plain semi join the
+    oracle states; false positives only cost probe work, never
+    correctness.  The test asserts the prefilter actually prunes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") > _BLOOM_BAL
+    )
+
+    bits = (
+        supp.select(
+            F.explode(F.array(*bloom_positions("s_suppkey"))).alias("bit")
+        )
+        .distinct()
+        .agg(F.sort_array(F.collect_set("bit")).alias("bloom"))
+    )
+    probes = bloom_positions("l_suppkey")
+    candidates = li.join(F.broadcast(bits), how="cross").where(
+        F.lit(True)
+        & F.array_contains("bloom", probes[0])
+        & F.array_contains("bloom", probes[1])
+        & F.array_contains("bloom", probes[2])
+    )
+    exact = candidates.join(
+        F.broadcast(supp.select("s_suppkey")),
+        candidates.l_suppkey == F.col("s_suppkey"),
+        "left_semi",
+    )
+    return exact.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        stable_sum("l_quantity", "sum_qty"),
+    )
+
+
+# Salted join: the manual skew mitigation when one join key dominates
+# (AQE's skew-join split handles sort-merge joins it can see; salting
+# is the portable form and the only option inside stateful/streaming
+# plans).  Replicate the dimension R times, scatter the fact side by a
+# row-local salt in [0, R), join on (key, salt): every hot key's rows
+# spread over R tasks instead of one straggler.
+_SALT_R = 8
+
+_SALTED_ORACLE = """
+SELECT p_brand,
+  CAST(COUNT(*) AS BIGINT) AS n_items,
+  {sum_price}
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+""".format(sum_price=sql_stable_sum("l_extendedprice", "sum_price"))
+
+
+@register("q_skew_salted_join", oracle=_SALTED_ORACLE, tags=("join", "scale"))
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact⋈dim join (block comment above): lineitem joined to
+    part on (p_partkey, salt) with salt = l_orderkey % 8 on the fact
+    row and the dimension replicated 8x via an in-row sequence
+    explode.  Bit-equal to the plain join (every fact row still meets
+    its part exactly once); what changes is the key distribution — a
+    hot part's rows land in 8 partitions.  The final brand aggregate
+    is key-agnostic, so the report is identical."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "salt", (F.col("l_orderkey") % _SALT_R).cast("int")
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .select("p_partkey", "p_brand")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(_SALT_R - 1))))
+        .withColumn("salt", F.col("salt").cast("int"))
+    )
+    joined = li.join(
+        part, (li.l_partkey == part.p_partkey) & (li.salt == part.salt)
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        stable_sum("l_extendedprice", "sum_price"),
+    )

@@ -266,3 +266,74 @@ def q_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("min_ts_us"),
         F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("max_ts_us"),
     )
+
+
+_part_cache: dict[str, str] = {}
+
+
+def _cleanup_part_cache() -> None:
+    for path in _part_cache.values():
+        shutil.rmtree(path, ignore_errors=True)
+    _part_cache.clear()
+
+
+atexit.register(_cleanup_part_cache)
+
+
+def events_as_partitioned_parquet(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize events as a Hive-partitioned parquet layout
+    (partitioned by event_type, once per process per sf_dir) — the
+    directory-per-value layout every warehouse table at scale uses so
+    that a partition-key predicate prunes whole directories at
+    PLANNING time, before a single footer is read."""
+    cached = _part_cache.get(sf_dir)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    out = tempfile.mkdtemp(prefix="events_part_")
+    (
+        load_table(spark, sf_dir, "events")
+        # one file per partition value: repartition BY the partition
+        # column first, else every input task writes a file into every
+        # directory (the small-files explosion this layout is usually
+        # blamed for — task-level partitioning is the fix, not fewer
+        # partitions)
+        .repartition("event_type")
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(out)
+    )
+    _part_cache[sf_dir] = out
+    return out
+
+
+_PARTITIONED_ORACLE = """
+SELECT user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+  CAST(SUM(CAST(CAST(CAST(value AS STRING) AS DECIMAL(30,6)) * 1000000
+           AS BIGINT)) AS BIGINT) AS total_micro
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY user_id
+"""
+
+
+@register("q_partitioned_source", oracle=_PARTITIONED_ORACLE, tags=("source", "scale"))
+def q_partitioned_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned scan: events round-trip through a Hive-
+    partitioned parquet layout and the purchase-only report reads ONLY
+    the event_type=purchase directory — the filter is satisfied by the
+    LAYOUT (PartitionFilters in the scan node, asserted on the
+    executed plan by tests/test_sources.py), so scan cost is
+    proportional to the selected partition, not the table.  At 100 TB
+    this is the difference between reading 20% and 100% of the fact
+    table; the same applies to date-partitioned event logs.  The
+    report re-aggregates exact micro-scaled totals so a reader that
+    loses rows or precision in the round-trip cannot hash-match the
+    oracle (which reads the ORIGINAL parquet)."""
+    path = events_as_partitioned_parquet(spark, sf_dir)
+    ev = spark.read.parquet(path).where(F.col("event_type") == "purchase")
+    vi = (F.col("value").cast("decimal(30,6)") * 1000000).cast("long")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(vi).cast("long").alias("total_micro"),
+    )
