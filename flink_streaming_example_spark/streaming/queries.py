@@ -1865,3 +1865,89 @@ def q_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_id", F.expr(EWMA_VI_EXPR).alias("vi_micro")
     )
     return run_to_memory(ewma_stream(ev), spark, output_mode="append")
+
+
+def stratified_bottomk_stream(docs: DataFrame, k: int) -> DataFrame:
+    """Streaming per-stratum bottom-k hash sample — the mergeable-
+    reservoir analogue of operators/sampling.py::q_stratified_sample:
+    keyed state per stratum (lang) is the k lexicographically-smallest
+    (md5(doc_id), doc_id) pairs seen so far, merged per micro-batch —
+    exactly the "partial bottom-k, merge, keep k" sketch the batch
+    docstring names as the distributed form, run incrementally.
+
+    State is CONSTANT per stratum (k pairs), arrival-order-FREE (a
+    bottom-k set is a commutative monoid), and each batch re-emits the
+    current standings tagged with ``batch_seq`` so the bounded replay
+    selects the final emission (the q_streaming_topn idiom).  The
+    Python hash is hashlib.md5 over str(doc_id) — byte-identical to
+    both engines' md5(CAST(doc_id AS VARCHAR)), so the final k-set
+    hash-matches the batch oracle verbatim."""
+    import hashlib as _hashlib
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def bottomk(key, pdfs, state: GroupState):
+        (lang,) = key
+        if state.exists:
+            hs, ids, seq = state.get
+            cur = list(zip(hs, ids))
+        else:
+            cur, seq = [], 0
+        pdf = pd.concat(list(pdfs))
+        for doc_id in pdf["doc_id"]:
+            i = int(doc_id)
+            cur.append((_hashlib.md5(str(i).encode()).hexdigest(), i))
+        cur.sort()
+        cur = cur[:k]
+        seq += 1
+        state.update(([h for h, _ in cur], [i for _, i in cur], seq))
+        yield pd.DataFrame(
+            {
+                "lang": [lang] * len(cur),
+                "doc_id": [i for _, i in cur],
+                "rn": list(range(1, len(cur) + 1)),
+                "batch_seq": [seq] * len(cur),
+            }
+        )
+
+    return docs.select("lang", "doc_id").groupBy("lang").applyInPandasWithState(
+        bottomk,
+        outputStructType="lang string, doc_id long, rn long, batch_seq long",
+        stateStructType="hashes array<string>, ids array<bigint>, seq long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+from flink_streaming_example_spark.operators.sampling import (  # noqa: E402
+    _STRAT_K,
+    _STRAT_ORACLE,
+)
+
+
+@register(
+    "q_streaming_stratified_sample",
+    oracle=_STRAT_ORACLE,
+    tags=("streaming", "sampling", "llm"),
+)
+def q_streaming_stratified_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of q_stratified_sample: exactly-k-per-stratum
+    bottom-k-hash sampling maintained incrementally in keyed state
+    over the document replay (stratified_bottomk_stream above) —
+    shares the batch key's oracle SQL verbatim.  Only each stratum's
+    FINAL emission (max batch_seq) is compared, so parity holds for
+    any micro-batch split of the bounded replay."""
+    docs = documents_file_replay(spark, sf_dir)
+    res = run_to_memory(
+        stratified_bottomk_stream(docs, _STRAT_K), spark, output_mode="update"
+    )
+    final_seq = res.groupBy(F.col("lang").alias("lg")).agg(
+        F.max("batch_seq").alias("max_seq")
+    )
+    return res.join(
+        F.broadcast(final_seq),
+        (res.lang == final_seq.lg) & (res.batch_seq == final_seq.max_seq),
+    ).select("lang", "doc_id", F.col("rn").cast("long").alias("rn"))

@@ -1028,3 +1028,57 @@ def test_streaming_anomaly_prefix_order_across_batches(spark):
     )
     result = compare_frames(final.toPandas(), want.toPandas())
     assert result.ok, result.detail
+
+
+def test_stratified_sample_merges_across_micro_batches(spark):
+    """Bottom-k-per-stratum keyed state must MERGE across batches (a
+    doc arriving in batch n+1 with a smaller hash must evict batch n's
+    k-th member), so the final emission after a sharded replay equals
+    the batch bottom-k exactly — the mergeable-reservoir property
+    q_streaming_stratified_sample's parity relies on."""
+    import glob as _glob
+    import os
+    import shutil as _shutil
+    import time as _time
+
+    from flink_streaming_example_spark.operators.sampling import _STRAT_K
+    from flink_streaming_example_spark.plans.registry import all_specs
+    from flink_streaming_example_spark.streaming.queries import (
+        stratified_bottomk_stream,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = tempfile.mkdtemp(prefix="docs_strat_shards_")
+    base = _time.time() - 3600
+    n = docs.count()
+    step = (n + N_SHARDS - 1) // N_SHARDS
+    for k in range(N_SHARDS):
+        tmp = tempfile.mkdtemp()
+        docs.filter(
+            (F.col("doc_id") >= k * step) & (F.col("doc_id") < (k + 1) * step)
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        (part,) = _glob.glob(f"{tmp}/part-*.parquet")
+        dest = os.path.join(out, f"shard-{k:02d}.parquet")
+        _shutil.move(part, dest)
+        os.utime(dest, (base + k, base + k))
+
+    stream = (
+        spark.readStream.schema(SCHEMAS["documents"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out)
+    )
+    drained, batches = _drain(
+        spark, stratified_bottomk_stream(stream, _STRAT_K), "update"
+    )
+    assert batches >= N_SHARDS
+    final_seq = drained.groupBy(F.col("lang").alias("lg")).agg(
+        F.max("batch_seq").alias("max_seq")
+    )
+    got = drained.join(
+        final_seq,
+        (drained.lang == final_seq.lg)
+        & (drained.batch_seq == final_seq.max_seq),
+    ).select("lang", "doc_id", "rn")
+    want = all_specs()["q_stratified_sample"].fn(spark, SF_DIR)
+    result = compare_frames(got.toPandas(), want.toPandas())
+    assert result.ok, result.detail

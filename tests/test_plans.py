@@ -54,6 +54,7 @@ _STATE_FN_KEYS = {
     "q_streaming_topn",
     "q_streaming_anomaly",
     "q_streaming_ewma",
+    "q_streaming_stratified_sample",
 }
 # Expected state-store operator shape per key (lastProgress
 # stateOperators operatorName); stateless keys must carry NO state.
@@ -80,6 +81,7 @@ _EXPECTED_STATE_OPS = {
     "q_streaming_topn": ["applyInPandasWithState"],
     "q_streaming_anomaly": ["applyInPandasWithState"],
     "q_streaming_ewma": ["applyInPandasWithState"],
+    "q_streaming_stratified_sample": ["applyInPandasWithState"],
 }
 
 
