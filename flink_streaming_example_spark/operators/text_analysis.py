@@ -21,7 +21,7 @@ verifiable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_streaming_example_spark.plans.registry import register
@@ -582,4 +582,117 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_i").cast("long").alias("n_ips"),
         F.sum("n_p").cast("long").alias("n_phones"),
         F.sum("red_len").cast("long").alias("redacted_chars"),
+    )
+
+
+# ---- collocation mining (round 9): PMI-style association scoring of
+# adjacent word pairs — the phrase-detection pass (new-york, machine-
+# learning) an LLM tokenizer/vocabulary pipeline runs over a corpus.
+# PMI itself is a log, and logs do NOT reproduce bit-for-bit across
+# engines; the RANKING is what matters, and exp is monotone, so the
+# operator scores the lift ratio p(xy)/(p(x)p(y)) directly as an
+# exact parts-per-million integer:
+#   score_ppm = n_xy * N * N * 10^6  //  (NB * n_x * n_y)
+# computed in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — numerator
+# peaks ~1e25 at sf0.1, far under both types' 1e38 ceiling; headroom
+# note: at corpus scale (1e12 tokens) the numerator hits ~1e36 —
+# still inside DECIMAL(38,0), but rescale ppm -> permille beyond.
+# A minimum pair support keeps the rare-pair noise PMI is infamous
+# for out of the top ranks.
+_COLL_MIN_SUPPORT = 5
+_COLL_TOP = 30
+
+_COLLOCATIONS_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+), uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY w
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens FROM toks
+), bg AS (
+  SELECT split_part(bigram, ' ', 1) AS w1, split_part(bigram, ' ', 2) AS w2,
+         CAST(COUNT(*) AS BIGINT) AS n_xy
+  FROM (
+    SELECT unnest([t[i] || ' ' || t[i + 1] FOR i IN range(1, len(t))]) AS bigram
+    FROM (SELECT string_split(lower(text), ' ') AS t FROM documents)
+    WHERE len(t) > 1
+  )
+  GROUP BY w1, w2
+), nb AS (
+  SELECT CAST(SUM(n_xy) AS BIGINT) AS n_bigrams FROM bg
+), scored AS (
+  SELECT bg.w1, bg.w2, bg.n_xy,
+    CAST(CAST(bg.n_xy AS HUGEINT) * tot.n_tokens * tot.n_tokens * 1000000
+         // (CAST(nb.n_bigrams AS HUGEINT) * u1.n * u2.n) AS BIGINT)
+      AS score_ppm
+  FROM bg
+  JOIN uni u1 ON bg.w1 = u1.w
+  JOIN uni u2 ON bg.w2 = u2.w
+  CROSS JOIN tot CROSS JOIN nb
+  WHERE bg.n_xy >= {_COLL_MIN_SUPPORT}
+)
+SELECT w1, w2, n_xy, score_ppm, CAST(rn AS INTEGER) AS rn FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY score_ppm DESC, w1, w2) AS rn
+  FROM scored
+) WHERE rn <= {_COLL_TOP}
+"""
+
+
+@register("q_collocations", oracle=_COLLOCATIONS_ORACLE, tags=("text", "llm"))
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by exact integer lift ranking (block comment
+    above): top-30 adjacent word pairs by p(xy)/(p(x)p(y)) in ppm,
+    minimum support 5.  Shares q_bigrams' tail-zip pair build (one
+    hash aggregate, no window); the unigram table is vocabulary-sized
+    — broadcast into both legs — and the two corpus totals ride one
+    broadcast scalar row.  The only global sort is the top-30 over the
+    support-filtered collocation set (vocabulary-bounded, post-filter
+    tiny)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.lower(F.col("text")), " ")
+    toks = docs.select(F.explode(t).alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    pairs = F.arrays_zip(
+        F.slice(t, 1, F.size(t) - 1), F.slice(t, 2, F.size(t) - 1)
+    )
+    bg = (
+        docs.filter(F.size(t) > 1)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+    )
+    scalars = toks.agg(F.count(F.lit(1)).alias("n_tokens")).join(
+        bg.agg(F.sum("n_xy").cast("long").alias("n_bigrams")), how="cross"
+    )
+    scored = (
+        bg.where(F.col("n_xy") >= _COLL_MIN_SUPPORT)
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w1"), F.col("n").alias("n_x"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w2"), F.col("n").alias("n_y"))),
+            "w2",
+        )
+        .join(F.broadcast(scalars), how="cross")
+        .select(
+            "w1",
+            "w2",
+            "n_xy",
+            F.expr(
+                "CAST((CAST(n_xy AS DECIMAL(38,0)) "
+                " * CAST(n_tokens AS DECIMAL(38,0))"
+                " * CAST(n_tokens AS DECIMAL(38,0))"
+                " * CAST(1000000 AS DECIMAL(38,0)))"
+                " div (CAST(n_bigrams AS DECIMAL(38,0))"
+                " * CAST(n_x AS DECIMAL(38,0))"
+                " * CAST(n_y AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("score_ppm"),
+        )
+    )
+    w = Window.orderBy(F.col("score_ppm").desc(), "w1", "w2")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= _COLL_TOP)
     )

@@ -684,3 +684,51 @@ def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("hi"),
         )
     )
+
+
+_PCTRANK_ORACLE = """
+WITH v AS (
+  SELECT c_custkey, c_mktsegment AS segment,
+    CAST(CAST(CAST(c_acctbal AS STRING) AS DECIMAL(30,6)) * 1000000
+         AS BIGINT) AS bal_micros
+  FROM customer
+)
+SELECT c_custkey, segment,
+  CAST(RANK() OVER (PARTITION BY segment ORDER BY bal_micros)
+       AS BIGINT) AS rnk,
+  CAST(COUNT(*) OVER (PARTITION BY segment ORDER BY bal_micros
+       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       AS BIGINT) AS cume_n,
+  CAST(COUNT(*) OVER (PARTITION BY segment) AS BIGINT) AS n_seg
+FROM v
+"""
+
+
+@register("q_percent_rank", oracle=_PCTRANK_ORACLE, tags=("window",))
+def q_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8-depth: percent_rank / cume_dist as exact integer parts —
+    rank, peers-inclusive cumulative count (the cume_dist numerator,
+    via a RANGE frame so ties count together), and the partition size
+    — so percent_rank = (rnk-1)/(n_seg-1) and cume_dist = cume_n/n_seg
+    are ratios the CALLER divides; the engine never emits a float.
+    Quantile-normalization / empirical-CDF feature prep in one window
+    exchange (all three functions share the segment partitioning)."""
+    customer = load_table(spark, sf_dir, "customer")
+    v = customer.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.expr(
+            "CAST(CAST(CAST(c_acctbal AS STRING) AS DECIMAL(30,6)) "
+            "* 1000000 AS BIGINT)"
+        ).alias("bal_micros"),
+    )
+    wo = Window.partitionBy("segment").orderBy("bal_micros")
+    wrange = wo.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy("segment")
+    return v.select(
+        "c_custkey",
+        "segment",
+        F.rank().over(wo).cast("long").alias("rnk"),
+        F.count(F.lit(1)).over(wrange).cast("long").alias("cume_n"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n_seg"),
+    )
