@@ -813,3 +813,94 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         stable_sum("l_extendedprice", "sum_price"),
     )
+
+
+# Bucketed co-located join: the storage-layout answer to the fact-fact
+# shuffle (module docstring's "co-locate by bucketing" note, made
+# concrete).  Both tables are written bucketBy(orderkey) + sortBy into
+# the warehouse ONCE (per process per sf_dir); a join on the bucket
+# key then reads bucket i against bucket i directly — NO exchange on
+# either fact side, the plan's only shuffle is the final small
+# aggregate (asserted on the executed plan by tests/test_scale_joins).
+# At 100 TB this turns the one fact-fact join in the TPC-H-ish schema
+# from two full-table shuffles into zero.
+_BUCKETS = 8
+_bucketed_cache: dict[str, tuple[str, str]] = {}
+
+
+def bucketed_order_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize orders + lineitem as bucketed/sorted warehouse
+    tables (once per process per sf_dir) and return the table names.
+    Bucket count is fixed and EQUAL on both sides — the precondition
+    for Spark to elide both exchanges (and the sortBy elides the
+    per-bucket sort when each bucket lands in one file)."""
+    cached = _bucketed_cache.get(sf_dir)
+    if cached is not None:
+        return cached
+    import hashlib as _hashlib
+
+    tag = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    names = (f"bkt_orders_{tag}", f"bkt_lineitem_{tag}")
+    # The warehouse DIRECTORY outlives the in-memory catalog (no Hive
+    # metastore here), so a fresh process sees an orphan location and
+    # saveAsTable fails with LOCATION_ALREADY_EXISTS.  A registered
+    # table is this process's own write — reuse it; an unregistered
+    # directory is a previous process's leftover — clear it.
+    if all(spark.catalog.tableExists(n) for n in names):
+        _bucketed_cache[sf_dir] = names
+        return names
+    import os as _os
+    import shutil as _shutil
+    from urllib.parse import urlparse as _urlparse
+
+    wh = _urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for n in names:
+        spark.sql(f"DROP TABLE IF EXISTS {n}")
+        _shutil.rmtree(_os.path.join(wh, n), ignore_errors=True)
+    (
+        load_table(spark, sf_dir, "orders")
+        .repartition(_BUCKETS, "o_orderkey")
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(_BUCKETS, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable(names[0])
+    )
+    (
+        load_table(spark, sf_dir, "lineitem")
+        .repartition(_BUCKETS, "l_orderkey")
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(_BUCKETS, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable(names[1])
+    )
+    _bucketed_cache[sf_dir] = names
+    return names
+
+
+_BUCKETED_ORACLE = """
+SELECT o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n_items,
+  {sum_price}
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+""".format(sum_price=sql_stable_sum("l_extendedprice", "sum_price"))
+
+
+@register("q_bucketed_join", oracle=_BUCKETED_ORACLE, tags=("join", "scale"))
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact⋈fact join via bucketing (block comment
+    above): orders⋈lineitem on the order key over co-bucketed
+    warehouse tables, merge-join hinted so the layout (not a
+    broadcast) is what elides the exchanges; per-priority report.
+    Bit-equal to the plain join oracle — bucketing changes WHERE rows
+    sit, never what joins."""
+    o_name, l_name = bucketed_order_tables(spark, sf_dir)
+    o = spark.table(o_name).select("o_orderkey", "o_orderpriority")
+    li = spark.table(l_name).select("l_orderkey", "l_extendedprice")
+    joined = o.hint("merge").join(li, o.o_orderkey == li.l_orderkey)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        stable_sum("l_extendedprice", "sum_price"),
+    )

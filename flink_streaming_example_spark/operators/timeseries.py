@@ -374,3 +374,66 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "corr_den_y"
         ),
     )
+
+
+# ---- time-weighted average (round 9 continuation): the market-data
+# TWAP/TWA metric — each observation weighted by how long it was the
+# CURRENT value (until the next observation), the piecewise-constant
+# integral every tick-data / sensor pipeline computes.  Exactness:
+# value micro-ints times µs gaps overflow BIGINT (1e8 * 2.6e12), so
+# the products accumulate in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB)
+# and the numerator lands as units×µs (the sum DIV 10^6 — exact
+# integer floor both engines, ~1e14 at fixture scale, BIGINT-safe
+# to ~9e18 ≈ a century of µs at value 100).  num/den emitted
+# separately — no division, repo playbook.
+_TWAP_ORACLE = """
+WITH v AS (
+  SELECT user_id,
+    epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+    CAST(CAST(CAST(value AS STRING) AS DECIMAL(30,6)) * 1000000
+         AS BIGINT) AS v_mic,
+    LEAD(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id) AS nt
+  FROM events
+)
+SELECT user_id,
+  CAST(SUM(CAST(v_mic AS HUGEINT) * (nt - t)) // 1000000 AS BIGINT)
+    AS twap_num_unit_us,
+  CAST(SUM(nt - t) AS BIGINT) AS twap_den_us
+FROM v WHERE nt IS NOT NULL
+GROUP BY user_id
+"""
+
+
+@register("q_twap", oracle=_TWAP_ORACLE, tags=("timeseries",))
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user (block comment above): each
+    event's value weighted by its holding interval (lead(ts) - ts);
+    the final observation holds nothing and drops out, matching the
+    closed-interval convention.  One window + one aggregate on the
+    SAME user_id key — the exchange is reused; ties at equal ts get
+    the deterministic (ts, event_id) order and contribute a zero-width
+    interval either way."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr(
+            "CAST(CAST(CAST(value AS STRING) AS DECIMAL(30,6)) * 1000000 "
+            "AS BIGINT)"
+        ).alias("v_mic"),
+    )
+    v = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        "v_mic",
+        F.lead(F.unix_micros(F.col("ts").cast("timestamp"))).over(w).alias("nt"),
+    ).where(F.col("nt").isNotNull())
+    return v.groupBy("user_id").agg(
+        F.expr(
+            "CAST(SUM(CAST(v_mic AS DECIMAL(38,0)) * (nt - t)) "
+            "div 1000000 AS BIGINT)"
+        ).alias("twap_num_unit_us"),
+        F.sum(F.col("nt") - F.col("t")).cast("long").alias("twap_den_us"),
+    )

@@ -98,3 +98,25 @@ def test_partitioned_source_prunes_partitions(spark):
     # and the row-group data filter list must NOT need event_type —
     # the layout satisfied it
     assert df.count() > 0
+
+
+def test_bucketed_join_elides_fact_exchanges(spark):
+    """The whole point of q_bucketed_join: both fact scans are bucketed
+    (Bucketed: true, all buckets selected) and feed the SortMergeJoin
+    directly — the ONLY Exchange node in the plan is the final
+    per-priority aggregate."""
+    import re
+
+    df = _SPECS["q_bucketed_join"].fn(spark, SF_SMOKE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") == 2, "both scans must be bucketed"
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+    assert len(exchanges) == 1, (
+        f"expected only the aggregate exchange, got {len(exchanges)}"
+    )
+    # and the result itself is non-trivial
+    assert df.count() > 0

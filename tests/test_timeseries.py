@@ -212,3 +212,21 @@ def test_triangles_closed_form(spark, tmp_path):
         for r in _SPECS["q_triangles"].fn(spark, str(tmp_path)).collect()
     }
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_twap_closed_form(spark, tmp_path):
+    # value 10 held 1 s, then 20 held 3 s, final observation holds
+    # nothing: num = (10e6*1e6 + 20e6*3e6) // 1e6 units×µs, den = 4e6 µs
+    rows = [
+        (1, 0, "2024-01-01T00:00:00", 10.0),
+        (1, 1, "2024-01-01T00:00:01", 20.0),
+        (1, 2, "2024-01-01T00:00:04", 99.0),
+        (2, 3, "2024-01-01T00:00:00", 7.0),  # single obs -> no interval
+    ]
+    _write_events(rows, str(tmp_path))
+    out = {
+        r["user_id"]: (r["twap_num_unit_us"], r["twap_den_us"])
+        for r in _SPECS["q_twap"].fn(spark, str(tmp_path)).collect()
+    }
+    num = (10_000_000 * 1_000_000 + 20_000_000 * 3_000_000) // 1_000_000
+    assert out == {1: (num, 4_000_000)}
