@@ -182,6 +182,34 @@ SHOWCASE: tuple[tuple[str, str], ...] = (
         "endpoint explode + count — integer-exact, nothing "
         "driver-side.",
     ),
+    (
+        "q_bucketed_join",
+        "Bucketed co-located fact⋈fact join (r9 continuation): both "
+        "scans `Bucketed: true` (8/8 buckets selected) feeding "
+        "`SortMergeJoin` with NO exchange on either side — the only "
+        "Exchange in the plan is the final per-priority aggregate "
+        "(asserted by tests/test_scale_joins.py).  The layout, not a "
+        "broadcast, eliminates the shuffle.",
+    ),
+    (
+        "q_bloom_prefilter",
+        "Runtime-row-filter pattern made explicit (r9 continuation): "
+        "the dimension's keys hashed into a 4096-bit Bloom set "
+        "aggregated to ONE array row, broadcast (BroadcastNestedLoop "
+        "of a scalar side, the repo's seed-broadcast idiom), probed "
+        "with three in-scan array_contains before the exact broadcast "
+        "semi join — fact rows that cannot join die before any "
+        "shuffle; no false negatives, so bit-equal to the semi join.",
+    ),
+    (
+        "q_collocations",
+        "Exact integer PMI-lift collocations (r9 continuation): "
+        "tail-zip bigram build (one hash aggregate), vocabulary-sized "
+        "unigram table BROADCAST into both legs, corpus totals on one "
+        "broadcast scalar row, DECIMAL(38,0) lift arithmetic fully "
+        "JVM-side; the only global sort is the top-30 over the "
+        "support-filtered pair set.",
+    ),
 )
 
 
