@@ -106,17 +106,11 @@ SELECT * FROM (
 """
 
 
-@register("q_funnel_steps", oracle=_FUNNEL_ORACLE, tags=("analytics",))
-def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered funnel conversion: per step, the number of users whose
-    earliest qualifying event STRICTLY follows their previous step's
-    timestamp (signup -> view -> click -> purchase).  Set-based
-    companion to q_cep_funnel's pattern automaton: each stage is a
-    per-user conditional MIN + equi-join on user_id — one partitioning
-    reused down the whole chain (module docstring)."""
-    events = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts"
-    )
+def funnel_steps(events: DataFrame) -> DataFrame:
+    """The funnel core on an arbitrary (user_id, event_type, ts) frame
+    — factored out so the cross-engine property fuzz
+    (tests/test_property.py) can drive it with adversarial tie-heavy
+    timelines; q_funnel_steps feeds it the fixture."""
     prev: DataFrame | None = None
     stages: list[DataFrame] = []
     for step in _FUNNEL_STEPS:
@@ -144,6 +138,21 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in counts[1:]:
         out = out.unionByName(c)
     return out
+
+
+@register("q_funnel_steps", oracle=_FUNNEL_ORACLE, tags=("analytics",))
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion: per step, the number of users whose
+    earliest qualifying event STRICTLY follows their previous step's
+    timestamp (signup -> view -> click -> purchase).  Set-based
+    companion to q_cep_funnel's pattern automaton: each stage is a
+    per-user conditional MIN + equi-join on user_id — one partitioning
+    reused down the whole chain (module docstring)."""
+    return funnel_steps(
+        load_table(spark, sf_dir, "events").select(
+            "user_id", "event_type", "ts"
+        )
+    )
 
 
 _RUNNING_DISTINCT_ORACLE = f"""

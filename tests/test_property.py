@@ -370,3 +370,49 @@ def test_pii_regexes_agree_across_engines(spark, frags):
     ).df()
     result = compare_frames(got, want)
     assert result.ok, result.detail
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),  # user
+            st.sampled_from(["signup", "view", "click", "purchase"]),
+            # coarse offsets make equal timestamps COMMON — the strict
+            # ">" chain is the semantics under fuzz (a step at the same
+            # instant as the previous step must NOT advance the funnel)
+            st.integers(min_value=0, max_value=6),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_funnel_strict_order_matches_duckdb(spark, events):
+    """funnel_steps vs the chained conditional-MIN oracle on
+    tie-heavy timelines: same-instant step pairs, missing steps,
+    out-of-order completions and multi-user interleavings must all
+    agree across engines — the crafted test pins three scenarios,
+    this pins the space."""
+    from flink_streaming_example_spark.operators.analytics import (
+        _FUNNEL_ORACLE,
+        funnel_steps,
+    )
+
+    rows = pd.DataFrame(
+        [
+            (uid, et, pd.Timestamp(1_700_000_000 + off * 60, unit="s"))
+            for uid, et, off in events
+        ],
+        columns=["user_id", "event_type", "ts"],
+    )
+    sdf = spark.createDataFrame(rows)
+    got = funnel_steps(sdf)
+    con = duckdb.connect()
+    con.register("events", rows)
+    want = con.execute(_FUNNEL_ORACLE).df()
+    result = compare_frames(got.toPandas(), want)
+    assert result.ok, result.detail
