@@ -122,14 +122,17 @@ def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("segment"),
         F.col("o_totalprice").cast("string").cast(_DEC).alias("price"),
     )
-    g = fact.agg(
-        F.expr(
-            "CAST(SUM(price) * 1000000 AS BIGINT) div COUNT(*)"
-        ).alias("g_mean_micros")
-    )
     per_seg = fact.groupBy("segment").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.expr("CAST(SUM(price) * 1000000 AS BIGINT)").alias("sum_micros"),
+    )
+    # the global prior folds from the per-segment partials (micro
+    # BIGINTs sum exactly), so the fact join is scanned ONCE — the
+    # oracle states the same number from the raw rows
+    g = per_seg.agg(
+        F.expr(
+            "SUM(sum_micros) div SUM(n_orders)"
+        ).alias("g_mean_micros")
     )
     return per_seg.join(F.broadcast(g), how="cross").select(
         "segment",

@@ -662,7 +662,9 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("n_xy"))
     )
-    scalars = toks.agg(F.count(F.lit(1)).alias("n_tokens")).join(
+    # both corpus totals fold from aggregates already built (N = Σ
+    # unigram counts, NB = Σ pair counts) — no third scan of documents
+    scalars = uni.agg(F.sum("n").cast("long").alias("n_tokens")).join(
         bg.agg(F.sum("n_xy").cast("long").alias("n_bigrams")), how="cross"
     )
     scored = (
