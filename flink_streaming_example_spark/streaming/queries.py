@@ -1951,3 +1951,115 @@ def q_streaming_stratified_sample(
         F.broadcast(final_seq),
         (res.lang == final_seq.lg) & (res.batch_seq == final_seq.max_seq),
     ).select("lang", "doc_id", F.col("rn").cast("long").alias("rn"))
+
+
+def funnel_stream(ev: DataFrame) -> DataFrame:
+    """Streaming funnel automaton — the keyed-ValueState form of
+    operators/analytics.py::funnel_steps: per user, state is (stage
+    reached, µs timestamp of the stage-completing event), advanced by
+    processing events in (ts, event_id) order.  Greedy time-order
+    advancement computes exactly the chained conditional MINs (the
+    earliest signup is taken when it streams past; the earliest
+    STRICTLY-later view after it; and so on), so the drained final
+    stages reproduce the batch funnel bit-for-bit — the key shares
+    q_funnel_steps' oracle verbatim after the per-step rollup.
+
+    Ties are the subtle case and resolve identically to the oracle's
+    strict `>`: a next-step event at the SAME µs as the stage's
+    completion fails `t_us > t` whichever side of the intra-batch sort
+    it lands on.  State per user is two BIGINTs + a seq — constant,
+    watermark-free; prefix-order across batches needs time-ordered
+    shards (anomaly kernel's contract; multibatch-tested)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    steps = {s: i + 1 for i, s in enumerate(_FUNNEL_STEP_NAMES)}
+
+    def advance(key, pdfs, state: GroupState):
+        (user_id,) = key
+        stage, t, seq = state.get if state.exists else (0, -1, 0)
+        stage, t, seq = int(stage), int(t), int(seq)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["t_us", "event_id"])
+            for et, tu in zip(pdf["event_type"], pdf["t_us"]):
+                want = steps.get(et)
+                if want == stage + 1 and (stage == 0 or int(tu) > t):
+                    stage, t = want, int(tu)
+        seq += 1
+        state.update((stage, t, seq))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "stage": [stage],
+                "batch_seq": [seq],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        advance,
+        outputStructType="user_id long, stage long, batch_seq long",
+        stateStructType="stage long, t long, seq long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def funnel_stage_rollup(final_stages: DataFrame) -> DataFrame:
+    """Per-step user counts from final per-user stages: a user at
+    stage s counts toward every step k <= s — one in-row sequence
+    explode + hash aggregate, names mapped JVM-side (sequence(1, 0)
+    would generate DESCENDING [1, 0], so stage-0 users are filtered,
+    not exploded)."""
+    names = F.array(*[F.lit(s) for s in _FUNNEL_STEP_NAMES])
+    counts = (
+        final_stages.where(F.col("stage") >= 1)
+        .select(
+            F.explode(F.sequence(F.lit(1), F.col("stage"))).alias("step_order")
+        )
+        .groupBy("step_order")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    # static 4-row step spine: the batch funnel (and its oracle) emit
+    # a 0-count row for an unreached step; the rollup must too
+    spine = final_stages.sparkSession.range(
+        1, len(_FUNNEL_STEP_NAMES) + 1
+    ).select(F.col("id").alias("step_order"))
+    return spine.join(counts, "step_order", "left").select(
+        F.col("step_order").cast("long").alias("step_order"),
+        F.element_at(names, F.col("step_order").cast("int")).alias("step"),
+        F.coalesce("n_users", F.lit(0)).cast("long").alias("n_users"),
+    )
+
+
+from flink_streaming_example_spark.operators.analytics import (  # noqa: E402
+    _FUNNEL_ORACLE as _STREAM_FUNNEL_ORACLE,
+    _FUNNEL_STEPS as _FUNNEL_STEP_NAMES,
+)
+
+
+@register(
+    "q_streaming_funnel", oracle=_STREAM_FUNNEL_ORACLE, tags=("streaming",)
+)
+def q_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_funnel_steps (funnel_stream above): the
+    per-user funnel stage lives in keyed state and advances greedily
+    in event-time order; after the drain, each user's FINAL emission
+    (max batch_seq) rolls up to per-step counts — sharing the batch
+    key's chained-MIN oracle verbatim."""
+    ev = events_file_replay(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+    )
+    res = run_to_memory(funnel_stream(ev), spark, output_mode="update")
+    final_seq = res.groupBy(F.col("user_id").alias("uid")).agg(
+        F.max("batch_seq").alias("max_seq")
+    )
+    finals = res.join(
+        F.broadcast(final_seq),
+        (res.user_id == final_seq.uid) & (res.batch_seq == final_seq.max_seq),
+    ).select("user_id", "stage")
+    return funnel_stage_rollup(finals)

@@ -1082,3 +1082,41 @@ def test_stratified_sample_merges_across_micro_batches(spark):
     want = all_specs()["q_stratified_sample"].fn(spark, SF_DIR)
     result = compare_frames(got.toPandas(), want.toPandas())
     assert result.ok, result.detail
+
+
+def test_streaming_funnel_across_micro_batches(spark, time_ordered_shards_dir):
+    """The funnel automaton's stage must advance across batch
+    boundaries exactly as the batch chained-MINs compute it — a user
+    whose signup lands in batch 1 and whose first strictly-later view
+    lands in batch 4 still converts.  Time-ordered shards preserve the
+    prefix-order contract (the anomaly kernel's)."""
+    from flink_streaming_example_spark.operators.analytics import funnel_steps
+    from flink_streaming_example_spark.streaming.queries import (
+        funnel_stage_rollup,
+        funnel_stream,
+    )
+
+    ev = _replay(spark, time_ordered_shards_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+    )
+    drained, batches = _drain(spark, funnel_stream(ev), "update")
+    assert batches >= N_SHARDS
+    final_seq = drained.groupBy(F.col("user_id").alias("uid")).agg(
+        F.max("batch_seq").alias("max_seq")
+    )
+    finals = drained.join(
+        final_seq,
+        (drained.user_id == final_seq.uid)
+        & (drained.batch_seq == final_seq.max_seq),
+    ).select("user_id", "stage")
+    got = funnel_stage_rollup(finals)
+    want = funnel_steps(
+        load_table(spark, SF_DIR, "events").select(
+            "user_id", "event_type", "ts"
+        )
+    )
+    result = compare_frames(got.toPandas(), want.toPandas())
+    assert result.ok, result.detail
