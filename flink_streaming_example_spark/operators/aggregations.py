@@ -505,3 +505,154 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").cast("double").alias("lo"),
         F.max("o_totalprice").cast("double").alias("hi"),
     )
+
+
+_MODE_ORACLE = """
+WITH c AS (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, user_id
+), m AS (
+  SELECT event_type, MAX(n) AS n FROM c GROUP BY event_type
+)
+SELECT c.event_type, CAST(MIN(c.user_id) AS BIGINT) AS mode_user,
+  c.n AS n_events
+FROM c JOIN m ON c.event_type = m.event_type AND c.n = m.n
+GROUP BY c.event_type, c.n
+"""
+
+
+@register("q_mode_per_key", oracle=_MODE_ORACLE, tags=("agg",))
+def q_mode_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-depth: deterministic per-group mode — the heaviest user per
+    event type, smallest user_id on ties.  Two hash aggregates plus an
+    equi-join on (event_type, n): the max-count table is
+    key-cardinality-sized, so the join back is a broadcast at any
+    scale, and no windowed sort ever touches the (type, user) counts.
+    The tie rule is a total order (count DESC, user ASC), never
+    "first seen" — same discipline as A2's reduce survivor."""
+    events = load_table(spark, sf_dir, "events")
+    c = events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m = c.groupBy("event_type").agg(F.max("n").alias("n"))
+    return (
+        c.join(F.broadcast(m), ["event_type", "n"])
+        .groupBy("event_type", "n")
+        .agg(F.min("user_id").cast("long").alias("mode_user"))
+        .select("event_type", "mode_user", F.col("n").alias("n_events"))
+    )
+
+
+# Lower-median selection: the element at sorted position (n+1) DIV 2.
+# Selection-by-position on a value-sorted multiset is deterministic
+# even though row_number's tie order isn't — equal values make every
+# tie permutation yield the same selected VALUE (q_percentile_exact's
+# integer-rank discipline, applied twice).
+_MAD_ORACLE = """
+WITH v AS (
+  SELECT event_type,
+    CAST(CAST(CAST(value AS STRING) AS DECIMAL(30,6)) * 1000000 AS BIGINT)
+      AS vi
+  FROM events
+), r1 AS (
+  SELECT event_type, vi,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY vi) AS rn,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+), med AS (
+  SELECT event_type, vi AS med_micro, n FROM r1 WHERE rn = (n + 1) // 2
+), d AS (
+  SELECT v.event_type, ABS(v.vi - med.med_micro) AS av, med.med_micro,
+         med.n
+  FROM v JOIN med ON v.event_type = med.event_type
+), r2 AS (
+  SELECT event_type, av, med_micro, n,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY av) AS rn
+  FROM d
+)
+SELECT event_type, CAST(med_micro AS BIGINT) AS med_micro,
+  CAST(av AS BIGINT) AS mad_micro, CAST(n AS BIGINT) AS n_events
+FROM r2 WHERE rn = (n + 1) // 2
+"""
+
+
+@register("q_mad", oracle=_MAD_ORACLE, tags=("agg",))
+def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-depth: median absolute deviation — the robust dispersion
+    statistic — per event type, exact in micro-scaled integers
+    (double→decimal shortest-repr parity, functions/stable.py).  Two
+    grouped-window passes (median of values, then median of absolute
+    deviations around it), each a PER-GROUP sort — distributed across
+    event types, never a global window.  The median-value broadcast
+    join is key-cardinality-sized."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    v = events.select(
+        "event_type",
+        (F.col("value").cast("decimal(30,6)") * 1000000)
+        .cast("long")
+        .alias("vi"),
+    )
+    w1 = Window.partitionBy("event_type").orderBy("vi")
+    wn = Window.partitionBy("event_type")
+    r1 = v.select(
+        "event_type",
+        "vi",
+        F.row_number().over(w1).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = r1.where(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "event_type", F.col("vi").alias("med_micro"), "n"
+    )
+    d = v.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(F.col("vi") - F.col("med_micro")).alias("av"),
+        "med_micro",
+        "n",
+    )
+    w2 = Window.partitionBy("event_type").orderBy("av")
+    r2 = d.withColumn("rn", F.row_number().over(w2))
+    return r2.where(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "event_type",
+        F.col("med_micro").cast("long").alias("med_micro"),
+        F.col("av").cast("long").alias("mad_micro"),
+        F.col("n").cast("long").alias("n_events"),
+    )
+
+
+# Gini impurity 1 - sum(p_i^2) is rational in the class counts:
+# num/den = (n^2 - sum c_i^2) / n^2.  Emitted as integer parts — no
+# float division to drift cross-engine.  BIGINT headroom: n^2
+# overflows past n ~ 3e9 rows per group; at that scale widen the
+# arithmetic to DECIMAL(38,0) internally and emit the ratio scaled.
+_GINI_ORACLE = """
+WITH c AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY source, lang
+)
+SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
+  CAST(COUNT(*) AS BIGINT) AS n_langs,
+  CAST(SUM(n) * SUM(n) - SUM(n * n) AS BIGINT) AS gini_num,
+  CAST(SUM(n) * SUM(n) AS BIGINT) AS gini_den
+FROM c GROUP BY source
+"""
+
+
+@register("q_gini_impurity", oracle=_GINI_ORACLE, tags=("agg",))
+def q_gini_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-depth: Gini impurity of each source's language mix —
+    1 − Σp² as exact integer numerator/denominator (comment above).
+    The class-count table is (source × lang)-sized, so the second
+    aggregate is vocabulary-scale; the only data-scale pass is the
+    first hash aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    return c.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        (F.sum("n") * F.sum("n") - F.sum(F.col("n") * F.col("n")))
+        .cast("long")
+        .alias("gini_num"),
+        (F.sum("n") * F.sum("n")).cast("long").alias("gini_den"),
+    )

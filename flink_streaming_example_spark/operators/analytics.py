@@ -174,6 +174,278 @@ FROM active a LEFT JOIN new_per_day n ON a.day = n.day
 """
 
 
+_TRANSITIONS_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_type,
+    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type,
+  CAST(COUNT(*) AS BIGINT) AS n_trans,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM o WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+"""
+
+
+@register("q_path_transitions", oracle=_TRANSITIONS_ORACLE, tags=("analytics",))
+def q_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over each user's event
+    timeline: for consecutive events of a user (ordered by ts with
+    event_id as the unique tiebreak), count every prev_type→next_type
+    edge and the distinct users traversing it.  One shuffle keyed by
+    user_id for the lag window, then a vocabulary²-sized aggregate —
+    the transition matrix behind "users who did X next did Y"."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = events.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        o.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_trans"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+        )
+    )
+
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # same 30-min inactivity gap as W3
+_PATH_CAP = 8
+
+_SESSION_PATHS_ORACLE = f"""
+WITH b AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events
+), l AS (
+  SELECT *, LAG(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+    AS prev_tus FROM b
+), s AS (
+  SELECT *, SUM(CASE WHEN prev_tus IS NULL
+                      OR tus - prev_tus > {_SESSION_GAP_US}
+                 THEN 1 ELSE 0 END)
+    OVER (PARTITION BY user_id ORDER BY tus, event_id
+          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM l
+), p AS (
+  SELECT user_id, sess,
+    array_to_string(
+      (list(event_type ORDER BY tus, event_id))[1:{_PATH_CAP}], '>') AS path
+  FROM s GROUP BY user_id, sess
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM p GROUP BY path
+"""
+
+
+def session_paths(d: DataFrame) -> DataFrame:
+    """The sessionize-and-join core on an arbitrary (user_id,
+    event_id, event_type, tus) frame — factored out so the semantic
+    tests can drive it with crafted gap-boundary / cap-overflow
+    timelines; q_session_paths feeds it the fixture."""
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    d = d.withColumn("prev_tus", F.lag("tus").over(w))
+    d = d.withColumn(
+        "sess",
+        F.sum(
+            (
+                F.col("prev_tus").isNull()
+                | (F.col("tus") - F.col("prev_tus") > F.lit(_SESSION_GAP_US))
+            ).cast("long")
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    paths = d.groupBy("user_id", "sess").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(F.struct("tus", "event_id", "event_type"))
+                    ),
+                    1,
+                    _PATH_CAP,
+                ),
+                lambda x: x["event_type"],
+            ),
+        ).alias("path")
+    )
+    return paths.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+@register("q_session_paths", oracle=_SESSION_PATHS_ORACLE, tags=("analytics",))
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top click-paths: gap-sessionize each user's timeline (30-min
+    inactivity, the W3 rule), join the session's first 8 (_PATH_CAP)
+    event types into a '>'-separated path string, and count sessions
+    and distinct users per path.  The cap bounds the path vocabulary
+    (and the per-session array) regardless of session length; both
+    windows and the path build share ONE user_id partitioning, and the
+    final aggregate's cardinality is the path vocabulary — tiny."""
+    events = load_table(spark, sf_dir, "events")
+    return session_paths(
+        events.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        )
+    )
+
+
+_ROLLING_ACTIVE_ORACLE = f"""
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_DAY_US} AS day FROM events
+), mx AS (
+  SELECT MAX(day) AS m FROM d
+), r AS (
+  SELECT d.user_id, d.day + g.i AS day FROM d, range(0, 7) g(i), mx
+  WHERE d.day + g.i <= mx.m
+), wau AS (
+  SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau7
+  FROM r GROUP BY day
+), dau AS (
+  SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+  FROM d GROUP BY day
+)
+SELECT w.day, COALESCE(dau.dau, 0) AS dau, w.wau7
+FROM wau w LEFT JOIN dau ON w.day = dau.day
+"""
+
+
+@register("q_rolling_active_users", oracle=_ROLLING_ACTIVE_ORACLE, tags=("analytics",))
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / rolling 7-day WAU per day.  A rolling COUNT(DISTINCT)
+    admits no window form; the scalable identity is the day-stamp
+    explode: each distinct (user, active-day) pair contributes the
+    user to the 7 window-END days it keeps active, so WAU(d) =
+    COUNT(DISTINCT user) over stamps landing on d.  Data volume is
+    7 × |distinct pairs| — a constant fan-out, all hash aggregates,
+    no global window anywhere.  Trailing stamps past the last
+    observed day are trimmed against a broadcast scalar max."""
+    events = load_table(spark, sf_dir, "events")
+    d = (
+        events.select(
+            "user_id",
+            F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) div {_DAY_US}").alias("day"),
+        )
+        .distinct()
+    )
+    mx = d.agg(F.max("day").alias("m"))
+    r = (
+        d.crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("day"),
+            "m",
+        )
+        .where(F.col("day") <= F.col("m"))
+    )
+    wau = r.groupBy("day").agg(
+        F.count_distinct("user_id").cast("long").alias("wau7")
+    )
+    dau = d.groupBy("day").agg(
+        F.count_distinct("user_id").cast("long").alias("dau")
+    )
+    return wau.join(dau, "day", "left").select(
+        "day", F.coalesce(F.col("dau"), F.lit(0)).cast("long").alias("dau"), "wau7"
+    )
+
+
+# Pareto banding: band = rev_cents >> 20 (~$10k-wide revenue bands).
+# Band index is monotone in revenue, so global descending order =
+# (band DESC, rev DESC, custkey ASC) and ties can never straddle a
+# band boundary (equal revenue -> equal band).
+_PARETO_SHIFT = 20
+
+_PARETO_ORACLE = """
+WITH rev AS (
+  SELECT o_custkey AS c_custkey,
+    CAST(SUM(CAST(CAST(CAST(o_totalprice AS STRING) AS DECIMAL(30,6)) * 100
+              AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM orders GROUP BY o_custkey
+), c AS (
+  SELECT c_custkey, rev_cents,
+    CAST(SUM(rev_cents) OVER (ORDER BY rev_cents DESC, c_custkey
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+  FROM rev
+)
+SELECT c_custkey, rev_cents, cum_cents,
+  CAST(cum_cents * 5 <= (SELECT SUM(rev_cents) FROM rev) * 4 AS BIGINT)
+    AS in_top80
+FROM c
+"""
+
+
+def pareto_cum(rev: DataFrame) -> DataFrame:
+    """The banded distributed prefix-sum on an arbitrary (c_custkey,
+    rev_cents) frame — factored out so the property fuzz can hammer
+    band-boundary ties against a plain global-window reference;
+    q_pareto feeds it the orders revenue rollup."""
+    rev = rev.withColumn("band", F.shiftright(F.col("rev_cents"), _PARETO_SHIFT))
+    wl = (
+        Window.partitionBy("band")
+        .orderBy(F.desc("rev_cents"), F.asc("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    rev = rev.withColumn("local_cum", F.sum("rev_cents").over(wl))
+    bands = rev.groupBy("band").agg(F.sum("rev_cents").alias("band_total"))
+    wb = Window.orderBy(F.desc("band")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bands = bands.select(
+        "band",
+        F.coalesce(F.sum("band_total").over(wb), F.lit(0)).alias("band_off"),
+    )
+    total = rev.agg(F.sum("rev_cents").alias("grand_total"))
+    return (
+        rev.join(F.broadcast(bands), "band")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "c_custkey",
+            "rev_cents",
+            (F.col("band_off") + F.col("local_cum")).alias("cum_cents"),
+            (
+                (F.col("band_off") + F.col("local_cum")) * 5
+                <= F.col("grand_total") * 4
+            )
+            .cast("long")
+            .alias("in_top80"),
+        )
+    )
+
+
+@register("q_pareto", oracle=_PARETO_ORACLE, tags=("analytics",))
+def q_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (the 80/20 report): customers ranked by
+    exact revenue-in-cents, cumulative revenue down the ranking, and
+    an in_top80 flag for the prefix covering ≤80% of total revenue.
+
+    A global running sum is the textbook single-partition-window trap;
+    this is the distributed two-pass form instead: band rows by
+    revenue magnitude (rev_cents >> 20 — _PARETO_SHIFT — monotone in
+    revenue), compute the running sum WITHIN each band (partitioned
+    window), aggregate one total per band, prefix-sum the band totals
+    on the band-count-sized side (hundreds of rows at any scale), and
+    broadcast the exclusive band offsets back.  cum = band_offset +
+    local_cum — bit-equal to the oracle's global window, with no
+    data-scale single-partition stage anywhere.  Revenue is summed in
+    integer cents via the shortest-repr decimal cast (functions/
+    stable.py parity note)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(30,6)") * 100).cast("long")
+    rev = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.sum(cents).alias("rev_cents")
+    )
+    return pareto_cum(rev)
+
+
 @register("q_running_distinct", oracle=_RUNNING_DISTINCT_ORACLE, tags=("analytics",))
 def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily active users + cumulative distinct users ever seen.

@@ -698,3 +698,46 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= _COLL_TOP)
     )
+
+
+# Posting lists are capped at 20 doc_ids so the emitted row stays
+# bounded no matter how common the token is; df_docs keeps the true
+# document frequency.  Both engines sort the distinct doc_id set
+# ascending before slicing, so the cap is deterministic.
+_INVERTED_INDEX_ORACLE = """
+WITH t AS (
+  SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS token, doc_id
+  FROM documents
+), p AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df_docs,
+    array_to_string((list(doc_id ORDER BY doc_id))[1:20], ',') AS postings
+  FROM t GROUP BY token
+)
+SELECT * FROM p WHERE df_docs >= 3
+"""
+
+
+@register("q_inverted_index", oracle=_INVERTED_INDEX_ORACLE, tags=("text",))
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4j: inverted index construction — token → sorted posting list
+    of the documents containing it (first 20 ids) plus the true
+    document frequency, for tokens appearing in ≥3 docs.  The shape
+    every search/retrieval layer builds from a corpus: explode +
+    distinct (one shuffle keyed by token,doc — map-side partial dedup
+    first), then a per-token sort of an already-deduped, cap-bounded
+    list.  No global sort; posting rows are vocabulary-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+            "doc_id",
+        )
+        .distinct()
+    )
+    p = t.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df_docs"),
+        F.concat_ws(
+            ",", F.slice(F.array_sort(F.collect_list("doc_id")), 1, 20)
+        ).alias("postings"),
+    )
+    return p.where(F.col("df_docs") >= 3)

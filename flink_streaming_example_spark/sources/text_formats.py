@@ -337,3 +337,83 @@ def q_partitioned_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_purchases"),
         F.sum(vi).cast("long").alias("total_micro"),
     )
+
+
+_evolved_cache: dict[str, str] = {}
+
+
+def _cleanup_evolved_cache() -> None:
+    for path in _evolved_cache.values():
+        shutil.rmtree(path, ignore_errors=True)
+    _evolved_cache.clear()
+
+
+atexit.register(_cleanup_evolved_cache)
+
+
+def documents_as_evolved_parquet(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize documents as a two-generation parquet layout (once
+    per process per sf_dir): generation v1 (even doc_ids) was written
+    before a schema migration and carries (doc_id, lang, source,
+    n_chars); generation v2 (odd doc_ids) adds a BIGINT `quality`
+    column (deterministically n_chars % 97, so the oracle can
+    recompute it from the base table).  This is the layout every
+    long-lived warehouse table grows into — old files never
+    rewritten, new columns appearing partway through history."""
+    cached = _evolved_cache.get(sf_dir)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    out = tempfile.mkdtemp(prefix="docs_evolved_")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    docs.where(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(
+        os.path.join(out, "gen=v1")
+    )
+    docs.where(F.col("doc_id") % 2 == 1).withColumn(
+        "quality", (F.col("n_chars") % 97).cast("long")
+    ).write.mode("overwrite").parquet(os.path.join(out, "gen=v2"))
+    _evolved_cache[sf_dir] = out
+    return out
+
+
+_EVOLVED_ORACLE = """
+SELECT lang,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars % 97 ELSE 0 END)
+       AS BIGINT) AS quality_sum,
+  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_with_quality
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("q_schema_evolution", oracle=_EVOLVED_ORACLE, tags=("source",))
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-depth: schema-evolution read — `mergeSchema=true` over a
+    parquet table whose later files added a `quality` column
+    (documents_as_evolved_parquet).  The merged scan presents the
+    union schema with NULLs for pre-migration files; the report
+    aggregates both a base column across generations and the new
+    column's sum + presence count, so a reader that drops old files,
+    refuses the union, or zero-fills instead of NULL-filling cannot
+    hash-match the oracle (which recomputes the v2-only column from
+    the base table's generative rule).  Cost note for 100 TB: schema
+    merge reads every file footer at planning time — production
+    tables should pin the merged schema in a catalog; this key proves
+    the read path, not the planning default (tables.py declares
+    schemas explicitly for exactly that reason)."""
+    path = documents_as_evolved_parquet(spark, sf_dir)
+    docs = spark.read.option("mergeSchema", "true").option(
+        "recursiveFileLookup", "false"
+    ).parquet(path)
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(F.coalesce(F.col("quality"), F.lit(0)))
+        .cast("long")
+        .alias("quality_sum"),
+        F.count("quality").cast("long").alias("n_with_quality"),
+    )

@@ -2063,3 +2063,83 @@ def q_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         (res.user_id == final_seq.uid) & (res.batch_seq == final_seq.max_seq),
     ).select("user_id", "stage")
     return funnel_stage_rollup(finals)
+
+
+_STREAM_TRANSITIONS_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_id, event_type,
+    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS prev_type
+  FROM events
+)
+SELECT user_id, event_id, prev_type, event_type AS next_type
+FROM o WHERE prev_type IS NOT NULL
+"""
+
+
+def transitions_stream(ev: DataFrame) -> DataFrame:
+    """The last-event kernel behind q_streaming_transitions: per key,
+    state is ONE string (the type of the latest event seen), and each
+    arriving event emits the (prev → next) edge it completes.  Input:
+    a streaming frame with (user_id, ts, event_id, event_type)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def link(key, pdfs, state: GroupState):
+        (user_id,) = key
+        last = state.get[0] if state.exists else None
+        ids, prevs, nexts = [], [], []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for eid, etype in zip(pdf["event_id"], pdf["event_type"]):
+                if last is not None:
+                    ids.append(int(eid))
+                    prevs.append(last)
+                    nexts.append(str(etype))
+                last = str(etype)
+        if last is not None:
+            state.update((last,))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(ids),
+                "event_id": ids,
+                "prev_type": prevs,
+                "next_type": nexts,
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        link,
+        outputStructType=(
+            "user_id long, event_id long, prev_type string, next_type string"
+        ),
+        stateStructType="last_type string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@register(
+    "q_streaming_transitions",
+    oracle=_STREAM_TRANSITIONS_ORACLE,
+    tags=("streaming",),
+)
+def q_streaming_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_path_transitions' edge extraction — the
+    Flink keyed ProcessFunction whose ValueState is just the previous
+    element (the canonical 'pattern-smell detector' example): every
+    event emits the transition edge it completes against the key's
+    last event and replaces it.  Emission is append-mode (each edge
+    exactly once); the batch aggregation to a transition MATRIX is
+    q_path_transitions — this key keeps the edge log, which is what a
+    downstream sessionizer or CEP stage would consume.  State per key
+    is one short string — constant, watermark-free; prefix order
+    across batches is preserved by the time-ordered replay exactly as
+    in q_streaming_anomaly (multibatch shards sort by (ts, event_id)
+    within each batch)."""
+    ev = events_file_replay(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return run_to_memory(transitions_stream(ev), spark, output_mode="append")

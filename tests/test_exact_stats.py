@@ -1,0 +1,126 @@
+"""Independent recomputation checks for the round-9 exact-statistics
+keys (mode / MAD / Gini / inverted index / schema evolution) — the
+operators' DEFINITIONS re-derived in plain Python over the same
+fixture, so an oracle that merely mirrors a wrong formula can't
+self-confirm (test_parity proves cross-engine equality; these prove
+the statistic itself)."""
+
+from __future__ import annotations
+
+from collections import Counter
+from decimal import Decimal
+
+from flink_streaming_example_spark.plans.registry import all_specs
+
+_SPECS = all_specs()
+
+
+def _lower_median(sorted_vals):
+    n = len(sorted_vals)
+    return sorted_vals[(n + 1) // 2 - 1]
+
+
+def test_mode_per_key_definition(spark, duck, sf_dir):
+    got = {
+        r["event_type"]: (r["mode_user"], r["n_events"])
+        for r in _SPECS["q_mode_per_key"].fn(spark, sf_dir).collect()
+    }
+    rows = duck.execute(
+        "SELECT event_type, user_id, COUNT(*) FROM events GROUP BY 1, 2"
+    ).fetchall()
+    per_type: dict[str, Counter] = {}
+    for et, uid, n in rows:
+        per_type.setdefault(et, Counter())[uid] = n
+    assert set(got) == set(per_type)
+    for et, counts in per_type.items():
+        best_n = max(counts.values())
+        best_user = min(u for u, n in counts.items() if n == best_n)
+        assert got[et] == (best_user, best_n), et
+
+
+def test_mad_definition(spark, duck, sf_dir):
+    """med = lower median of micro-scaled values; mad = lower median
+    of |v - med| — recomputed with Python ints from the raw doubles
+    via the same shortest-repr decimal scaling."""
+    got = {
+        r["event_type"]: (r["med_micro"], r["mad_micro"], r["n_events"])
+        for r in _SPECS["q_mad"].fn(spark, sf_dir).collect()
+    }
+    rows = duck.execute(
+        "SELECT event_type, value FROM events"
+    ).fetchall()
+    per_type: dict[str, list[int]] = {}
+    for et, v in rows:
+        vi = int(Decimal(repr(v)).scaleb(6).to_integral_value())
+        per_type.setdefault(et, []).append(vi)
+    assert set(got) == set(per_type)
+    for et, vals in per_type.items():
+        vals.sort()
+        med = _lower_median(vals)
+        mad = _lower_median(sorted(abs(v - med) for v in vals))
+        assert got[et] == (med, mad, len(vals)), et
+
+
+def test_gini_impurity_definition(spark, duck, sf_dir):
+    got = {
+        r["source"]: (r["n_docs"], r["n_langs"], r["gini_num"], r["gini_den"])
+        for r in _SPECS["q_gini_impurity"].fn(spark, sf_dir).collect()
+    }
+    rows = duck.execute(
+        "SELECT source, lang, COUNT(*) FROM documents GROUP BY 1, 2"
+    ).fetchall()
+    per_src: dict[str, list[int]] = {}
+    for src, _, n in rows:
+        per_src.setdefault(src, []).append(n)
+    assert set(got) == set(per_src)
+    for src, counts in per_src.items():
+        n = sum(counts)
+        num = n * n - sum(c * c for c in counts)
+        assert got[src] == (n, len(counts), num, n * n), src
+        # impurity is a probability-scaled quantity: 0 <= num/den < 1
+        assert 0 <= num < n * n
+
+
+def test_inverted_index_postings(spark, duck, sf_dir):
+    """df_docs is the true document frequency; postings are the 20
+    SMALLEST doc_ids containing the token, ascending."""
+    pdf = _SPECS["q_inverted_index"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    sample = pdf.sort_values("df_docs", ascending=False).head(5)
+    for _, r in sample.iterrows():
+        docs = [
+            d
+            for (d,) in duck.execute(
+                """
+                SELECT DISTINCT doc_id FROM (
+                  SELECT doc_id,
+                    unnest(string_split(lower(text), ' ')) AS tok
+                  FROM documents) WHERE tok = ? ORDER BY doc_id
+                """,
+                [r["token"]],
+            ).fetchall()
+        ]
+        assert r["df_docs"] == len(docs) >= 3
+        assert r["postings"] == ",".join(str(d) for d in docs[:20])
+
+
+def test_schema_evolution_null_fill(spark, sf_dir):
+    """The merged scan must NULL-fill `quality` for v1 files (count of
+    non-null quality == odd-doc_id count) and keep every base row."""
+    from pyspark.sql import functions as F
+
+    from flink_streaming_example_spark.sources.tables import load_table
+    from flink_streaming_example_spark.sources.text_formats import (
+        documents_as_evolved_parquet,
+    )
+
+    path = documents_as_evolved_parquet(spark, sf_dir)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    base = load_table(spark, sf_dir, "documents")
+    n_total = base.count()
+    n_odd = base.where(F.col("doc_id") % 2 == 1).count()
+    assert merged.count() == n_total
+    assert merged.where(F.col("quality").isNotNull()).count() == n_odd
+    assert merged.where(
+        (F.col("doc_id") % 2 == 0) & F.col("quality").isNotNull()
+    ).count() == 0

@@ -261,3 +261,92 @@ def test_running_distinct_fixture_invariants(spark):
 
     total = load_table(spark, SF_DIR, "events").select("user_id").distinct().count()
     assert cums[-1] == total
+
+
+# ---- round-9 wave C: paths / pareto / rolling-active semantics ----
+
+
+def test_session_paths_gap_boundary_and_cap(spark):
+    """Exact-gap events stay in one session (rule is STRICTLY > gap);
+    gap+1µs splits; the path joins at most 8 types in (tus, event_id)
+    order with event_id breaking a timestamp tie."""
+    from flink_streaming_example_spark.operators.analytics import (
+        _SESSION_GAP_US,
+        session_paths,
+    )
+
+    G = _SESSION_GAP_US
+    rows = []
+    # user 1: 12-event session, 1s apart -> path capped at 8
+    rows += [(1, i, f"t{i}", 1_700_000_000_000_000 + i * 1_000_000)
+             for i in range(12)]
+    # user 2: exact-gap chain a->b (delta == G, same session), then
+    # b ->(G+1) c (new session)
+    base = 1_700_000_000_000_000
+    rows += [(2, 100, "a", base), (2, 101, "b", base + G),
+             (2, 102, "c", base + G + G + 1)]
+    # user 3: two events at the SAME tus — event_id orders them
+    rows += [(3, 201, "second", base), (3, 200, "first", base)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, tus long"
+    )
+    got = {
+        r["path"]: (r["n_sessions"], r["n_users"])
+        for r in session_paths(df).collect()
+    }
+    assert got[">".join(f"t{i}" for i in range(8))] == (1, 1)
+    assert got["a>b"] == (1, 1)
+    assert got["c"] == (1, 1)
+    assert got["first>second"] == (1, 1)
+
+
+def test_pareto_banding_matches_global_window(spark):
+    """The banded prefix-sum must be bit-equal to the naive global
+    running sum under adversarial band-boundary ties: revenues at
+    2^20-1 / 2^20 / 2^20+1, duplicates across customers, and a seeded
+    random multiset."""
+    import random
+
+    from flink_streaming_example_spark.operators.analytics import pareto_cum
+
+    rng = random.Random(9)
+    B = 1 << 20
+    revs = [B - 1, B - 1, B, B, B + 1, 0, 1, 3 * B, 3 * B] + [
+        rng.randrange(0, 5 * B) for _ in range(200)
+    ]
+    rows = [(i + 1, r) for i, r in enumerate(revs)]
+    df = spark.createDataFrame(rows, "c_custkey long, rev_cents long")
+    got = {
+        r["c_custkey"]: (r["rev_cents"], r["cum_cents"], r["in_top80"])
+        for r in pareto_cum(df).collect()
+    }
+    total = sum(revs)
+    cum = 0
+    for cust, rev in sorted(rows, key=lambda x: (-x[1], x[0])):
+        cum += rev
+        assert got[cust] == (rev, cum, int(cum * 5 <= total * 4)), cust
+
+
+def test_rolling_active_identity_vs_brute_force(spark, duck, sf_dir):
+    """The day-stamp-explode identity vs the direct definition: for
+    every reported day, wau7 == COUNT(DISTINCT user) active in
+    [day-6, day] — computed independently in DuckDB."""
+    got = _SPECS["q_rolling_active_users"].fn(spark, sf_dir).toPandas()
+    assert len(got) > 0
+    brute = dict(
+        duck.execute(
+            """
+            WITH d AS (SELECT DISTINCT user_id,
+                         epoch_us(ts) // 86400000000 AS day FROM events),
+            days AS (SELECT DISTINCT d1.day + g.i AS day
+                     FROM d d1, range(0, 7) g(i)
+                     WHERE d1.day + g.i <= (SELECT MAX(day) FROM d))
+            SELECT days.day, COUNT(DISTINCT d.user_id)
+            FROM days JOIN d ON d.day BETWEEN days.day - 6 AND days.day
+            GROUP BY days.day
+            """
+        ).fetchall()
+    )
+    assert len(got) == len(brute)
+    for _, r in got.iterrows():
+        assert brute[r["day"]] == r["wau7"], r["day"]

@@ -1120,3 +1120,50 @@ def test_streaming_funnel_across_micro_batches(spark, time_ordered_shards_dir):
     )
     result = compare_frames(got.toPandas(), want.toPandas())
     assert result.ok, result.detail
+
+
+def test_streaming_transitions_across_batches(spark):
+    """q_streaming_transitions' edges depend on each key's PREVIOUS
+    event — the one-string ValueState must carry across micro-batches
+    so the first event of batch N links to the last event of batch
+    N-1.  Expected = the batch lag window over the unsharded table."""
+    import os
+
+    from pyspark.sql import Window
+
+    from flink_streaming_example_spark.streaming.queries import (
+        transitions_stream,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    bounds = list(
+        ev.selectExpr(
+            "min(ts) AS a", "timestamp'2024-01-08' AS b",
+            "timestamp'2024-01-15' AS c", "timestamp'2024-01-22' AS d",
+            "max(ts) AS e"
+        ).collect()[0]
+    )
+    out_dir = tempfile.mkdtemp(prefix="trans_shards_")
+    _write_time_aligned_shards(ev, "ts", bounds, out_dir)
+    assert len(os.listdir(out_dir)) == len(bounds) - 1
+
+    stream = _replay(spark, out_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    got, batches = _drain(spark, transitions_stream(stream), "append")
+    assert batches >= len(bounds) - 1
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    exp = (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+    )
+    cols = ["user_id", "event_id", "prev_type", "next_type"]
+    g = got.select(*cols).toPandas().sort_values(cols).reset_index(drop=True)
+    e = exp.toPandas().sort_values(cols).reset_index(drop=True)
+    assert g.equals(e), f"{len(g)} streamed vs {len(e)} batch edges"

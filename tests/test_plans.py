@@ -54,6 +54,7 @@ _STATE_FN_KEYS = {
     "q_streaming_topn",
     "q_streaming_anomaly",
     "q_streaming_ewma",
+    "q_streaming_transitions",
     "q_streaming_stratified_sample",
     "q_streaming_funnel",
 }
@@ -82,6 +83,7 @@ _EXPECTED_STATE_OPS = {
     "q_streaming_topn": ["applyInPandasWithState"],
     "q_streaming_anomaly": ["applyInPandasWithState"],
     "q_streaming_ewma": ["applyInPandasWithState"],
+    "q_streaming_transitions": ["applyInPandasWithState"],
     "q_streaming_stratified_sample": ["applyInPandasWithState"],
     "q_streaming_funnel": ["applyInPandasWithState"],
 }

@@ -210,6 +210,24 @@ SHOWCASE: tuple[tuple[str, str], ...] = (
         "JVM-side; the only global sort is the top-30 over the "
         "support-filtered pair set.",
     ),
+    (
+        "q_pareto",
+        "Distributed global running sum (r9 third block): the classic "
+        "single-partition-window trap decomposed — partitioned window "
+        "WITHIN revenue bands (band = rev_cents >> 20, monotone in "
+        "revenue), band totals prefix-summed on a band-count-sized "
+        "side, exclusive offsets BROADCAST back, grand total on one "
+        "broadcast scalar row.  The only unpartitioned Window in the "
+        "plan runs over the tiny band table.",
+    ),
+    (
+        "q_rolling_active_users",
+        "Rolling COUNT(DISTINCT) without a window (r9 third block): "
+        "day-stamp explode (Generate of a 7-element sequence) over the "
+        "deduped (user, day) pairs, trimmed against a broadcast scalar "
+        "max-day, then plain partial+final distinct aggregates — no "
+        "Window operator anywhere in the plan.",
+    ),
 )
 
 
