@@ -656,3 +656,76 @@ def q_gini_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("gini_num"),
         (F.sum("n") * F.sum("n")).cast("long").alias("gini_den"),
     )
+
+
+# Equi-depth histogram via the banded global-rank decomposition
+# (analytics.py's q_pareto pattern, second application): band =
+# cents >> 20 is monotone in the sort key, so global rank = exclusive
+# band offset + rank within band — no single-partition window over
+# the data.  Bucket k holds ranks (k*n/8, (k+1)*n/8].
+_EQUI_DEPTH_ORACLE = """
+WITH c AS (
+  SELECT o_orderkey,
+    CAST(CAST(CAST(o_totalprice AS STRING) AS DECIMAL(30,6)) * 100
+         AS BIGINT) AS cents
+  FROM orders
+), r AS (
+  SELECT cents,
+    ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) AS rk,
+    COUNT(*) OVER () AS n
+  FROM c
+)
+SELECT CAST((rk - 1) * 8 // n AS BIGINT) AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(MIN(cents) AS BIGINT) AS lo_cents,
+  CAST(MAX(cents) AS BIGINT) AS hi_cents
+FROM r GROUP BY bucket
+"""
+
+
+@register("q_equi_depth_hist", oracle=_EQUI_DEPTH_ORACLE, tags=("agg",))
+def q_equi_depth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-depth: 8-bucket equi-depth histogram of order totals — the
+    statistics object an optimizer builds for selectivity estimation,
+    and the partner of q_histogram's fixed-width buckets.  Bucket
+    boundaries are EXACT global-rank quantiles, computed without any
+    data-scale global window (comment above): rank within magnitude
+    band + broadcast exclusive band offsets + broadcast total count.
+    Bucket populations differ by at most 1 by construction."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(30,6)") * 100)
+        .cast("long")
+        .alias("cents"),
+    ).withColumn("band", F.shiftright(F.col("cents"), 20))
+    wl = Window.partitionBy("band").orderBy("cents", "o_orderkey")
+    c = c.withColumn("local_rk", F.row_number().over(wl))
+    bands = c.groupBy("band").agg(F.count(F.lit(1)).alias("band_n"))
+    wb = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    bands = bands.select(
+        "band",
+        F.coalesce(F.sum("band_n").over(wb), F.lit(0)).alias("band_off"),
+    )
+    total = c.agg(F.count(F.lit(1)).alias("n"))
+    ranked = (
+        c.join(F.broadcast(bands), "band")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "cents",
+            (F.col("band_off") + F.col("local_rk")).alias("rk"),
+            "n",
+        )
+    )
+    return (
+        ranked.groupBy(
+            F.expr("(rk - 1) * 8 div n").cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+    )

@@ -475,3 +475,200 @@ def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce(F.col("n_new"), F.lit(0))).over(w).alias("cum_distinct"),
         )
     )
+
+
+_HEAVY_CHANGE_ORACLE = f"""
+WITH b AS (
+  SELECT user_id, epoch_us(ts) // {_DAY_US} AS day FROM events
+), bounds AS (
+  SELECT (MIN(day) + MAX(day) + 1) // 2 AS mid FROM b
+), c AS (
+  SELECT user_id,
+    CAST(SUM(CASE WHEN day < mid THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+    CAST(SUM(CASE WHEN day >= mid THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+  FROM b, bounds GROUP BY user_id
+)
+SELECT user_id, cnt_a, cnt_b,
+  CAST(ABS(cnt_b - cnt_a) AS BIGINT) AS abs_change
+FROM c ORDER BY abs_change DESC, user_id LIMIT 30
+"""
+
+
+@register("q_heavy_change", oracle=_HEAVY_CHANGE_ORACLE, tags=("analytics",))
+def q_heavy_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-change detection: the 30 users whose activity shifted
+    most between the first and second half of the timeline (split at
+    the midpoint day, a broadcast scalar).  The frequency-CHANGE
+    analogue of q_heavy_hitters — what an abuse/drift monitor ranks.
+    One conditional hash aggregate keyed by user, then a global top-k
+    (TakeOrderedAndProject — a per-partition heap + driver merge of 30
+    rows, never a global sort); ties broken by user_id for a total
+    order."""
+    events = load_table(spark, sf_dir, "events")
+    b = events.select(
+        "user_id",
+        F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) div {_DAY_US}").alias("day"),
+    )
+    bounds = b.agg(
+        F.expr("(MIN(day) + MAX(day) + 1) div 2").alias("mid")
+    )
+    c = (
+        b.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum((F.col("day") < F.col("mid")).cast("long")).alias("cnt_a"),
+            F.sum((F.col("day") >= F.col("mid")).cast("long")).alias("cnt_b"),
+        )
+    )
+    c = c.withColumn("abs_change", F.abs(F.col("cnt_b") - F.col("cnt_a")))
+    return c.orderBy(F.desc("abs_change"), F.asc("user_id")).limit(30)
+
+
+_TIME_TO_CONVERT_ORACLE = f"""
+WITH s AS (
+  SELECT user_id, MIN(ts) AS st FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS pt FROM events e
+  JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s.st GROUP BY e.user_id
+), d AS (
+  SELECT s.user_id, epoch_us(s.st) // {_WEEK_US} AS cohort_wk,
+    epoch_us(p.pt) - epoch_us(s.st) AS delta_us
+  FROM s JOIN p ON s.user_id = p.user_id
+), r AS (
+  SELECT cohort_wk, delta_us,
+    ROW_NUMBER() OVER (PARTITION BY cohort_wk
+                       ORDER BY delta_us, user_id) AS rn,
+    COUNT(*) OVER (PARTITION BY cohort_wk) AS n
+  FROM d
+)
+SELECT cohort_wk, CAST(n AS BIGINT) AS n_converted,
+  CAST(delta_us AS BIGINT) AS p50_us
+FROM r WHERE rn = (n + 1) // 2
+"""
+
+
+@register(
+    "q_time_to_convert", oracle=_TIME_TO_CONVERT_ORACLE, tags=("analytics",)
+)
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median time-to-convert per signup cohort: for users whose first
+    purchase strictly follows their first signup, the exact lower-
+    median (integer-rank selection, the q_mad discipline) of the
+    conversion delay, grouped by signup week.  The funnel chain's two
+    per-user MINs share one user_id partitioning; the median window
+    sorts only the CONVERTED-USER deltas per cohort — weeks × small."""
+    events = load_table(spark, sf_dir, "events")
+    s = (
+        events.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("st"))
+    )
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .where(F.col("ts") > F.col("st"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    d = s.join(p, "user_id").select(
+        "user_id",
+        F.expr(f"unix_micros(CAST(st AS TIMESTAMP)) div {_WEEK_US}").alias(
+            "cohort_wk"
+        ),
+        (
+            F.unix_micros(F.col("pt").cast("timestamp"))
+            - F.unix_micros(F.col("st").cast("timestamp"))
+        ).alias("delta_us"),
+    )
+    w = Window.partitionBy("cohort_wk").orderBy("delta_us", "user_id")
+    wn = Window.partitionBy("cohort_wk")
+    r = d.select(
+        "cohort_wk",
+        "delta_us",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return r.where(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "cohort_wk",
+        F.col("n").cast("long").alias("n_converted"),
+        F.col("delta_us").cast("long").alias("p50_us"),
+    )
+
+
+# Deterministic 50/50 assignment off the portable md5 integer hash
+# (sampling.py's idiom): variant = md5_int(user_id) % 2 — stable
+# across engines, partitionings and reruns, and uncorrelated with
+# user_id parity (the thing naive id % 2 assignment gets wrong when
+# ids encode signup order).
+_AB_ORACLE = """
+WITH a AS (
+  SELECT user_id,
+    CAST(CONCAT('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 8))
+         AS BIGINT) % 2 AS variant
+  FROM (SELECT DISTINCT user_id FROM events)
+), conv AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+), spend AS (
+  SELECT user_id,
+    CAST(SUM(CAST(CAST(CAST(value AS STRING) AS DECIMAL(30,6)) * 1000000
+             AS BIGINT)) AS BIGINT) AS v_micro
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT a.variant,
+  CAST(COUNT(*) AS BIGINT) AS n_users,
+  CAST(SUM(CASE WHEN conv.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_converted,
+  CAST(COALESCE(SUM(spend.v_micro), 0) AS BIGINT) AS total_value_micro
+FROM a
+LEFT JOIN conv ON a.user_id = conv.user_id
+LEFT JOIN spend ON a.user_id = spend.user_id
+GROUP BY a.variant
+"""
+
+
+@register("q_ab_experiment", oracle=_AB_ORACLE, tags=("analytics",))
+def q_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users hash-assigned 50/50 (comment
+    above), per variant the user count, converted-user count and the
+    exact micro-scaled purchase value — the numerators and
+    denominators of conversion rate and ARPU, emitted as integers so
+    the caller (not the engine) does the one float division.  All
+    per-user rollups share the user_id partitioning; the final
+    aggregate is 2 rows."""
+    events = load_table(spark, sf_dir, "events")
+    assign = events.select("user_id").distinct().select(
+        "user_id",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("variant"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase")
+    conv = purchases.select("user_id").distinct().withColumn(
+        "converted", F.lit(1)
+    )
+    spend = purchases.groupBy("user_id").agg(
+        F.sum(
+            (F.col("value").cast("decimal(30,6)") * 1000000).cast("long")
+        ).alias("v_micro")
+    )
+    return (
+        assign.join(conv, "user_id", "left")
+        .join(spend, "user_id", "left")
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.coalesce(F.col("converted"), F.lit(0)))
+            .cast("long")
+            .alias("n_converted"),
+            F.sum(F.coalesce(F.col("v_micro"), F.lit(0)))
+            .cast("long")
+            .alias("total_value_micro"),
+        )
+    )

@@ -904,3 +904,87 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         stable_sum("l_extendedprice", "sum_price"),
     )
+
+
+# MERGE INTO (the warehouse upsert statement), batch form.  The
+# change set is synthesized deterministically from orders (the CDC
+# key's discipline — the oracle can recompute it): per-customer order
+# revenue is an UPDATE delta; customers with custkey % 10 == 3 also
+# spawn an INSERT under key custkey + 1_000_000 (an account opened by
+# the feed); matched customers with a NEGATIVE starting balance are
+# DELETEd (account closure).  Unmatched target rows are kept.
+_MERGE_ORACLE = """
+WITH src AS (
+  SELECT o_custkey AS k,
+    CAST(SUM(CAST(CAST(CAST(o_totalprice AS STRING) AS DECIMAL(30,6)) * 100
+             AS BIGINT)) AS BIGINT) AS delta_cents
+  FROM orders GROUP BY o_custkey
+), changes AS (
+  SELECT k, delta_cents FROM src
+  UNION ALL
+  SELECT k + 1000000, delta_cents FROM src WHERE k % 10 = 3
+), tgt AS (
+  SELECT c_custkey AS k,
+    CAST(CAST(CAST(c_acctbal AS STRING) AS DECIMAL(30,6)) * 100 AS BIGINT)
+      AS bal_cents
+  FROM customer
+)
+SELECT COALESCE(t.k, c.k) AS c_custkey,
+  CASE WHEN t.k IS NULL THEN c.delta_cents
+       WHEN c.k IS NULL THEN t.bal_cents
+       ELSE t.bal_cents + c.delta_cents END AS bal_cents,
+  CASE WHEN t.k IS NULL THEN 'insert'
+       WHEN c.k IS NULL THEN 'keep'
+       ELSE 'update' END AS action
+FROM tgt t FULL OUTER JOIN changes c ON t.k = c.k
+WHERE NOT (t.k IS NOT NULL AND c.k IS NOT NULL AND t.bal_cents < 0)
+"""
+
+
+@register("q_merge_into", oracle=_MERGE_ORACLE, tags=("join",))
+def q_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO, batch form: one FULL OUTER equi-join of target and
+    change set resolves all four WHEN branches — MATCHED→UPDATE,
+    MATCHED AND bal<0→DELETE, NOT MATCHED BY TARGET→INSERT, NOT
+    MATCHED BY SOURCE→keep (comment above for the synthesized change
+    set).  At scale both sides shuffle ONCE on the merge key —
+    co-partitioned, no row ever visits two reducers; the streaming
+    incremental sibling is q_streaming_upsert's bucket-pruned
+    foreachBatch merge.  Balances are exact integer cents."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    cents = (F.col("o_totalprice").cast("decimal(30,6)") * 100).cast("long")
+    src = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.sum(cents).alias("delta_cents")
+    )
+    changes = src.unionByName(
+        src.where(F.col("k") % 10 == 3).select(
+            (F.col("k") + 1000000).alias("k"), "delta_cents"
+        )
+    )
+    tgt = customer.select(
+        F.col("c_custkey").alias("k"),
+        (F.col("c_acctbal").cast("decimal(30,6)") * 100)
+        .cast("long")
+        .alias("bal_cents"),
+    )
+    j = tgt.join(changes, "k", "full_outer").select(
+        F.col("k").alias("c_custkey"),
+        "bal_cents",
+        "delta_cents",
+    )
+    matched = F.col("bal_cents").isNotNull() & F.col("delta_cents").isNotNull()
+    return (
+        j.where(~(matched & (F.col("bal_cents") < 0)))
+        .select(
+            "c_custkey",
+            F.when(F.col("bal_cents").isNull(), F.col("delta_cents"))
+            .when(F.col("delta_cents").isNull(), F.col("bal_cents"))
+            .otherwise(F.col("bal_cents") + F.col("delta_cents"))
+            .alias("bal_cents"),
+            F.when(F.col("bal_cents").isNull(), F.lit("insert"))
+            .when(F.col("delta_cents").isNull(), F.lit("keep"))
+            .otherwise(F.lit("update"))
+            .alias("action"),
+        )
+    )

@@ -350,3 +350,97 @@ def test_rolling_active_identity_vs_brute_force(spark, duck, sf_dir):
     assert len(got) == len(brute)
     for _, r in got.iterrows():
         assert brute[r["day"]] == r["wau7"], r["day"]
+
+
+def test_heavy_change_definition(spark, duck, sf_dir):
+    """Top-30 by |second-half − first-half| activity, recomputed in
+    plain Python (incl. the midpoint-day split rule and the tie
+    order)."""
+    got = _SPECS["q_heavy_change"].fn(spark, sf_dir).toPandas()
+    rows = duck.execute(
+        "SELECT user_id, epoch_us(ts) // 86400000000 FROM events"
+    ).fetchall()
+    days = [d for _, d in rows]
+    mid = (min(days) + max(days) + 1) // 2
+    per_user: dict[int, list[int]] = {}
+    for u, d in rows:
+        c = per_user.setdefault(u, [0, 0])
+        c[0 if d < mid else 1] += 1
+    ranked = sorted(
+        ((u, a, b, abs(b - a)) for u, (a, b) in per_user.items()),
+        key=lambda x: (-x[3], x[0]),
+    )[:30]
+    assert len(got) == 30
+    for (_, r), exp in zip(got.iterrows(), ranked):
+        # q_heavy_change returns an ordered frame; compare row-for-row
+        assert (r["user_id"], r["cnt_a"], r["cnt_b"], r["abs_change"]) == exp
+
+
+def test_time_to_convert_strictness(spark, duck, sf_dir):
+    """Only users whose first purchase STRICTLY follows their first
+    signup convert; p50 is the lower median of the exact µs deltas."""
+    got = {
+        r["cohort_wk"]: (r["n_converted"], r["p50_us"])
+        for r in _SPECS["q_time_to_convert"].fn(spark, sf_dir).collect()
+    }
+    rows = duck.execute(
+        """
+        SELECT s.user_id, epoch_us(s.st), epoch_us(p.pt)
+        FROM (SELECT user_id, MIN(ts) st FROM events
+              WHERE event_type='signup' GROUP BY user_id) s
+        JOIN (SELECT user_id, MIN(ts) pt FROM events
+              WHERE event_type='purchase' GROUP BY user_id) p
+          ON s.user_id = p.user_id
+        """
+    ).fetchall()
+    per_wk: dict[int, list[tuple[int, int]]] = {}
+    n_equal_or_before = 0
+    for u, st, pt in rows:
+        if pt <= st:
+            n_equal_or_before += 1
+            # a later purchase may still exist; recompute its true min
+            later = duck.execute(
+                "SELECT MIN(epoch_us(ts)) FROM events WHERE user_id = ?"
+                " AND event_type = 'purchase' AND epoch_us(ts) > ?",
+                [u, st],
+            ).fetchone()[0]
+            if later is None:
+                continue
+            pt = later
+        per_wk.setdefault(st // 604800000000, []).append((pt - st, u))
+    assert set(got) == set(per_wk)
+    for wk, deltas in per_wk.items():
+        deltas.sort()
+        n = len(deltas)
+        assert got[wk] == (n, deltas[(n + 1) // 2 - 1][0]), wk
+
+
+def test_ab_experiment_accounting(spark, duck, sf_dir):
+    """Variants partition the user set; converted/user counts and the
+    micro-exact spend recompute independently."""
+    import hashlib
+    from decimal import Decimal
+
+    got = {
+        r["variant"]: (r["n_users"], r["n_converted"], r["total_value_micro"])
+        for r in _SPECS["q_ab_experiment"].fn(spark, sf_dir).collect()
+    }
+    users = [u for (u,) in duck.execute(
+        "SELECT DISTINCT user_id FROM events").fetchall()]
+    purch = duck.execute(
+        "SELECT user_id, value FROM events WHERE event_type='purchase'"
+    ).fetchall()
+    spend: dict[int, int] = {}
+    for u, v in purch:
+        spend[u] = spend.get(u, 0) + int(
+            Decimal(repr(v)).scaleb(6).to_integral_value()
+        )
+    exp = {0: [0, 0, 0], 1: [0, 0, 0]}
+    for u in users:
+        var = int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2
+        exp[var][0] += 1
+        if u in spend:
+            exp[var][1] += 1
+            exp[var][2] += spend[u]
+    assert got == {k: tuple(v) for k, v in exp.items()}
+    assert sum(v[0] for v in got.values()) == len(users)
