@@ -912,13 +912,15 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # revenue is an UPDATE delta; customers with custkey % 10 == 3 also
 # spawn an INSERT under key custkey + 1_000_000 (an account opened by
 # the feed); matched customers with a NEGATIVE starting balance are
-# DELETEd (account closure).  Unmatched target rows are kept.
+# DELETEd (account closure).  Unmatched target rows are kept.  The
+# feed covers only custkey % 3 <> 1 (this batch's active accounts) so
+# the keep branch is non-empty on the fixture.
 _MERGE_ORACLE = """
 WITH src AS (
   SELECT o_custkey AS k,
     CAST(SUM(CAST(CAST(CAST(o_totalprice AS STRING) AS DECIMAL(30,6)) * 100
              AS BIGINT)) AS BIGINT) AS delta_cents
-  FROM orders GROUP BY o_custkey
+  FROM orders WHERE o_custkey % 3 <> 1 GROUP BY o_custkey
 ), changes AS (
   SELECT k, delta_cents FROM src
   UNION ALL
@@ -954,8 +956,10 @@ def q_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     cents = (F.col("o_totalprice").cast("decimal(30,6)") * 100).cast("long")
-    src = orders.groupBy(F.col("o_custkey").alias("k")).agg(
-        F.sum(cents).alias("delta_cents")
+    src = (
+        orders.where(F.col("o_custkey") % 3 != 1)
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.sum(cents).alias("delta_cents"))
     )
     changes = src.unionByName(
         src.where(F.col("k") % 10 == 3).select(

@@ -124,3 +124,71 @@ def test_schema_evolution_null_fill(spark, sf_dir):
     assert merged.where(
         (F.col("doc_id") % 2 == 0) & F.col("quality").isNotNull()
     ).count() == 0
+
+
+def test_equi_depth_buckets(spark, duck, sf_dir):
+    """Bucket populations differ by ≤1, cover all rows, and bucket
+    ranges are disjoint and ordered; boundaries recomputed from the
+    independently sorted cents list."""
+    from decimal import Decimal
+
+    got = (
+        _SPECS["q_equi_depth_hist"].fn(spark, sf_dir).toPandas()
+        .sort_values("bucket").reset_index(drop=True)
+    )
+    vals = sorted(
+        int(Decimal(repr(v)).scaleb(2).to_integral_value())
+        for (v,) in duck.execute(
+            "SELECT o_totalprice FROM orders").fetchall()
+    )
+    n = len(vals)
+    assert got["n_rows"].sum() == n
+    assert list(got["bucket"]) == list(range(8))
+    sizes = list(got["n_rows"])
+    assert max(sizes) - min(sizes) <= 1
+    # recompute each bucket's span from the sorted multiset
+    start = 0
+    for _, r in got.iterrows():
+        seg = vals[start:start + r["n_rows"]]
+        assert r["lo_cents"] == seg[0] and r["hi_cents"] == seg[-1]
+        start += r["n_rows"]
+    # ranges never interleave
+    for i in range(1, 8):
+        assert got["lo_cents"][i] >= got["hi_cents"][i - 1]
+
+
+def test_merge_into_actions(spark, duck, sf_dir):
+    """MERGE branch accounting: inserts only for %10==3 source keys
+    under +1_000_000; deletes exactly the matched negative-balance
+    targets; keeps + updates + inserts partition the output."""
+    got = _SPECS["q_merge_into"].fn(spark, sf_dir).toPandas()
+    src = dict(
+        duck.execute(
+            """SELECT o_custkey, CAST(SUM(CAST(CAST(CAST(o_totalprice AS
+               STRING) AS DECIMAL(30,6)) * 100 AS BIGINT)) AS BIGINT)
+               FROM orders WHERE o_custkey % 3 <> 1
+               GROUP BY o_custkey"""
+        ).fetchall()
+    )
+    tgt = dict(
+        duck.execute(
+            """SELECT c_custkey, CAST(CAST(CAST(c_acctbal AS STRING)
+               AS DECIMAL(30,6)) * 100 AS BIGINT) FROM customer"""
+        ).fetchall()
+    )
+    by_action = {a: g for a, g in got.groupby("action")}
+    ins = by_action["insert"]
+    assert set(ins["c_custkey"]) == {
+        k + 1000000 for k in src if k % 10 == 3
+    }
+    deleted = {k for k in tgt if k in src and tgt[k] < 0}
+    assert deleted and deleted.isdisjoint(set(got["c_custkey"]))
+    upd = by_action["update"]
+    assert set(upd["c_custkey"]) == {
+        k for k in tgt if k in src and tgt[k] >= 0
+    }
+    for _, r in upd.head(50).iterrows():
+        assert r["bal_cents"] == tgt[r["c_custkey"]] + src[r["c_custkey"]]
+    keep = by_action["keep"]
+    assert set(keep["c_custkey"]) == {k for k in tgt if k not in src}
+    assert len(got) == len(ins) + len(upd) + len(keep)
