@@ -2143,3 +2143,92 @@ def q_streaming_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_id", "event_type"
     )
     return run_to_memory(transitions_stream(ev), spark, output_mode="append")
+
+
+_STREAM_RUNNING_DISTINCT_ORACLE = """
+WITH d AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+), firsts AS (
+  SELECT user_id, MIN(day) AS first_day FROM d GROUP BY user_id
+), n AS (
+  SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS n_new
+  FROM firsts GROUP BY first_day
+)
+SELECT day, n_new,
+  CAST(SUM(n_new) OVER (ORDER BY day) AS BIGINT) AS cum_distinct
+FROM n
+"""
+
+
+def first_seen_stream(ev: DataFrame) -> DataFrame:
+    """The first-appearance kernel behind q_streaming_running_distinct:
+    per key, state is ONE long (the day the key was first seen); the
+    key emits exactly one row, in the batch that first contains it.
+    Input: a streaming frame with (user_id, day)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def first_seen(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            for _ in pdfs:
+                pass
+            yield pd.DataFrame({"user_id": [], "first_day": []}).astype(
+                {"user_id": "int64", "first_day": "int64"}
+            )
+            return
+        lo = None
+        for pdf in pdfs:
+            if len(pdf):
+                m = int(pdf["day"].min())
+                lo = m if lo is None else min(lo, m)
+        if lo is None:
+            yield pd.DataFrame({"user_id": [], "first_day": []}).astype(
+                {"user_id": "int64", "first_day": "int64"}
+            )
+            return
+        state.update((lo,))
+        yield pd.DataFrame({"user_id": [user_id], "first_day": [lo]})
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        first_seen,
+        outputStructType="user_id long, first_day long",
+        stateStructType="first_day long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@register(
+    "q_streaming_running_distinct",
+    oracle=_STREAM_RUNNING_DISTINCT_ORACLE,
+    tags=("streaming",),
+)
+def q_streaming_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_running_distinct: cumulative distinct users
+    maintained incrementally.  The unbounded-distinct problem becomes
+    bounded state through the first-appearance identity — each key
+    holds ONE long and emits ONE row ever (append-mode exactly-once),
+    so state is user-count-sized no matter how many events arrive;
+    the day rollup and cumulative sum then run over the drained
+    first-appearance log (per-DAY cardinality — driver-scale, the
+    same post-drain batch composition as q_streaming_funnel).  The
+    time-ordered replay makes the batch-min first day exact (a key's
+    first batch contains its earliest events — the same prefix
+    argument as q_streaming_anomaly)."""
+    ev = events_file_replay(spark, sf_dir).select(
+        "user_id",
+        F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"
+        ).alias("day"),
+    )
+    drained = run_to_memory(first_seen_stream(ev), spark, output_mode="append")
+    n = drained.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return n.select(
+        "day", "n_new", F.sum("n_new").over(w).alias("cum_distinct")
+    )

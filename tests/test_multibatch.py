@@ -1167,3 +1167,45 @@ def test_streaming_transitions_across_batches(spark):
     g = got.select(*cols).toPandas().sort_values(cols).reset_index(drop=True)
     e = exp.toPandas().sort_values(cols).reset_index(drop=True)
     assert g.equals(e), f"{len(g)} streamed vs {len(e)} batch edges"
+
+
+def test_streaming_running_distinct_emit_once(spark):
+    """first_seen_stream must emit each user exactly once — in the
+    first micro-batch containing it — even when the user appears in
+    every shard; the rolled-up counts must match the batch identity."""
+    import os
+
+    from flink_streaming_example_spark.streaming.queries import (
+        first_seen_stream,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    bounds = list(
+        ev.selectExpr(
+            "min(ts) AS a", "timestamp'2024-01-08' AS b",
+            "timestamp'2024-01-15' AS c", "timestamp'2024-01-22' AS d",
+            "max(ts) AS e"
+        ).collect()[0]
+    )
+    out_dir = tempfile.mkdtemp(prefix="firstseen_shards_")
+    _write_time_aligned_shards(ev, "ts", bounds, out_dir)
+    assert len(os.listdir(out_dir)) == len(bounds) - 1
+
+    stream = _replay(spark, out_dir).selectExpr(
+        "user_id",
+        "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000 AS day",
+    )
+    got, batches = _drain(spark, first_seen_stream(stream), "append")
+    assert batches >= len(bounds) - 1
+
+    gp = got.toPandas()
+    # exactly one emission per user, at the user's true first day
+    assert gp["user_id"].is_unique
+    exp = ev.selectExpr(
+        "user_id",
+        "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000 AS day",
+    ).groupBy("user_id").agg(F.min("day").alias("first_day")).toPandas()
+    cols = ["user_id", "first_day"]
+    g = gp[cols].sort_values(cols).reset_index(drop=True)
+    e = exp[cols].sort_values(cols).reset_index(drop=True)
+    assert g.equals(e)

@@ -55,6 +55,7 @@ _STATE_FN_KEYS = {
     "q_streaming_anomaly",
     "q_streaming_ewma",
     "q_streaming_transitions",
+    "q_streaming_running_distinct",
     "q_streaming_stratified_sample",
     "q_streaming_funnel",
 }
@@ -84,6 +85,7 @@ _EXPECTED_STATE_OPS = {
     "q_streaming_anomaly": ["applyInPandasWithState"],
     "q_streaming_ewma": ["applyInPandasWithState"],
     "q_streaming_transitions": ["applyInPandasWithState"],
+    "q_streaming_running_distinct": ["applyInPandasWithState"],
     "q_streaming_stratified_sample": ["applyInPandasWithState"],
     "q_streaming_funnel": ["applyInPandasWithState"],
 }

@@ -416,3 +416,71 @@ def test_funnel_strict_order_matches_duckdb(spark, events):
     want = con.execute(_FUNNEL_ORACLE).df()
     result = compare_frames(got.toPandas(), want)
     assert result.ok, result.detail
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),  # uid
+            st.integers(min_value=0, max_value=30),  # gap-multiples of 15min
+            # ±1µs shavings around the gap boundary plus ties
+            st.sampled_from([0, 1, 999_999]),
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_session_paths_matches_oracle(spark, events):
+    """session_paths (gap sessionize + first-8 path join) vs the
+    gaps-and-islands + ordered-list oracle on adversarial timelines:
+    exact-gap collisions (steps are multiples of half the gap with µs
+    shavings), same-timestamp ties (event_id order), >8-event
+    sessions (cap)."""
+    from flink_streaming_example_spark.operators.analytics import (
+        _SESSION_GAP_US,
+        session_paths,
+    )
+
+    half = _SESSION_GAP_US // 2
+    rows = [
+        (uid, eid, typ, 1_700_000_000_000_000 + k * half + us)
+        for eid, (uid, k, us, typ) in enumerate(events)
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["user_id", "event_id", "event_type", "tus"]
+    )
+    got = session_paths(spark.createDataFrame(pdf)).toPandas()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.execute(
+        f"""
+        WITH l AS (
+          SELECT *, LAG(tus) OVER (PARTITION BY user_id
+                                   ORDER BY tus, event_id) AS prev_tus
+          FROM t
+        ), s AS (
+          SELECT *, SUM(CASE WHEN prev_tus IS NULL
+                              OR tus - prev_tus > {_SESSION_GAP_US}
+                         THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY tus, event_id
+                  ROWS UNBOUNDED PRECEDING) AS sess
+          FROM l
+        ), p AS (
+          SELECT user_id, sess,
+            array_to_string(
+              (list(event_type ORDER BY tus, event_id))[1:8], '>') AS path
+          FROM s GROUP BY user_id, sess
+        )
+        SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+          CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM p GROUP BY path
+        """
+    ).df()
+    result = compare_frames(got, want)
+    assert result.ok, result.detail

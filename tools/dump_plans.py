@@ -221,6 +221,13 @@ SHOWCASE: tuple[tuple[str, str], ...] = (
         "plan runs over the tiny band table.",
     ),
     (
+        "q_merge_into",
+        "MERGE INTO as one FULL OUTER SortMergeJoin (r9 third block): "
+        "target and change set each shuffle ONCE on the merge key; all "
+        "four WHEN branches (update/delete/insert/keep) resolve in the "
+        "post-join projection — no second pass over either side.",
+    ),
+    (
         "q_rolling_active_users",
         "Rolling COUNT(DISTINCT) without a window (r9 third block): "
         "day-stamp explode (Generate of a 7-element sequence) over the "
