@@ -120,3 +120,83 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("custkey")
     )
     return building.subtract(big_orders)
+
+
+# 2-D skyline by the sort-sweep identity: after collapsing to one row
+# per price (max day), a point is on the Pareto frontier iff its day
+# beats the best day among all strictly-higher prices — an EXCLUSIVE
+# prefix MAX down the price-descending order.  The prefix max is
+# computed with the banded decomposition (analytics.py q_pareto /
+# aggregations.py q_equi_depth_hist — third use, and proof the
+# pattern works for any associative op, not just SUM): max within
+# price band + running max over the band-count-sized band table.
+_SKYLINE_ORACLE = """
+WITH c AS (
+  SELECT
+    CAST(CAST(CAST(o_totalprice AS STRING) AS DECIMAL(30,6)) * 100
+         AS BIGINT) AS price_c,
+    epoch_us(o_orderdate) // 86400000000 AS day
+  FROM orders
+), g AS (
+  SELECT price_c, CAST(MAX(day) AS BIGINT) AS day FROM c GROUP BY price_c
+), r AS (
+  SELECT price_c, day,
+    MAX(day) OVER (ORDER BY price_c DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      AS best_day
+  FROM g
+)
+SELECT price_c, day FROM r
+WHERE best_day IS NULL OR day > best_day
+"""
+
+
+@register("q_skyline", oracle=_SKYLINE_ORACLE, tags=("setop",))
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-depth: 2-D skyline (Pareto frontier) of orders on (price,
+    recency) — the rows no other row beats on BOTH dimensions, the
+    multi-objective cousin of top-k.  Per-price max-day hash
+    aggregate, then the exclusive prefix-MAX sweep via banding
+    (comment above): partitioned window within price bands, exclusive
+    running max over the tiny band table, greatest() of the two —
+    bit-equal to the oracle's global sweep with no data-scale
+    single-partition window."""
+    orders = load_table(spark, sf_dir, "orders")
+    g = (
+        orders.select(
+            (F.col("o_totalprice").cast("decimal(30,6)") * 100)
+            .cast("long")
+            .alias("price_c"),
+            F.expr(
+                "unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+                " div 86400000000"
+            ).alias("day"),
+        )
+        .groupBy("price_c")
+        .agg(F.max("day").alias("day"))
+        .withColumn("band", F.shiftright(F.col("price_c"), 20))
+    )
+    wl = (
+        Window.partitionBy("band")
+        .orderBy(F.desc("price_c"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    g = g.withColumn("local_best", F.max("day").over(wl))
+    bands = g.groupBy("band").agg(F.max("day").alias("band_max"))
+    wb = Window.orderBy(F.desc("band")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bands = bands.select(
+        "band", F.max("band_max").over(wb).alias("band_best")
+    )
+    r = g.join(F.broadcast(bands), "band").select(
+        "price_c",
+        "day",
+        F.greatest(
+            F.coalesce(F.col("local_best"), F.lit(-1)),
+            F.coalesce(F.col("band_best"), F.lit(-1)),
+        ).alias("best_day"),
+    )
+    return r.where(
+        (F.col("best_day") == -1) | (F.col("day") > F.col("best_day"))
+    ).select("price_c", "day")

@@ -192,3 +192,34 @@ def test_merge_into_actions(spark, duck, sf_dir):
     keep = by_action["keep"]
     assert set(keep["c_custkey"]) == {k for k in tgt if k not in src}
     assert len(got) == len(ins) + len(upd) + len(keep)
+
+
+def test_skyline_dominance(spark, duck, sf_dir):
+    """Skyline definition re-derived: no member dominates another on
+    both dimensions, and every non-member is dominated by a member
+    (price strictly higher implies day not newer)."""
+    got = {
+        (r["price_c"], r["day"])
+        for r in _SPECS["q_skyline"].fn(spark, sf_dir).collect()
+    }
+    pts = duck.execute(
+        """SELECT CAST(CAST(CAST(o_totalprice AS STRING) AS DECIMAL(30,6))
+           * 100 AS BIGINT),
+           epoch_us(o_orderdate) // 86400000000
+           FROM orders"""
+    ).fetchall()
+    # collapse to per-price max-day, then brute-force sweep
+    best: dict[int, int] = {}
+    for p, d in pts:
+        best[p] = max(best.get(p, -1), d)
+    items = sorted(best.items(), key=lambda x: -x[0])
+    sky, run = set(), -1
+    for p, d in items:
+        if d > run:
+            sky.add((p, d))
+        run = max(run, d)
+    assert got == sky
+    # mutual non-dominance inside the skyline
+    s = sorted(got, key=lambda x: -x[0])
+    for (p1, d1), (p2, d2) in zip(s, s[1:]):
+        assert p1 > p2 and d2 > d1
