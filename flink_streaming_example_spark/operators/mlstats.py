@@ -1,0 +1,421 @@
+"""Model-evaluation / statistics operators: the exact-arithmetic ML
+metrics a training-data pipeline runs next to its feature jobs —
+per-group OLS trend fitting, chi-squared feature selection, exact
+Mann-Whitney AUC, and the decile lift table (SURVEY.md §2.9 spirit:
+the analytics the reference's users compute downstream of the engine,
+expressed as pure relational plans).
+
+Cross-engine exactness strategy (continuing the repo playbook):
+
+- OLS closed form is division-free: slope = (nSxy - SxSy)/(nSxx - Sx²)
+  and intercept share the same denominator, so the operator emits the
+  three integer polynomials (slope_num, icept_num, den) SEPARATELY —
+  bit-exact, sign included, no float ever.  x is centered per group on
+  min(day) (slope-invariant) and y is exact integer cents, which keeps
+  every emitted polynomial inside BIGINT at bench scales (DECIMAL(38,0)
+  / HUGEINT intermediates carry the headroom; outputs must land in
+  BIGINT because DuckDB's pandas bridge renders wide decimals as
+  float64 and the value-hash compares string reprs).
+- Chi-squared over a 2×2 contingency table is the integer identity
+  chi2 = N(ad-bc)² / ((a+b)(c+d)(a+c)(b+d)); ranking needs one
+  rounding, done identically on both engines as the floored
+  micro-scaled quotient (num*10^6 div den — non-negative, so floor
+  and truncate coincide and Spark's DECIMAL(38,0) `div` matches
+  DuckDB's HUGEINT `//`).
+- AUC is the rank-sum identity, doubled to clear the half-credit
+  ties term: 2·U = Σ_scores pos_s·(2·neg_below + neg_s), with the
+  exclusive prefix count of negatives computed by the repo's banded
+  prefix decomposition (no data-scale single-partition window).
+  auc_num / auc_den = 2U / 2·n_pos·n_neg is the exact AUC.
+- Decile lift avoids builtin NTILE's engine-specific remainder
+  spread: decile = (rank-1)*10 div n + 1 with rank a banded global
+  ROW_NUMBER over (score DESC, user_id) — same closed form in the
+  oracle, so tile assignment is deterministic cross-engine.
+
+Scale shape: every key is a constant number of hash shuffles on its
+natural key; the banded decompositions broadcast band tables sized by
+value-range/2^shift (hundreds of rows at any data scale); the only
+crossJoins broadcast single-row grand totals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_streaming_example_spark.plans.registry import register
+from flink_streaming_example_spark.sources.tables import load_table
+
+_DAY_US = 86_400_000_000
+
+# ---------------------------------------------------------------- OLS
+
+_OLS_ORACLE = f"""
+WITH d AS (
+  SELECT event_type,
+    epoch_us(ts) // {_DAY_US} AS day,
+    CAST(CAST(CAST(value AS STRING) AS DECIMAL(30,6)) * 100
+         AS BIGINT) AS y
+  FROM events
+), x0 AS (
+  SELECT event_type, MIN(day) AS d0 FROM d GROUP BY event_type
+), s AS (
+  SELECT d.event_type,
+    CAST(COUNT(*) AS HUGEINT) AS n,
+    CAST(SUM(day - d0) AS HUGEINT) AS sx,
+    CAST(SUM(y) AS HUGEINT) AS sy,
+    CAST(SUM((day - d0) * (day - d0)) AS HUGEINT) AS sxx,
+    CAST(SUM((day - d0) * y) AS HUGEINT) AS sxy
+  FROM d JOIN x0 USING (event_type) GROUP BY d.event_type
+)
+SELECT event_type,
+  CAST(n AS BIGINT) AS n,
+  CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+  CAST(sy * sxx - sx * sxy AS BIGINT) AS icept_num,
+  CAST(n * sxx - sx * sx AS BIGINT) AS den
+FROM s
+"""
+
+
+@register("q_ols_trend", oracle=_OLS_ORACLE, tags=("mlstats",))
+def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group simple linear regression (value-in-cents-vs-day
+    trend per event_type) in exact closed form: one pass of five
+    integer sums (n, Σx, Σy, Σx², Σxy) after centering x on the
+    group's min day (slope-invariant; bounds every cross product),
+    then the division-free normal equations — slope_num/den is the
+    slope, icept_num/den the intercept, emitted as exact BIGINT
+    polynomials (DECIMAL intermediates carry the headroom; see the
+    module docstring for why outputs land in BIGINT).
+    Two hash aggregations on event_type with the
+    5-row min-day side broadcast; sums are map-side-combined, so the
+    shuffle carries one partial per (partition, group) — the
+    textbook distributed-OLS plan that holds at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type",
+        F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) div {_DAY_US}").alias(
+            "day"
+        ),
+        (F.col("value").cast("decimal(30,6)") * 100)
+        .cast("long")
+        .alias("y"),
+    )
+    x0 = d.groupBy("event_type").agg(F.min("day").alias("d0"))
+    j = d.join(F.broadcast(x0), "event_type").select(
+        "event_type", (F.col("day") - F.col("d0")).alias("x"), "y"
+    )
+    s = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n_d = F.col("n").cast("decimal(12,0)")
+    sx = F.col("sx").cast("decimal(16,0)")
+    sy = F.col("sy").cast("decimal(22,0)")
+    sxx = F.col("sxx").cast("decimal(20,0)")
+    sxy = F.col("sxy").cast("decimal(26,0)")
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        (n_d * sxy - sx * sy).cast("long").alias("slope_num"),
+        (sy * sxx - sx * sxy).cast("long").alias("icept_num"),
+        (n_d * sxx - sx * sx).cast("long").alias("den"),
+    )
+
+
+# ---------------------------------------------------- chi² selection
+
+_CHI2_MIN_DF = 5
+_CHI2_TOP = 15
+
+_CHI2_ORACLE = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, lang, token FROM (
+    SELECT doc_id, lang,
+           unnest(string_split(lower(text), ' ')) AS token
+    FROM documents
+  ) WHERE token <> ''
+), nl AS (
+  SELECT lang, CAST(COUNT(DISTINCT doc_id) AS HUGEINT) AS n_lang
+  FROM documents GROUP BY lang
+), tt AS (
+  SELECT token, CAST(COUNT(*) AS HUGEINT) AS t_tot
+  FROM tok GROUP BY token
+), a AS (
+  SELECT lang, token, CAST(COUNT(*) AS HUGEINT) AS df_lang
+  FROM tok GROUP BY lang, token
+), nn AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n_docs FROM documents
+), c AS (
+  SELECT a.lang, a.token, a.df_lang, tt.t_tot, nl.n_lang, nn.n_docs,
+    a.df_lang * (nn.n_docs - nl.n_lang - (tt.t_tot - a.df_lang))
+      - (tt.t_tot - a.df_lang) * (nl.n_lang - a.df_lang) AS dif
+  FROM a JOIN tt USING (token) JOIN nl USING (lang) CROSS JOIN nn
+  WHERE tt.t_tot >= {_CHI2_MIN_DF} AND tt.t_tot < nn.n_docs
+), x AS (
+  SELECT lang, token, df_lang,
+    (n_docs * dif * dif * 1000000)
+      // (t_tot * (n_docs - t_tot) * n_lang * (n_docs - n_lang))
+      AS chi2_e6
+  FROM c
+), r AS (
+  SELECT lang, token, CAST(df_lang AS BIGINT) AS df_lang,
+    CAST(chi2_e6 AS BIGINT) AS chi2_e6,
+    ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY chi2_e6 DESC, token) AS rn
+  FROM x
+)
+SELECT lang, token, df_lang, chi2_e6 FROM r WHERE rn <= {_CHI2_TOP}
+"""
+
+
+@register("q_chi2_select", oracle=_CHI2_ORACLE, tags=("mlstats",))
+def q_chi2_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared feature selection: the top-15 (_CHI2_TOP) most
+    language-discriminative tokens per language over the documents
+    corpus, by the exact 2×2 contingency identity
+    chi2 = N(ad-bc)²/((a+b)(c+d)(a+c)(b+d)) on doc-frequency counts
+    (min doc-freq 5 = _CHI2_MIN_DF; the one rounding — micro-scaling
+    the ranking quotient — is the same floored integer div on both
+    engines).  Plan: doc-distinct token explode, two hash aggs
+    (per-(lang,token) and per-token), the per-token totals joined
+    back on the token shuffle key, language totals and N broadcast
+    (5 rows / 1 row), then a per-lang top-k window on the ~vocab-
+    sized selection — no data-scale single-partition stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.array_distinct(F.split(F.lower(F.col("text")), " "))
+            ).alias("token"),
+        )
+        .where(F.col("token") != "")
+    )
+    a = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("df_lang"))
+    tt = tok.groupBy("token").agg(F.count(F.lit(1)).alias("t_tot"))
+    nl = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    nn = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    c = (
+        a.join(tt, "token")
+        .join(F.broadcast(nl), "lang")
+        .crossJoin(F.broadcast(nn))
+        .where(
+            (F.col("t_tot") >= _CHI2_MIN_DF)
+            & (F.col("t_tot") < F.col("n_docs"))
+        )
+    )
+    dl = F.col("df_lang").cast("decimal(12,0)")
+    t_tot = F.col("t_tot").cast("decimal(12,0)")
+    n_lang = F.col("n_lang").cast("decimal(12,0)")
+    n_docs = F.col("n_docs").cast("decimal(12,0)")
+    dif = (
+        dl * (n_docs - n_lang - (t_tot - dl)) - (t_tot - dl) * (n_lang - dl)
+    ).cast("decimal(18,0)")
+    num = (
+        (n_docs * (dif * dif).cast("decimal(30,0)")).cast("decimal(38,0)")
+        * F.lit(1_000_000).cast("decimal(8,0)")
+    ).cast("decimal(38,0)")
+    den = (
+        (t_tot * (n_docs - t_tot)).cast("decimal(20,0)")
+        * (n_lang * (n_docs - n_lang)).cast("decimal(20,0)")
+    ).cast("decimal(38,0)")
+    x = c.select(
+        "lang",
+        "token",
+        F.col("df_lang").cast("long").alias("df_lang"),
+        num.alias("_num"),
+        den.alias("_den"),
+    ).select(
+        "lang",
+        "token",
+        "df_lang",
+        F.expr("_num div _den").cast("long").alias("chi2_e6"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("chi2_e6"), F.asc("token")
+    )
+    return (
+        x.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _CHI2_TOP)
+        .drop("rn")
+    )
+
+
+# -------------------------------------------------------------- AUC
+
+_AUC_SHIFT = 20
+
+_AUC_ORACLE = """
+WITH v AS (
+  SELECT CAST(CAST(CAST(value AS STRING) AS DECIMAL(30,6)) * 1000000
+              AS BIGINT) AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events
+), g AS (
+  SELECT score,
+    CAST(SUM(pos) AS BIGINT) AS p,
+    CAST(SUM(1 - pos) AS BIGINT) AS q
+  FROM v GROUP BY score
+), r AS (
+  SELECT p, q,
+    COALESCE(SUM(q) OVER (ORDER BY score
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS q_lt
+  FROM g
+)
+SELECT
+  CAST((SELECT SUM(p * (2 * q_lt + q)) FROM r) AS BIGINT) AS auc_num,
+  CAST(2 * (SELECT SUM(pos) FROM v) * (SELECT SUM(1 - pos) FROM v)
+       AS BIGINT) AS auc_den
+"""
+
+
+@register("q_auc", oracle=_AUC_ORACLE, tags=("mlstats",))
+def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of `value` as a score for the purchase class,
+    by the Mann-Whitney rank-sum identity doubled to clear tie
+    half-credits: auc_num = Σ_s pos_s·(2·neg_below(s) + neg_s),
+    auc_den = 2·n_pos·n_neg — auc_num/auc_den is the exact AUC,
+    ties handled as the standard 1/2.  neg_below is an EXCLUSIVE
+    prefix sum over the per-score table, computed with the repo's
+    banded decomposition (score>>20 bands; running sum within band +
+    broadcast exclusive band offsets) — the fourth reuse of the
+    pattern, here for the O(n log n)-equivalent statistic usually
+    quoted as needing a global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        (F.col("value").cast("decimal(30,6)") * 1_000_000)
+        .cast("long")
+        .alias("score"),
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("pos"),
+    )
+    g = v.groupBy("score").agg(
+        F.sum("pos").alias("p"),
+        F.sum(F.lit(1) - F.col("pos")).alias("q"),
+    ).withColumn("band", F.shiftright(F.col("score"), _AUC_SHIFT))
+    wl = (
+        Window.partitionBy("band")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    g = g.withColumn("local_lt", F.sum("q").over(wl))
+    bands = g.groupBy("band").agg(F.sum("q").alias("band_q"))
+    wb = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    bands = bands.select(
+        "band",
+        F.coalesce(F.sum("band_q").over(wb), F.lit(0)).alias("band_off"),
+    )
+    r = g.join(F.broadcast(bands), "band").select(
+        "p",
+        "q",
+        (
+            F.coalesce(F.col("local_lt"), F.lit(0)) + F.col("band_off")
+        ).alias("q_lt"),
+    )
+    num = r.agg(
+        F.sum(
+            F.col("p") * (F.lit(2) * F.col("q_lt") + F.col("q"))
+        ).alias("auc_num")
+    )
+    tot = v.agg(
+        (
+            F.lit(2)
+            * F.sum("pos")
+            * F.sum(F.lit(1) - F.col("pos"))
+        ).alias("auc_den")
+    )
+    return num.crossJoin(F.broadcast(tot)).select(
+        F.col("auc_num").cast("long").alias("auc_num"),
+        F.col("auc_den").cast("long").alias("auc_den"),
+    )
+
+
+# ------------------------------------------------------ decile lift
+
+_LIFT_SHIFT = 26
+
+_LIFT_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+    CAST(SUM(CAST(CAST(CAST(value AS STRING) AS DECIMAL(30,6)) * 1000000
+             AS BIGINT)) AS BIGINT) AS score,
+    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         AS BIGINT) AS conv
+  FROM events GROUP BY user_id
+), r AS (
+  SELECT score, conv,
+    ROW_NUMBER() OVER (ORDER BY score DESC, user_id) AS rnk,
+    COUNT(*) OVER () AS n
+  FROM u
+)
+SELECT CAST((rnk - 1) * 10 // n + 1 AS BIGINT) AS decile,
+  CAST(COUNT(*) AS BIGINT) AS n_users,
+  CAST(SUM(conv) AS BIGINT) AS n_conv
+FROM r GROUP BY 1
+"""
+
+
+@register("q_decile_lift", oracle=_LIFT_ORACLE, tags=("mlstats",))
+def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table: users scored by exact total event value
+    (micro-int sum), split into 10 equal-frequency buckets down the
+    score ranking, conversion (ever purchased) counted per bucket —
+    n_conv/n_users per decile against the overall rate is the lift
+    curve, exact from the emitted integers.  The global ranking is
+    NOT a single-partition window: banded ROW_NUMBER (score>>26
+    bands, row_number within band + broadcast exclusive band counts)
+    gives the same total order as the oracle's global window, and
+    decile = (rank-1)*10 div n + 1 is the same closed form both
+    sides — deterministic tile assignment without builtin NTILE's
+    remainder-placement subtleties."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            (F.col("value").cast("decimal(30,6)") * 1_000_000).cast("long")
+        ).alias("score"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).alias("conv"),
+    ).withColumn("band", F.shiftright(F.col("score"), _LIFT_SHIFT))
+    wl = Window.partitionBy("band").orderBy(
+        F.desc("score"), F.asc("user_id")
+    )
+    u = u.withColumn("local_rn", F.row_number().over(wl))
+    bands = u.groupBy("band").agg(F.count(F.lit(1)).alias("band_n"))
+    wb = Window.orderBy(F.desc("band")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bands = bands.select(
+        "band",
+        F.coalesce(F.sum("band_n").over(wb), F.lit(0)).alias("band_off"),
+    )
+    tot = u.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        u.join(F.broadcast(bands), "band")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (
+                (F.col("band_off") + F.col("local_rn") - 1)
+                * 10
+            ).alias("r10"),
+            "n",
+            "conv",
+        )
+        .select(
+            (F.expr("r10 div n") + 1).cast("long").alias("decile"),
+            "conv",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("conv").cast("long").alias("n_conv"),
+        )
+    )

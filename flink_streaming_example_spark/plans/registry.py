@@ -44,6 +44,7 @@ _OPERATOR_MODULES: tuple[str, ...] = (
     "flink_streaming_example_spark.operators.timeseries",
     "flink_streaming_example_spark.operators.features",
     "flink_streaming_example_spark.operators.analytics",
+    "flink_streaming_example_spark.operators.mlstats",
     "flink_streaming_example_spark.operators.functions_surface",
     "flink_streaming_example_spark.operators.dedup",
     "flink_streaming_example_spark.operators.similarity",
