@@ -672,3 +672,106 @@ def q_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value_micro"),
         )
     )
+
+
+_GAP_US = 6 * 3_600 * 1_000_000
+_CONC_SHIFT = 35  # ~9.5h time bands for the boundary prefix sum
+
+_MAX_CONC_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+), flagged AS (
+  SELECT *,
+    CASE WHEN lag(ts) OVER w IS NULL
+          OR ts - lag(ts) OVER w > INTERVAL '6 hours'
+         THEN 1 ELSE 0 END AS new_session
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT *,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+), sess AS (
+  SELECT epoch_us(MIN(ts)) AS s_us,
+         epoch_us(MAX(ts)) + {_GAP_US} AS e_us
+  FROM numbered GROUP BY user_id, sid
+), b AS (
+  SELECT s_us AS t, 1 AS delta FROM sess
+  UNION ALL
+  SELECT e_us AS t, -1 AS delta FROM sess
+), g AS (
+  SELECT t, delta, CAST(SUM(delta) AS BIGINT) AS contrib
+  FROM b GROUP BY t, delta
+), r AS (
+  SELECT t,
+    SUM(contrib) OVER (ORDER BY t, delta ROWS UNBOUNDED PRECEDING)
+      AS cur
+  FROM g
+)
+SELECT
+  CAST((SELECT MAX(cur) FROM r) AS BIGINT) AS peak,
+  CAST((SELECT MIN(t) FROM r WHERE cur = (SELECT MAX(cur) FROM r))
+       AS BIGINT) AS peak_ts_us
+"""
+
+
+@register("q_max_concurrency", oracle=_MAX_CONC_ORACLE, tags=("analytics",))
+def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency (the gauge/interval-stabbing query): the
+    maximum number of simultaneously-active user sessions and the
+    first instant it is reached.  Sessions are the same objects
+    q_session_window emits (6h inactivity gap, half-open
+    [first, last+gap)), turned into +1/-1 boundary events; at equal
+    timestamps ends sort before starts (delta ASC), so back-to-back
+    sessions never double-count.  The running sum down the boundary
+    order is the banded prefix decomposition again (ts>>35 ≈ 9.5h
+    bands — band count is time-horizon-sized at any data scale):
+    per-(t,delta) aggregation first, so the sweep runs over
+    boundary-distinct rows, then MAX and first-argmax as two scalar
+    aggregates broadcast-joined — no data-scale single-partition
+    stage, nothing collected."""
+    ev = load_table(spark, sf_dir, "events")
+    sess = (
+        ev.groupBy(F.session_window("ts", "6 hours").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            F.unix_micros(F.col("w.start").cast("timestamp")).alias("s_us"),
+            F.unix_micros(F.col("w.end").cast("timestamp")).alias("e_us"),
+        )
+    )
+    b = sess.select(
+        F.col("s_us").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(sess.select(F.col("e_us").alias("t"), F.lit(-1).alias("delta")))
+    g = (
+        b.groupBy("t", "delta")
+        .agg(F.sum("delta").cast("long").alias("contrib"))
+        .withColumn("band", F.shiftright(F.col("t"), _CONC_SHIFT))
+    )
+    wl = (
+        Window.partitionBy("band")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    g = g.withColumn("local_cum", F.sum("contrib").over(wl))
+    bands = g.groupBy("band").agg(F.sum("contrib").alias("band_total"))
+    wb = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    bands = bands.select(
+        "band",
+        F.coalesce(F.sum("band_total").over(wb), F.lit(0)).alias("band_off"),
+    )
+    r = g.join(F.broadcast(bands), "band").select(
+        "t", (F.col("band_off") + F.col("local_cum")).alias("cur")
+    )
+    peak = r.agg(F.max("cur").alias("peak"))
+    return (
+        r.crossJoin(F.broadcast(peak))
+        .where(F.col("cur") == F.col("peak"))
+        .agg(
+            F.first("peak").alias("peak"),
+            F.min("t").alias("peak_ts_us"),
+        )
+        .select(
+            F.col("peak").cast("long").alias("peak"),
+            F.col("peak_ts_us").cast("long").alias("peak_ts_us"),
+        )
+    )

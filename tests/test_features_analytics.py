@@ -444,3 +444,34 @@ def test_ab_experiment_accounting(spark, duck, sf_dir):
             exp[var][2] += spend[u]
     assert got == {k: tuple(v) for k, v in exp.items()}
     assert sum(v[0] for v in got.values()) == len(users)
+
+
+def test_max_concurrency_definition(spark, duck, sf_dir):
+    """Peak concurrency re-derived by literal interval stabbing:
+    rebuild 6h-gap sessions per user in Python, sweep the +1/-1
+    boundary multiset with ends-before-starts tie order, and check
+    both the peak and its first timestamp."""
+    row = _SPECS["q_max_concurrency"].fn(spark, sf_dir).collect()[0]
+    rows = duck.execute(
+        "SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) FROM events"
+        " ORDER BY user_id, 2"
+    ).fetchall()
+    gap = 6 * 3_600 * 1_000_000
+    bounds = []
+    prev_user, s_us, last = None, None, None
+    for uid, t in rows:
+        if uid != prev_user or t - last > gap:
+            if prev_user is not None:
+                bounds.append((last + gap, -1))
+                bounds.append((s_us, 1))
+            prev_user, s_us = uid, t
+        last = t
+    bounds.append((last + gap, -1))
+    bounds.append((s_us, 1))
+    cur = peak = 0
+    peak_ts = None
+    for t, d in sorted(bounds):  # (-1 sorts before +1 at equal t)
+        cur += d
+        if cur > peak:
+            peak, peak_ts = cur, t
+    assert (row["peak"], row["peak_ts_us"]) == (peak, peak_ts)
