@@ -417,3 +417,110 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("quality_sum"),
         F.count("quality").cast("long").alias("n_with_quality"),
     )
+
+
+# XML twin (Spark 4 built-in XML data source, the spark-xml merge):
+# the interchange format enterprise feeds still arrive in.  The
+# synthesized export carries an ENTITY-TORTURE column built from row
+# values — literal '<', '&', '"' and a pre-escaped '&amp;' substring —
+# so a writer/reader pair that under- or double-escapes XML entities
+# cannot reproduce the parquet-side oracle.  The column is wrapped in
+# 'X'...'X' sentinels because conformant XML readers may trim
+# surrounding whitespace from element text (ignoreSurroundingSpaces).
+_XML_SCHEMA = (
+    "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT, "
+    "tricky STRING"
+)
+# one expression string both engines evaluate verbatim (the CSV/PII
+# no-drift trick); '&amp;' in the SOURCE text distinguishes exactly-
+# once escaping from double-escape/double-unescape on the round-trip
+_XML_TRICKY_EXPR = (
+    "'X<&\" &amp; ' || substr(text, 1, 40) || ' <' || lang || '>&X'"
+)
+
+_xml_cache: dict[str, str] = {}
+
+
+def _cleanup_xml_cache() -> None:
+    for path in _xml_cache.values():
+        shutil.rmtree(path, ignore_errors=True)
+    _xml_cache.clear()
+
+
+atexit.register(_cleanup_xml_cache)
+
+
+def documents_as_xml(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the documents table as XML (rowTag=doc, once per
+    process per sf_dir) with the entity-torture column — same
+    cache/cleanup idiom as the JSONL/CSV/ORC twins."""
+    cached = _xml_cache.get(sf_dir)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    out = tempfile.mkdtemp(prefix="docs_xml_")
+    (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            F.expr(_XML_TRICKY_EXPR).alias("tricky"),
+        )
+        .write.mode("overwrite")
+        .option("rootTag", "docs")
+        .option("rowTag", "doc")
+        .format("xml")
+        .save(out)
+    )
+    _xml_cache[sf_dir] = out
+    return out
+
+
+_XML_ORACLE = (
+    "SELECT lang, source,\n"
+    "  COUNT(*) AS n_docs,\n"
+    "  CAST(SUM(n_chars) AS BIGINT) AS total_chars,\n"
+    "  CAST(SUM(length(" + _XML_TRICKY_EXPR + ")) AS BIGINT)"
+    " AS tricky_chars,\n"
+    "  CAST(SUM(length(" + _XML_TRICKY_EXPR + ")\n"
+    "         - length(replace(" + _XML_TRICKY_EXPR + ", '&', '')))"
+    " AS BIGINT) AS n_amp,\n"
+    "  CAST(SUM(length(" + _XML_TRICKY_EXPR + ")\n"
+    "         - length(replace(" + _XML_TRICKY_EXPR + ", '<', '')))"
+    " AS BIGINT) AS n_lt\n"
+    "FROM documents\n"
+    "GROUP BY lang, source"
+)
+
+
+@register("q_xml_source", oracle=_XML_ORACLE, tags=("source",))
+def q_xml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-depth (round 9): XML ingestion through Spark 4's built-in XML
+    data source (the spark-xml lineage Flink users reach for via
+    custom formats).  The documents table round-trips through
+    rowTag=doc XML whose torture column embeds '<', '&', '\"' and a
+    literal '&amp;' substring; the per-group report re-measures the
+    column's length and its exact '&' and '<' occurrence counts, so a
+    round-trip that under-escapes (ill-formed XML fails the read),
+    double-escapes ('&amp;' inflating to '&amp;amp;'), or trims
+    content cannot hash-match the parquet-reading oracle.  Scan shape:
+    one task per file (row elements don't split within a file) —
+    like gzip JSONL, many medium files beat one giant one; at 100 TB
+    XML is a landing format to convert once, not a working format."""
+    path = documents_as_xml(spark, sf_dir)
+    docs = (
+        spark.read.schema(_XML_SCHEMA)
+        .option("rowTag", "doc")
+        .format("xml")
+        .load(path)
+    )
+    amp = F.length("tricky") - F.length(F.replace("tricky", F.lit("&")))
+    lt = F.length("tricky") - F.length(F.replace("tricky", F.lit("<")))
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(F.length("tricky")).cast("long").alias("tricky_chars"),
+        F.sum(amp).cast("long").alias("n_amp"),
+        F.sum(lt).cast("long").alias("n_lt"),
+    )

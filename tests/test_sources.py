@@ -178,3 +178,53 @@ def test_jsonl_gz_roundtrip_and_permissive_accounting(spark, sf_dir, tmp_path):
         == 2
     )
     triage.unpersist()
+
+
+def test_xml_roundtrip_exact_escaping(spark, sf_dir):
+    """The XML export must escape entities exactly once: raw files
+    carry '&amp;amp;' for the source text's literal '&amp;' (and
+    '&lt;' for '<'), never a bare '&'/'<' inside content, and the
+    read-back tricky column is string-identical to the expression
+    evaluated on the parquet table."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from flink_streaming_example_spark.sources.text_formats import (
+        _XML_TRICKY_EXPR,
+        documents_as_xml,
+    )
+    from flink_streaming_example_spark.sources.tables import load_table
+
+    path = documents_as_xml(spark, sf_dir)
+    raw = ""
+    for f in glob.glob(os.path.join(path, "*.xml")):
+        with open(f, encoding="utf-8") as fh:
+            raw += fh.read()
+    assert "&amp;amp;" in raw  # pre-escaped '&amp;' escaped once more
+    assert "&lt;" in raw and "&quot;" not in raw.split("<doc>")[0]
+    # no unescaped specials inside element text: every '&' in the file
+    # body starts an entity
+    import re
+
+    assert not re.search(r"&(?!(amp|lt|gt|quot|apos|#)\w*;?)", raw)
+
+    back = (
+        spark.read.schema(
+            "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT,"
+            " tricky STRING"
+        )
+        .option("rowTag", "doc")
+        .format("xml")
+        .load(path)
+        .select("doc_id", "tricky")
+    )
+    orig = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_XML_TRICKY_EXPR).alias("expect")
+    )
+    diff = back.join(orig, "doc_id").where(
+        F.col("tricky") != F.col("expect")
+    )
+    assert back.count() == orig.count()
+    assert diff.count() == 0
