@@ -332,3 +332,71 @@ def q_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "salted_md5"
         ),
     )
+
+
+_MAP_ORACLE = """
+SELECT
+  p_partkey,
+  p_brand AS brand_val,
+  'none' AS missing_val,
+  'brand,type' AS keys_sorted,
+  upper(p_type) AS type_upper,
+  concat('brand=', p_brand, ';type=', p_type) AS entries_str,
+  CAST(1 AS INTEGER) AS n_brand_only,
+  CAST(3 AS INTEGER) AS n_merged,
+  CAST(p_size AS VARCHAR) AS size_back,
+  TRUE AS has_type,
+  concat(p_brand, '|', p_type) AS zipped_brandtype
+FROM part
+"""
+
+
+@register("q_map_funcs", oracle=_MAP_ORACLE, tags=("functions",))
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-map (the §2.7 family q_struct_funcs only touched): the full
+    map higher-order surface — element_at (incl. missing-key NULL),
+    map_keys, transform_values, map_entries + per-entry transform,
+    map_filter, map_concat (later map wins on key collision is NOT
+    relied on — keys are disjoint), map_contains_key and map_zip_with
+    — all JVM builtins in whole-stage codegen.  Engines' map wire
+    formats differ (and DuckDB iterates MAPs in insertion order only),
+    so the checkable surface is scalars extracted AFTER each
+    operation; the oracle states each expected scalar directly from
+    the base columns, which is exactly what makes a semantics drift
+    (e.g. map_concat dropping entries, map_zip_with nulling a
+    one-sided key) hash-visible."""
+    p = load_table(spark, sf_dir, "part")
+    m = F.create_map(
+        F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type")
+    )
+    m2 = F.create_map(F.lit("size"), F.col("p_size").cast("string"))
+    zw = F.map_zip_with(
+        m,
+        F.create_map(F.lit("brand"), F.col("p_type")),
+        lambda k, v1, v2: F.concat_ws("|", v1, v2),
+    )
+    return p.select(
+        "p_partkey",
+        F.element_at(m, "brand").alias("brand_val"),
+        F.coalesce(F.element_at(m, "nope"), F.lit("none")).alias(
+            "missing_val"
+        ),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.element_at(
+            F.transform_values(m, lambda k, v: F.upper(v)), "type"
+        ).alias("type_upper"),
+        F.array_join(
+            F.transform(
+                F.map_entries(m),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+            ),
+            ";",
+        ).alias("entries_str"),
+        F.size(F.map_filter(m, lambda k, v: k == F.lit("brand"))).alias(
+            "n_brand_only"
+        ),
+        F.size(F.map_concat(m, m2)).alias("n_merged"),
+        F.element_at(F.map_concat(m, m2), "size").alias("size_back"),
+        F.map_contains_key(m, "type").alias("has_type"),
+        F.element_at(zw, "brand").alias("zipped_brandtype"),
+    )

@@ -419,3 +419,123 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("conv").cast("long").alias("n_conv"),
         )
     )
+
+
+# ----------------------------------------------------------------- KS
+
+_KS_SHIFT = 20
+
+_KS_ORACLE = """
+WITH v AS (
+  SELECT CAST(CAST(CAST(value AS STRING) AS DECIMAL(30,6)) * 1000000
+              AS BIGINT) AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events
+), g AS (
+  SELECT score,
+    CAST(SUM(pos) AS BIGINT) AS p,
+    CAST(SUM(1 - pos) AS BIGINT) AS q
+  FROM v GROUP BY score
+), t AS (
+  SELECT CAST(SUM(p) AS BIGINT) AS n1, CAST(SUM(q) AS BIGINT) AS n2
+  FROM g
+), r AS (
+  SELECT score,
+    SUM(CAST(p AS HUGEINT)) OVER (ORDER BY score
+      ROWS UNBOUNDED PRECEDING) AS c1,
+    SUM(CAST(q AS HUGEINT)) OVER (ORDER BY score
+      ROWS UNBOUNDED PRECEDING) AS c2
+  FROM g
+), d AS (
+  SELECT score,
+    ABS(c1 * (SELECT n2 FROM t) - c2 * (SELECT n1 FROM t)) AS diff
+  FROM r
+)
+SELECT
+  CAST((SELECT MAX(diff) FROM d) AS BIGINT) AS ks_num,
+  CAST((SELECT MIN(score) FROM d
+        WHERE diff = (SELECT MAX(diff) FROM d)) AS BIGINT) AS arg_score,
+  CAST((SELECT n1 FROM t) AS BIGINT) AS n_pos,
+  CAST((SELECT n2 FROM t) AS BIGINT) AS n_neg
+"""
+
+
+@register("q_ks_test", oracle=_KS_ORACLE, tags=("mlstats",))
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the
+    purchase and non-purchase score distributions — the drift test a
+    training pipeline runs between data snapshots.  Division-free:
+    KS = max_s |F1(s) - F2(s)| is emitted as the integer numerator
+    max_s |c1(s)*n2 - c2(s)*n1| over (common denominator) n1*n2,
+    with c1/c2 the INCLUSIVE per-distinct-score cumulative counts —
+    plus the smallest score attaining the max, so both the statistic
+    and its location are pinned.  The cumulatives reuse the repo's
+    banded prefix decomposition (score>>20 bands, running sums within
+    band + broadcast exclusive band offsets; fifth reuse) — no
+    data-scale single-partition sort anywhere, and the final
+    max/argmin are scalar aggregates broadcast back.  Products run in
+    DECIMAL(38,0)/HUGEINT for headroom at corpus scale."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        (F.col("value").cast("decimal(30,6)") * 1_000_000)
+        .cast("long")
+        .alias("score"),
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("pos"),
+    )
+    g = (
+        v.groupBy("score")
+        .agg(
+            F.sum("pos").alias("p"),
+            F.sum(F.lit(1) - F.col("pos")).alias("q"),
+        )
+        .withColumn("band", F.shiftright(F.col("score"), _KS_SHIFT))
+    )
+    wl = (
+        Window.partitionBy("band")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    g = g.withColumn("lc1", F.sum("p").over(wl)).withColumn(
+        "lc2", F.sum("q").over(wl)
+    )
+    bands = g.groupBy("band").agg(
+        F.sum("p").alias("bp"), F.sum("q").alias("bq")
+    )
+    wb = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    bands = bands.select(
+        "band",
+        F.coalesce(F.sum("bp").over(wb), F.lit(0)).alias("off1"),
+        F.coalesce(F.sum("bq").over(wb), F.lit(0)).alias("off2"),
+    )
+    tot = v.agg(
+        F.sum("pos").cast("long").alias("n1"),
+        F.sum(F.lit(1) - F.col("pos")).cast("long").alias("n2"),
+    )
+    d = (
+        g.join(F.broadcast(bands), "band")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "score",
+            "n1",
+            "n2",
+            F.abs(
+                (F.col("off1") + F.col("lc1")).cast("decimal(38,0)")
+                * F.col("n2")
+                - (F.col("off2") + F.col("lc2")).cast("decimal(38,0)")
+                * F.col("n1")
+            ).alias("diff"),
+        )
+    )
+    mx = d.agg(F.max("diff").alias("ks"))
+    return (
+        d.crossJoin(F.broadcast(mx))
+        .where(F.col("diff") == F.col("ks"))
+        .agg(
+            F.first("ks").cast("long").alias("ks_num"),
+            F.min("score").cast("long").alias("arg_score"),
+            F.first("n1").cast("long").alias("n_pos"),
+            F.first("n2").cast("long").alias("n_neg"),
+        )
+    )

@@ -179,3 +179,29 @@ def test_decile_lift_definition(spark, duck, sf_dir):
     # equal-frequency: bucket sizes differ by at most 1
     sizes = [v[0] for v in got.values()]
     assert max(sizes) - min(sizes) <= 1
+
+
+def test_ks_definition(spark, duck, sf_dir):
+    """KS re-derived by literal CDF sweep: sort each sample, walk the
+    merged distinct scores, track |c1*n2 - c2*n1| and its first
+    argmax."""
+    row = _SPECS["q_ks_test"].fn(spark, sf_dir).collect()[0]
+    rows = duck.execute(
+        "SELECT value, event_type = 'purchase' FROM events"
+    ).fetchall()
+    pos = sorted(int(Decimal(str(v)) * 10**6) for v, l in rows if l)
+    neg = sorted(int(Decimal(str(v)) * 10**6) for v, l in rows if not l)
+    n1, n2 = len(pos), len(neg)
+    assert (row["n_pos"], row["n_neg"]) == (n1, n2)
+    import bisect
+
+    best, arg = -1, None
+    for s in sorted(set(pos) | set(neg)):
+        c1 = bisect.bisect_right(pos, s)
+        c2 = bisect.bisect_right(neg, s)
+        diff = abs(c1 * n2 - c2 * n1)
+        if diff > best:
+            best, arg = diff, s
+    assert (row["ks_num"], row["arg_score"]) == (best, arg)
+    # sanity: 0 <= KS <= 1 strictly inside for overlapping samples
+    assert 0 < row["ks_num"] < n1 * n2
