@@ -775,3 +775,102 @@ def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("peak_ts_us").cast("long").alias("peak_ts_us"),
         )
     )
+
+
+def _banded_rank(df: DataFrame, key_col: str, shift: int, out: str) -> DataFrame:
+    """Global ROW_NUMBER over (key ASC, cust ASC) without a single-
+    partition window: rank within key>>shift bands, then add the
+    broadcast exclusive band-count offsets (the decile-lift/AUC
+    decomposition, factored because RFM needs it three times).
+    shiftright is arithmetic, so negative keys band monotonically too
+    — DESC orderings pass the negated metric."""
+    b = df.withColumn("_band", F.shiftright(F.col(key_col), shift))
+    wl = Window.partitionBy("_band").orderBy(F.asc(key_col), F.asc("cust"))
+    b = b.withColumn("_lrn", F.row_number().over(wl))
+    bands = b.groupBy("_band").agg(F.count(F.lit(1)).alias("_bn"))
+    wb = Window.orderBy("_band").rowsBetween(Window.unboundedPreceding, -1)
+    bands = bands.select(
+        "_band",
+        F.coalesce(F.sum("_bn").over(wb), F.lit(0)).alias("_off"),
+    )
+    return (
+        b.join(F.broadcast(bands), "_band")
+        .withColumn(out, F.col("_off") + F.col("_lrn"))
+        .drop("_band", "_lrn", "_off")
+    )
+
+
+_RFM_ANCHOR = "1998-12-31"  # just past the orders fixture horizon
+
+_RFM_ORACLE = f"""
+WITH cm AS (
+  SELECT o_custkey AS cust,
+    -CAST(datediff('day', CAST(MAX(o_orderdate) AS DATE),
+                   DATE '{_RFM_ANCHOR}') AS BIGINT) AS neg_recency,
+    CAST(COUNT(*) AS BIGINT) AS freq,
+    CAST(SUM(CAST(CAST(CAST(o_totalprice AS STRING) AS DECIMAL(30,6))
+                  * 100 AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+), r AS (
+  SELECT cents,
+    ROW_NUMBER() OVER (ORDER BY neg_recency, cust) AS rr,
+    ROW_NUMBER() OVER (ORDER BY freq, cust) AS rf,
+    ROW_NUMBER() OVER (ORDER BY cents, cust) AS rm,
+    COUNT(*) OVER () AS n
+  FROM cm
+)
+SELECT concat(CAST((rr - 1) * 4 // n + 1 AS VARCHAR),
+              CAST((rf - 1) * 4 // n + 1 AS VARCHAR),
+              CAST((rm - 1) * 4 // n + 1 AS VARCHAR)) AS segment,
+  CAST(COUNT(*) AS BIGINT) AS n_customers,
+  CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM r GROUP BY 1
+"""
+
+
+@register("q_rfm_segments", oracle=_RFM_ORACLE, tags=("analytics",))
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-value cut: per ordering
+    customer, Recency (days from last order to the fixture horizon),
+    Frequency (order count) and Monetary (exact cents) are each
+    quartile-scored 1..4 (4 best) and customers roll up per 3-digit
+    segment.  Equal-frequency quartiles use the deterministic closed
+    form (rank-1)*4 div n + 1 over a banded global ROW_NUMBER
+    (_banded_rank — no single-partition window, no builtin NTILE
+    remainder ambiguity), with custkey as the total-order tiebreak so
+    both engines rank identically.  Recency ranks DESC via the negated
+    metric (arithmetic shiftright keeps negative bands monotonic).
+    Three rank passes = three bounded shuffles over the CUSTOMER
+    aggregate (orders-table cardinality never re-shuffled); band
+    tables are value-range-sized broadcasts."""
+    o = load_table(spark, sf_dir, "orders")
+    cm = o.groupBy(F.col("o_custkey").alias("cust")).agg(
+        (
+            -F.datediff(
+                F.lit(_RFM_ANCHOR).cast("date"),
+                F.max(F.col("o_orderdate").cast("date")),
+            )
+        )
+        .cast("long")
+        .alias("neg_recency"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(30,6)") * 100).cast("long")
+        ).alias("cents"),
+    )
+    r = _banded_rank(cm, "neg_recency", 6, "rr")
+    r = _banded_rank(r, "freq", 2, "rf")
+    r = _banded_rank(r, "cents", 21, "rm")
+    tot = cm.agg(F.count(F.lit(1)).alias("n"))
+    q = r.crossJoin(F.broadcast(tot)).select(
+        "cents",
+        F.concat(
+            (F.expr("(rr - 1) * 4 div n") + 1).cast("string"),
+            (F.expr("(rf - 1) * 4 div n") + 1).cast("string"),
+            (F.expr("(rm - 1) * 4 div n") + 1).cast("string"),
+        ).alias("segment"),
+    )
+    return q.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )

@@ -475,3 +475,47 @@ def test_max_concurrency_definition(spark, duck, sf_dir):
         if cur > peak:
             peak, peak_ts = cur, t
     assert (row["peak"], row["peak_ts_us"]) == (peak, peak_ts)
+
+
+def test_rfm_segments_definition(spark, duck, sf_dir):
+    """RFM re-derived brute-force: python-side quartile scoring over
+    the per-customer (recency, frequency, monetary) triples, plus the
+    equal-frequency invariant (each score class holds n/4 +- 1
+    customers per dimension)."""
+    got = {
+        r["segment"]: (r["n_customers"], r["total_cents"])
+        for r in _SPECS["q_rfm_segments"].fn(spark, sf_dir).collect()
+    }
+    rows = duck.execute(
+        "SELECT o_custkey,"
+        " datediff('day', CAST(MAX(o_orderdate) AS DATE),"
+        "          DATE '1998-12-31'),"
+        " COUNT(*),"
+        " CAST(SUM(CAST(CAST(CAST(o_totalprice AS STRING)"
+        "   AS DECIMAL(30,6)) * 100 AS BIGINT)) AS BIGINT)"
+        " FROM orders GROUP BY o_custkey"
+    ).fetchall()
+    n = len(rows)
+
+    def scores(keyed):
+        order = sorted(range(n), key=keyed)
+        s = [0] * n
+        for rank0, i in enumerate(order):
+            s[i] = rank0 * 4 // n + 1
+        return s
+
+    r_s = scores(lambda i: (-rows[i][1], rows[i][0]))
+    f_s = scores(lambda i: (rows[i][2], rows[i][0]))
+    m_s = scores(lambda i: (rows[i][3], rows[i][0]))
+    exp = {}
+    for i in range(n):
+        seg = f"{r_s[i]}{f_s[i]}{m_s[i]}"
+        c, t = exp.get(seg, (0, 0))
+        exp[seg] = (c + 1, t + rows[i][3])
+    assert got == exp
+    for s in (r_s, f_s, m_s):
+        from collections import Counter
+
+        sizes = Counter(s)
+        assert set(sizes) == {1, 2, 3, 4}
+        assert max(sizes.values()) - min(sizes.values()) <= 1
