@@ -437,3 +437,102 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("twap_num_unit_us"),
         F.sum(F.col("nt") - F.col("t")).cast("long").alias("twap_den_us"),
     )
+
+
+# CUSUM drift constants (micro-scaled value units): reference level K
+# (the in-control mean the page test charges against) and decision
+# threshold H, tuned so the fixture alarms on a realistic minority of
+# keys (~1/6 of users at sf0.01) and the no-alarm sentinel path stays
+# exercised.
+CUSUM_K = 60_000_000
+CUSUM_H = 400_000_000
+
+_CUSUM_ORACLE = f"""
+WITH v AS (
+  SELECT user_id, ts, event_id,
+    CAST(CAST(CAST(value AS STRING) AS DECIMAL(30,6)) * 1000000
+         AS BIGINT) - {CUSUM_K} AS d
+  FROM events
+), p AS (
+  SELECT user_id,
+    ROW_NUMBER() OVER w AS rn,
+    SUM(CAST(d AS HUGEINT)) OVER w AS pp
+  FROM v
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING)
+), s AS (
+  SELECT user_id, rn,
+    pp - LEAST(0, MIN(pp) OVER (PARTITION BY user_id ORDER BY rn
+                                ROWS UNBOUNDED PRECEDING)) AS s
+  FROM p
+)
+SELECT user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CASE WHEN s > {CUSUM_H} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_alarms,
+  CAST(COALESCE(MIN(CASE WHEN s > {CUSUM_H} THEN rn END), -1) AS BIGINT)
+    AS first_alarm_rn,
+  CAST(MAX(s) AS BIGINT) AS max_s
+FROM s GROUP BY user_id
+"""
+
+
+@register("q_cusum", oracle=_CUSUM_ORACLE, tags=("timeseries",))
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change detection (the Page test) per key — the
+    drift monitor a metrics pipeline runs beside its z-score flags.
+    The textbook recursion S_t = max(0, S_{t-1} + x_t - K) is not a
+    window expression, but its closed form is: with P_t the prefix
+    sum of (x_t - K), S_t = P_t - min(0, min_{j<=t} P_j) — prefix
+    sum plus running min, both plain frames over ONE per-key window
+    order (ts, event_id), so the whole operator is a single user_id
+    shuffle reused by every window (plus the final regroup on the
+    SAME key).  Alarms fire while S_t exceeds H; per key the operator
+    emits event count, alarm count, first alarm position (-1 when in
+    control — no NULLs, engines' NULL reprs differ in pandas) and the
+    peak statistic.  Exactness: micro-scaled integer deviations,
+    prefix sums in DECIMAL(38,0)/HUGEINT for corpus-scale headroom,
+    outputs BIGINT.  The streaming twin (streaming/queries.py
+    cusum_stream) carries (P, minP) as two-BIGINT keyed state and
+    shares this oracle verbatim."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (
+            (F.col("value").cast("decimal(30,6)") * 1_000_000).cast("long")
+            - F.lit(CUSUM_K)
+        ).alias("d"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(Window.unboundedPreceding, 0)
+    p = v.select(
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        F.sum(F.col("d").cast("decimal(38,0)")).over(frame).alias("pp"),
+    )
+    s = p.select(
+        "user_id",
+        "rn",
+        (
+            F.col("pp")
+            - F.least(
+                F.lit(0).cast("decimal(38,0)"),
+                F.min("pp").over(
+                    Window.partitionBy("user_id")
+                    .orderBy("rn")
+                    .rowsBetween(Window.unboundedPreceding, 0)
+                ),
+            )
+        ).alias("s"),
+    )
+    alarm = F.col("s") > F.lit(CUSUM_H)
+    return s.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(alarm.cast("long")).alias("n_alarms"),
+        F.coalesce(
+            F.min(F.when(alarm, F.col("rn"))), F.lit(-1)
+        ).cast("long").alias("first_alarm_rn"),
+        F.max("s").cast("long").alias("max_s"),
+    )

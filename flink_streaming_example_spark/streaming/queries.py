@@ -2232,3 +2232,102 @@ def q_streaming_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.select(
         "day", "n_new", F.sum("n_new").over(w).alias("cum_distinct")
     )
+
+
+def cusum_stream(ev: DataFrame) -> DataFrame:
+    """The Page-test kernel behind q_streaming_cusum, factored out so
+    the multibatch test drives the IDENTICAL code over time-split
+    shards.  Per key the state is the CUSUM closed form's two prefix
+    scalars — running P = sum(x - K) and running min(P) — plus the
+    summary counters; every batch folds its (ts, event_id)-sorted
+    micro-deviations into them in arbitrary-precision Python ints
+    (the oracle runs HUGEINT).  Input: a streaming frame with
+    (user_id, ts, event_id, d) where d is the micro-scaled deviation
+    value*1e6 - CUSUM_K.  Constant state per key: six longs,
+    watermark-free — the Flink ValueState shape."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from flink_streaming_example_spark.operators.timeseries import CUSUM_H
+
+    def judge(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            pp, mp, rn, alarms, first_rn, max_s = (
+                int(v) for v in state.get
+            )
+        else:
+            pp, mp, rn, alarms, first_rn, max_s = 0, 0, 0, 0, -1, 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for d in (int(v) for v in pdf["d"]):
+                rn += 1
+                pp += d
+                mp = min(mp, pp)
+                s = pp - mp  # mp already folds in P_0 = 0
+                if s > CUSUM_H:
+                    alarms += 1
+                    if first_rn < 0:
+                        first_rn = rn
+                if s > max_s:
+                    max_s = s
+        state.update((pp, mp, rn, alarms, first_rn, max_s))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [rn],
+                "n_alarms": [alarms],
+                "first_alarm_rn": [first_rn],
+                "max_s": [max_s],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        judge,
+        outputStructType=(
+            "user_id long, n_events long, n_alarms long,"
+            " first_alarm_rn long, max_s long"
+        ),
+        stateStructType=(
+            "pp long, mp long, rn long, alarms long,"
+            " first_rn long, max_s long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+from flink_streaming_example_spark.operators.timeseries import (
+    _CUSUM_ORACLE as _STREAM_CUSUM_ORACLE,
+)
+
+
+@register(
+    "q_streaming_cusum", oracle=_STREAM_CUSUM_ORACLE, tags=("streaming",)
+)
+def q_streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_cusum — Flink's keyed ProcessFunction with
+    two ValueState scalars: the CUSUM recursion S_t = max(0, S_{t-1}
+    + x_t - K) is inherently sequential, which is exactly what makes
+    it a STATEFUL streaming operator rather than a window; the closed
+    form (prefix sum minus running min) means state is two integers,
+    not a buffer.  Deviations are micro-scaled JVM-side before the
+    Python kernel; update-mode emission keeps the per-key summary
+    current every batch and the bounded replay's final rows
+    hash-match the batch oracle verbatim (same prefix-order argument
+    as q_streaming_anomaly; multibatch-tested over time-split
+    shards)."""
+    from flink_streaming_example_spark.operators.timeseries import CUSUM_K
+
+    ev = events_file_replay(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr(
+            "CAST(CAST(CAST(value AS STRING) AS DECIMAL(30,6)) * 1000000"
+            f" AS BIGINT) - {CUSUM_K}"
+        ).alias("d"),
+    )
+    return run_to_memory(cusum_stream(ev), spark, output_mode="update")

@@ -1209,3 +1209,83 @@ def test_streaming_running_distinct_emit_once(spark):
     g = gp[cols].sort_values(cols).reset_index(drop=True)
     e = exp[cols].sort_values(cols).reset_index(drop=True)
     assert g.equals(e)
+
+
+def test_streaming_cusum_across_batches(spark):
+    """q_streaming_cusum's statistic is order-dependent (prefix sum
+    minus running min) — state must carry (P, minP) across
+    micro-batches.  Expected = the closed form computed in batch SQL
+    over the same events."""
+    import os
+
+    from pyspark.sql import Window
+
+    from flink_streaming_example_spark.operators.timeseries import (
+        CUSUM_H,
+        CUSUM_K,
+    )
+    from flink_streaming_example_spark.streaming.queries import cusum_stream
+
+    ev = load_table(spark, SF_DIR, "events")
+    bounds = list(
+        ev.selectExpr(
+            "min(ts) AS a", "timestamp'2024-01-08' AS b",
+            "timestamp'2024-01-15' AS c", "timestamp'2024-01-22' AS d",
+            "max(ts) AS e"
+        ).collect()[0]
+    )
+    out_dir = tempfile.mkdtemp(prefix="cusum_shards_")
+    _write_time_aligned_shards(ev, "ts", bounds, out_dir)
+    assert len(os.listdir(out_dir)) == len(bounds) - 1
+
+    d_expr = (
+        "CAST(CAST(CAST(value AS STRING) AS DECIMAL(30,6)) * 1000000"
+        f" AS BIGINT) - {CUSUM_K}"
+    )
+    stream = _replay(spark, out_dir).select(
+        "user_id", "ts", "event_id", F.expr(d_expr).alias("d")
+    )
+    got, batches = _drain(spark, cusum_stream(stream), "update")
+    assert batches >= len(bounds) - 1
+    # every tracked quantity is nondecreasing (first_alarm_rn goes
+    # -1 -> fixed k once), so the final state row is the max row
+    final = got.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("n_alarms").alias("n_alarms"),
+        F.max("first_alarm_rn").alias("first_alarm_rn"),
+        F.max("max_s").alias("max_s"),
+    )
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(Window.unboundedPreceding, 0)
+    p = ev.select(
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        F.sum(F.expr(d_expr).cast("decimal(38,0)")).over(frame).alias("pp"),
+    )
+    s = p.select(
+        "user_id",
+        "rn",
+        (
+            F.col("pp")
+            - F.least(
+                F.lit(0).cast("decimal(38,0)"),
+                F.min("pp").over(
+                    Window.partitionBy("user_id")
+                    .orderBy("rn")
+                    .rowsBetween(Window.unboundedPreceding, 0)
+                ),
+            )
+        ).alias("s"),
+    )
+    alarm = F.col("s") > F.lit(CUSUM_H)
+    want = s.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(alarm.cast("long")).alias("n_alarms"),
+        F.coalesce(F.min(F.when(alarm, F.col("rn"))), F.lit(-1))
+        .cast("long")
+        .alias("first_alarm_rn"),
+        F.max("s").cast("long").alias("max_s"),
+    )
+    result = compare_frames(final.toPandas(), want.toPandas())
+    assert result.ok, result.detail

@@ -58,6 +58,7 @@ _STATE_FN_KEYS = {
     "q_streaming_running_distinct",
     "q_streaming_stratified_sample",
     "q_streaming_funnel",
+    "q_streaming_cusum",
 }
 # Expected state-store operator shape per key (lastProgress
 # stateOperators operatorName); stateless keys must carry NO state.
@@ -88,6 +89,7 @@ _EXPECTED_STATE_OPS = {
     "q_streaming_running_distinct": ["applyInPandasWithState"],
     "q_streaming_stratified_sample": ["applyInPandasWithState"],
     "q_streaming_funnel": ["applyInPandasWithState"],
+    "q_streaming_cusum": ["applyInPandasWithState"],
 }
 
 

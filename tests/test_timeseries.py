@@ -8,6 +8,9 @@ from __future__ import annotations
 
 import datetime
 
+from hypothesis import given
+from hypothesis import strategies as st
+
 from pyspark.sql import functions as F
 
 from flink_streaming_example_spark.plans.registry import all_specs
@@ -230,3 +233,21 @@ def test_twap_closed_form(spark, tmp_path):
     }
     num = (10_000_000 * 1_000_000 + 20_000_000 * 3_000_000) // 1_000_000
     assert out == {1: (num, 4_000_000)}
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-(10**9), max_value=10**9),
+        min_size=0,
+        max_size=60,
+    )
+)
+def test_cusum_closed_form_fuzz(devs):
+    """The window form S_t = P_t - min(P_0..P_t) must equal the Page
+    recursion S_t = max(0, S_{t-1} + d_t) on any deviation sequence."""
+    s_rec, p, mn = 0, 0, 0
+    for d in devs:
+        s_rec = max(0, s_rec + d)
+        p += d
+        mn = min(mn, p)
+        assert s_rec == p - mn
