@@ -1918,3 +1918,88 @@ def q_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_video_payloads, schema="doc_id long, payload binary"
     )
     return video_decode(media)
+
+
+# ---------------------------------------------------------- binaryFile
+
+_binfile_cache: dict[str, str] = {}
+
+
+def _cleanup_binfile_cache() -> None:
+    import shutil
+
+    for path in _binfile_cache.values():
+        shutil.rmtree(path, ignore_errors=True)
+    _binfile_cache.clear()
+
+
+def documents_as_media_files(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the synthesized media corpus as ONE FILE PER BLOB
+    (`{doc_id}.bin`, once per process per sf_dir) — the layout image
+    and audio corpora actually land in before anyone parquet-izes
+    them.  Files are written executor-side (foreachPartition over the
+    same synth_decodable_payloads kernel the in-memory key uses —
+    nothing collects to the driver; local mode shares the target
+    directory, a cluster would point at object storage)."""
+    import atexit
+    import os
+    import tempfile
+
+    cached = _binfile_cache.get(sf_dir)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    if not _binfile_cache:
+        atexit.register(_cleanup_binfile_cache)
+    out = tempfile.mkdtemp(prefix="docs_media_")
+
+    def write_partition(rows) -> None:
+        ids = [r["doc_id"] for r in rows]
+        if not ids:
+            return
+        batches = iter([pd.DataFrame({"doc_id": ids})])
+        for pdf in synth_decodable_payloads(batches):
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                with open(os.path.join(out, f"{int(d)}.bin"), "wb") as fh:
+                    fh.write(bytes(p))
+
+    load_table(spark, sf_dir, "documents").select("doc_id").foreachPartition(
+        write_partition
+    )
+    _binfile_cache[sf_dir] = out
+    return out
+
+
+@register(
+    "q_binary_file_source",
+    oracle=_MEDIA_DECODE_ORACLE,
+    tags=("source", "multimodal", "python"),
+)
+def q_binary_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-depth (round 9): the `binaryFile` data source — Spark's
+    native reader for blob corpora (one row per file: path, length,
+    content) and the honest first hop of every image/audio training
+    pipeline.  The synthesized BMP/WAV/PNG/GIF corpus round-trips
+    through REAL files on disk; doc_id is recovered from the file
+    NAME (regexp on `path` — the join key always lives in the path
+    layout at scale) and the content bytes flow through the same
+    media_decode kernel as q_media_decode, so the key hash-matches
+    that oracle verbatim — proving bytes survive the
+    filesystem+reader hop exactly.  Scale notes in the plan: the scan
+    is one row per file with readers parallelized per file (fine for
+    millions of blobs), listing is the planning cost (object-store
+    corpora should shard directories), and files above
+    spark.sql.sources.binaryFile.maxLength refuse to read rather
+    than truncate."""
+    path = documents_as_media_files(spark, sf_dir)
+    blobs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(path)
+    )
+    media = blobs.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    return media_decode(media)

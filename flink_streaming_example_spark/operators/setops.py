@@ -200,3 +200,52 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.where(
         (F.col("best_day") == -1) | (F.col("day") > F.col("best_day"))
     ).select("price_c", "day")
+
+
+_MULTISET_ORACLE = """
+WITH a AS (
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+), b AS (
+  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+), ea AS (
+  SELECT custkey FROM a EXCEPT ALL SELECT custkey FROM b
+), ia AS (
+  SELECT custkey FROM a INTERSECT ALL SELECT custkey FROM b
+)
+SELECT custkey,
+  CAST(SUM(CASE WHEN src = 'x' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_except_all,
+  CAST(SUM(CASE WHEN src = 'i' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_intersect_all
+FROM (
+  SELECT custkey, 'x' AS src FROM ea
+  UNION ALL
+  SELECT custkey, 'i' AS src FROM ia
+)
+GROUP BY custkey
+"""
+
+
+@register("q_multiset_ops", oracle=_MULTISET_ORACLE, tags=("setop",))
+def q_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5c: the ALL (bag/multiset) variants SQL's plain INTERSECT /
+    EXCEPT silently collapse — exceptAll keeps max(m-n, 0) copies per
+    value, intersectAll keeps min(m, n) — counted per key so the
+    multiplicities themselves are what the oracle hash-checks (output
+    ORDER of duplicate rows is engine-specific; their COUNT is not).
+    Both plan as hash aggregations with partial map-side combine
+    (count per side, then arithmetic on the counts), not row-pairing
+    joins — the same shape that survives 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = orders.filter(F.col("o_totalprice") > 150000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    ea = a.exceptAll(b).select("custkey", F.lit("x").alias("src"))
+    ia = a.intersectAll(b).select("custkey", F.lit("i").alias("src"))
+    return ea.unionAll(ia).groupBy("custkey").agg(
+        F.sum((F.col("src") == "x").cast("long")).alias("n_except_all"),
+        F.sum((F.col("src") == "i").cast("long")).alias("n_intersect_all"),
+    )

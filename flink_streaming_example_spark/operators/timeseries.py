@@ -536,3 +536,79 @@ def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("first_alarm_rn"),
         F.max("s").cast("long").alias("max_s"),
     )
+
+
+_AUTOCORR_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+    CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY event_type, day
+), pairs AS (
+  SELECT event_type, x,
+    LEAD(x) OVER (PARTITION BY event_type ORDER BY day) AS y
+  FROM daily
+), s AS (
+  SELECT event_type,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(x) AS BIGINT) AS sx,
+    CAST(SUM(y) AS BIGINT) AS sy,
+    CAST(SUM(x * y) AS BIGINT) AS sxy,
+    CAST(SUM(x * x) AS BIGINT) AS sxx,
+    CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pairs WHERE y IS NOT NULL GROUP BY event_type
+)
+SELECT event_type, n,
+  CAST(n * sxy - sx * sy AS BIGINT) AS corr_num,
+  CAST(n * sxx - sx * sx AS BIGINT) AS corr_den_x,
+  CAST(n * syy - sy * sy AS BIGINT) AS corr_den_y
+FROM s
+"""
+
+
+@register("q_autocorr", oracle=_AUTOCORR_ORACLE, tags=("timeseries",))
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each event type's DAILY VOLUME — the
+    seasonality probe run before any forecasting job (is today's
+    traffic predicted by yesterday's?).  Consecutive-day pairs come
+    from one LEAD over the per-type daily rollup (gaps intentionally
+    pair across them: the series is observation-ordered, the
+    q_interpolate key owns grid filling); the Pearson components are
+    emitted exactly as integers — corr = num / sqrt(den_x * den_y)
+    for the consumer — because daily counts are small integers, every
+    polynomial fits BIGINT with orders of magnitude to spare.  Scale:
+    the rollup is one hash aggregate on (type, day); the window runs
+    over type-count x day-count rows — horizon-sized, not
+    event-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"
+        ).alias("day"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    pairs = daily.select(
+        "event_type", "x", F.lead("x").over(w).alias("y")
+    ).where(F.col("y").isNotNull())
+    s = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("long")
+        .alias("corr_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("long")
+        .alias("corr_den_x"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("long")
+        .alias("corr_den_y"),
+    )

@@ -223,3 +223,32 @@ def test_skyline_dominance(spark, duck, sf_dir):
     s = sorted(got, key=lambda x: -x[0])
     for (p1, d1), (p2, d2) in zip(s, s[1:]):
         assert p1 > p2 and d2 > d1
+
+
+def test_multiset_ops_counts(spark, duck, sf_dir):
+    """exceptAll/intersectAll multiplicities re-derived from raw
+    per-side Counters: max(m-n, 0) and min(m, n)."""
+    from collections import Counter
+
+    got = {
+        r["custkey"]: (r["n_except_all"], r["n_intersect_all"])
+        for r in _SPECS["q_multiset_ops"].fn(spark, sf_dir).collect()
+    }
+    a = Counter(
+        k
+        for (k,) in duck.execute(
+            "SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'"
+        ).fetchall()
+    )
+    b = Counter(
+        k
+        for (k,) in duck.execute(
+            "SELECT o_custkey FROM orders WHERE o_totalprice > 150000"
+        ).fetchall()
+    )
+    exp = {}
+    for k in set(a) | set(b):
+        ex, inter = max(a[k] - b[k], 0), min(a[k], b[k])
+        if ex or inter:
+            exp[k] = (ex, inter)
+    assert got == exp

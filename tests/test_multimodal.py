@@ -619,3 +619,37 @@ def test_decode_payload_avi():
     assert got == expect
     with pytest.raises(NotImplementedError, match="ffmpeg"):
         multimodal._decode_payload(b"\x00\x00\x00\x18ftyp", "video/mp4")
+
+
+def test_binary_file_source_bytes_survive_disk(spark):
+    """The `{doc_id}.bin` corpus on disk must be byte-identical to the
+    in-memory synthesis, and the binaryFile reader must recover every
+    blob (no truncation, no missed file)."""
+    import glob
+    import os
+
+    import pandas as pd
+
+    from flink_streaming_example_spark.operators.multimodal import (
+        documents_as_media_files,
+        synth_decodable_payloads,
+    )
+    from flink_streaming_example_spark.sources.tables import load_table
+
+    path = documents_as_media_files(spark, SF_DIR)
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id")
+        .collect()
+    ]
+    files = glob.glob(os.path.join(path, "*.bin"))
+    assert len(files) == len(ids)
+    (pdf,) = synth_decodable_payloads(
+        iter([pd.DataFrame({"doc_id": sorted(ids)})])
+    )
+    expect = dict(zip(pdf["doc_id"], pdf["payload"]))
+    for f in files:
+        d = int(os.path.basename(f)[:-4])
+        with open(f, "rb") as fh:
+            assert fh.read() == bytes(expect[d]), d

@@ -251,3 +251,38 @@ def test_cusum_closed_form_fuzz(devs):
         p += d
         mn = min(mn, p)
         assert s_rec == p - mn
+
+
+def test_autocorr_definition(spark, duck, sf_dir):
+    """Lag-1 autocorrelation components re-derived brute-force from
+    the daily volume series, plus a sign sanity on the assembled
+    coefficient (|corr| <= 1)."""
+    import math
+
+    got = {
+        r["event_type"]: (
+            r["n"], r["corr_num"], r["corr_den_x"], r["corr_den_y"]
+        )
+        for r in _SPECS["q_autocorr"].fn(spark, sf_dir).collect()
+    }
+    rows = duck.execute(
+        "SELECT event_type,"
+        " epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,"
+        " COUNT(*) FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    series: dict[str, list[int]] = {}
+    for et, _day, c in rows:
+        series.setdefault(et, []).append(c)
+    for et, xs in series.items():
+        ps = list(zip(xs, xs[1:]))
+        n = len(ps)
+        sx = sum(x for x, _ in ps)
+        sy = sum(y for _, y in ps)
+        sxy = sum(x * y for x, y in ps)
+        sxx = sum(x * x for x, _ in ps)
+        syy = sum(y * y for _, y in ps)
+        exp = (n, n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy)
+        assert got[et] == exp, et
+        num, dx, dy = exp[1], exp[2], exp[3]
+        if dx > 0 and dy > 0:
+            assert abs(num / math.sqrt(dx * dy)) <= 1.0 + 1e-12
