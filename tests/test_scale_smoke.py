@@ -484,3 +484,43 @@ def test_streaming_ewma_hot_key_1m_rows(spark):
     assert wrong == 0
     assert peak_rows == 1
     assert 0 < peak_bytes < 1024 * 1024, peak_bytes
+
+
+def test_streaming_cusum_hot_key_1m_rows(spark):
+    """q_streaming_cusum's state is six BIGINTs per key — constant by
+    construction.  Volume proof on ONE key, 1M events in 4
+    micro-batches: alternating +1/-1 deviations keep S at 0/1 (never
+    alarms against H=4e8) until a single 1e9 spike at id 500000,
+    after which S stays ~1e9 and EVERY later event alarms.  Expected:
+    alarms = 500000, first alarm at rn 500001, peak S = exactly 1e9
+    (P alternates 1e9 / 1e9-1 after the spike), one state row, bytes
+    far under 1 MB."""
+    from flink_streaming_example_spark.streaming.queries import cusum_stream
+
+    n = 1_000_000
+    spike = 500_000
+    ev = spark.range(n).select(
+        F.lit(1).alias("user_id"),
+        F.timestamp_micros(F.col("id") + _HOT_BASE_US).alias("ts"),
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") == spike, F.lit(1_000_000_000))
+        .otherwise(F.lit(1) - (F.col("id") % 2) * 2)
+        .cast("long")
+        .alias("d"),
+    )
+    got, peak_bytes, peak_rows = _run_hot_key_single_stream(
+        spark, cusum_stream, ev, "cusum_hot_result"
+    )
+    final = got.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("n_alarms").alias("n_alarms"),
+        F.max("first_alarm_rn").alias("first_alarm_rn"),
+        F.max("max_s").alias("max_s"),
+    ).collect()
+    assert len(final) == 1
+    assert final[0]["n_events"] == n
+    assert final[0]["n_alarms"] == n - spike
+    assert final[0]["first_alarm_rn"] == spike + 1
+    assert final[0]["max_s"] == 1_000_000_000
+    assert peak_rows == 1
+    assert 0 < peak_bytes < 1024 * 1024, peak_bytes

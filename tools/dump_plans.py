@@ -235,6 +235,28 @@ SHOWCASE: tuple[tuple[str, str], ...] = (
         "max-day, then plain partial+final distinct aggregates — no "
         "Window operator anywhere in the plan.",
     ),
+    (
+        "q_max_concurrency",
+        "Interval stabbing (r9 fifth block): session_window aggregate -> "
+        "+1/-1 boundary union -> banded prefix sum (Window partitioned by "
+        "time band + `BroadcastExchange` of the band offsets); peak and "
+        "argmax are scalar aggregates broadcast back — no data-scale "
+        "single-partition Window, no collect.",
+    ),
+    (
+        "q_cusum",
+        "Page-test CUSUM (r9 fifth block): ONE Exchange on user_id feeds "
+        "row_number, prefix SUM and running MIN frames plus the final "
+        "regroup — four keyed operators, one shuffle, zero Python.",
+    ),
+    (
+        "q_rfm_segments",
+        "Three banded global rankings (r9 fifth block, factored "
+        "_banded_rank): each metric ranks inside value bands then adds "
+        "broadcast exclusive band offsets — the only unpartitioned "
+        "Window runs over the band table (value-range-sized), never the "
+        "customers.",
+    ),
 )
 
 
