@@ -463,3 +463,180 @@ def _register_streaming_cdc() -> None:
 
 
 _register_streaming_cdc()
+
+
+# ------------------------------------------------------- retract agg
+
+
+def _read_live_buckets(
+    spark: SparkSession, path: str, affected: list[int]
+) -> DataFrame:
+    """Current live rows of the keyed table, scanning ONLY the given
+    bucket directories (the same pruning upsert_batch's merge uses)."""
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("_bucket").isin(affected))
+        .filter(~F.col("_dead"))
+        .drop("_bucket", "_dead")
+    )
+
+
+def retract_agg_sink(
+    ev: DataFrame,
+    key_table: str,
+    checkpoint: str,
+    acc: dict[str, tuple[int, int]],
+) -> DataStreamWriter:
+    """Changelog-consuming aggregation — Flink's RETRACT-stream
+    aggregate: a per-group view (n_users, total_micro per event_type,
+    where each user counts toward the type of their LATEST event)
+    maintained INCREMENTALLY under updates.  When a key's latest row
+    changes, its old contribution must be subtracted from the old
+    group and the new one added — the -1/+1 retraction pair plain
+    upsert consumers never need.
+
+    Per micro-batch (all distributed except the group-sized fold):
+
+     1. read the affected users' CURRENT winners from the keyed table
+        (bucket-pruned exactly like the merge; eagerly checkpointed,
+        because the merge is about to overwrite those directories) —
+        these are the retractions;
+     2. upsert_batch the batch (latest-per-key election unchanged);
+     3. re-read the same users' NEW winners — the additions;
+     4. groupBy(event_type) over retractions ∪ additions -> per-group
+        deltas, collected GROUP-CARDINALITY-sized (the Flink per-group
+        accumulator state; bounded by the type vocabulary, never by
+        data volume) and folded into ``acc``.
+
+    A user whose merged winner is unchanged (late/duplicate row)
+    contributes -x and +x to the same group — net zero, so replays
+    and out-of-order versions are absorbed.  At 100 TB the acc dict
+    becomes a keyed aggregate table maintained by the same delta feed;
+    nothing here rescans history or recomputes groups from scratch."""
+    spark = ev.sparkSession
+
+    def step(batch_df: DataFrame, _batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        bucket = F.pmod(F.hash("user_id"), F.lit(_N_BUCKETS)).cast("int")
+        affected = [
+            r["b"]
+            for r in batch_df.select(bucket.alias("b")).distinct().collect()
+        ]
+        users = batch_df.select("user_id").distinct()
+        parts = []
+        if os.path.isdir(key_table) and any(
+            e.startswith("_bucket=") for e in os.listdir(key_table)
+        ):
+            old = (
+                _read_live_buckets(spark, key_table, affected)
+                .join(users, "user_id", "left_semi")
+                # materialize BEFORE the merge rewrites these buckets:
+                # the scan is lazy and would otherwise read post-merge
+                # files (or die on the replaced ones)
+                .localCheckpoint(eager=True)
+            )
+            parts.append(
+                old.select(
+                    "event_type",
+                    F.lit(-1).alias("dn"),
+                    (-F.col("vi")).alias("dv"),
+                )
+            )
+        upsert_batch(spark, batch_df, key_table, ["user_id"], "ts")
+        new = _read_live_buckets(spark, key_table, affected).join(
+            users, "user_id", "left_semi"
+        )
+        parts.append(
+            new.select(
+                "event_type", F.lit(1).alias("dn"), F.col("vi").alias("dv")
+            )
+        )
+        deltas = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+        rows = (
+            deltas.groupBy("event_type")
+            .agg(F.sum("dn").alias("dn"), F.sum("dv").alias("dv"))
+            .collect()  # group-cardinality-sized (bounded vocabulary)
+        )
+        for r in rows:
+            n, v = acc.get(r["event_type"], (0, 0))
+            n, v = n + r["dn"], v + r["dv"]
+            if n == 0 and v == 0:
+                acc.pop(r["event_type"], None)
+            else:
+                acc[r["event_type"]] = (n, v)
+
+    return ev.writeStream.foreachBatch(step).option(
+        "checkpointLocation", checkpoint
+    )
+
+
+_RETRACT_AGG_ORACLE = """
+WITH latest AS (
+  SELECT user_id, event_type, value,
+    ROW_NUMBER() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+    ) AS rn
+  FROM events
+)
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_users,
+  CAST(SUM(CAST(CAST(CAST(value AS STRING) AS DECIMAL(30,6)) * 1000000
+           AS BIGINT)) AS BIGINT) AS total_micro
+FROM latest WHERE rn = 1 GROUP BY event_type
+"""
+
+
+def _register_streaming_retract_agg() -> None:
+    from flink_streaming_example_spark.plans.registry import register
+    from flink_streaming_example_spark.sources.streams import (
+        events_file_replay,
+    )
+
+    @register(
+        "q_streaming_retract_agg",
+        oracle=_RETRACT_AGG_ORACLE,
+        tags=("streaming",),
+    )
+    def q_streaming_retract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """S9/A-retract: per-type user counts and value totals over
+        each user's LATEST event, maintained incrementally through the
+        retract pairs (module docstring of retract_agg_sink) — the
+        aggregation class Flink calls a retract stream, where updates
+        must SUBTRACT superseded contributions, composed on top of the
+        keyed upsert table.  The driver checks the delta-maintained
+        accumulator against the batch latest-per-key aggregate."""
+        import shutil
+        import tempfile
+
+        ev = events_file_replay(spark, sf_dir).select(
+            "user_id",
+            "event_id",
+            "ts",
+            "event_type",
+            (F.col("value").cast("decimal(30,6)") * 1_000_000)
+            .cast("long")
+            .alias("vi"),
+        )
+        acc: dict[str, tuple[int, int]] = {}
+        table = tempfile.mkdtemp(prefix="retract_q_")
+        ckpt = tempfile.mkdtemp(prefix="retract_q_ckpt_")
+        try:
+            q = (
+                retract_agg_sink(ev, table, ckpt, acc)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            rows = [
+                (k, int(n), int(v)) for k, (n, v) in sorted(acc.items())
+            ]
+            return spark.createDataFrame(
+                rows, "event_type string, n_users long, total_micro long"
+            )
+        finally:
+            shutil.rmtree(table, ignore_errors=True)
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+
+_register_streaming_retract_agg()

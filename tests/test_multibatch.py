@@ -1289,3 +1289,71 @@ def test_streaming_cusum_across_batches(spark):
     )
     result = compare_frames(final.toPandas(), want.toPandas())
     assert result.ok, result.detail
+
+
+def test_retract_agg_across_batches(spark, sharded_events_dir):
+    """The retract-stream aggregate must SUBTRACT superseded
+    contributions when a user's latest event changes group across
+    micro-batches.  Proof in two parts: (a) the fixture genuinely
+    forces retractions (some user's first-shard winner type differs
+    from their overall winner type), (b) the delta-maintained
+    accumulator lands exactly on the batch latest-per-key aggregate."""
+    import tempfile as _tf
+
+    from pyspark.sql import Window
+
+    from flink_streaming_example_spark.streaming.upsert import (
+        retract_agg_sink,
+    )
+
+    vi = (F.col("value").cast("decimal(30,6)") * 1_000_000).cast("long")
+    ev = _replay(spark, sharded_events_dir).select(
+        "user_id", "event_id", "ts", "event_type", vi.alias("vi")
+    )
+    acc: dict[str, tuple[int, int]] = {}
+    table = _tf.mkdtemp(prefix="retract_mb_")
+    q = (
+        retract_agg_sink(
+            ev, table, _tf.mkdtemp(prefix="retract_mb_ckpt_"), acc
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(fed) >= 2, "replay must span micro-batches"
+
+    batch = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_id", "ts", "event_type", vi.alias("vi")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    latest = batch.withColumn("rn", F.row_number().over(w)).filter(
+        "rn = 1"
+    )
+    want = {
+        r["event_type"]: (r["n"], r["v"])
+        for r in latest.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("vi").alias("v"))
+        .collect()
+    }
+    assert {k: (int(n), int(v)) for k, (n, v) in acc.items()} == want
+
+    # (a) retraction coverage: at least one user's winner moved groups
+    # after their first event — else every delta would be insert-only
+    first = batch.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("user_id").orderBy(
+            F.asc("ts"), F.asc("event_id")
+        ))
+    ).filter("rn = 1").select(
+        "user_id", F.col("event_type").alias("first_type")
+    )
+    moved = latest.join(first, "user_id").filter(
+        F.col("event_type") != F.col("first_type")
+    )
+    assert moved.count() > 0
+
+    import shutil as _sh
+
+    _sh.rmtree(table, ignore_errors=True)

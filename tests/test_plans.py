@@ -37,6 +37,7 @@ _STREAMING = {
         "q_streaming_upsert",
         "q_streaming_training_mix",
         "q_streaming_cdc",
+        "q_streaming_retract_agg",
         "q_file_sink_roundtrip",
     )
 }
