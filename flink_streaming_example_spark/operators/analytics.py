@@ -874,3 +874,75 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("cents").cast("long").alias("total_cents"),
     )
+
+
+_WEEK_US = 7 * 86_400_000_000
+
+_LTV_ORACLE = f"""
+WITH f AS (
+  SELECT user_id,
+    MIN(epoch_us(CAST(ts AS TIMESTAMP)) // {_WEEK_US}) AS cw
+  FROM events GROUP BY user_id
+), sz AS (
+  SELECT cw, CAST(COUNT(*) AS BIGINT) AS n_users FROM f GROUP BY cw
+), e AS (
+  SELECT f.cw,
+    epoch_us(CAST(ev.ts AS TIMESTAMP)) // {_WEEK_US} - f.cw AS age,
+    CASE WHEN ev.event_type = 'purchase'
+         THEN CAST(CAST(CAST(ev.value AS STRING) AS DECIMAL(30,6))
+                   * 1000000 AS BIGINT)
+         ELSE 0 END AS rev
+  FROM events ev JOIN f ON ev.user_id = f.user_id
+), g AS (
+  SELECT cw, age, CAST(SUM(rev) AS BIGINT) AS rev_micro
+  FROM e GROUP BY cw, age
+)
+SELECT g.cw AS cohort_week, g.age AS age_weeks, sz.n_users, g.rev_micro,
+  CAST(SUM(g.rev_micro) OVER (PARTITION BY g.cw ORDER BY g.age
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+    AS cum_rev_micro
+FROM g JOIN sz ON g.cw = sz.cw
+"""
+
+
+@register("q_ltv_cohorts", oracle=_LTV_ORACLE, tags=("analytics",))
+def q_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves — the revenue companion to the retention
+    triangle: users cohorted by first-seen week, purchase revenue
+    (exact micros) rolled up per (cohort, age-in-weeks) and CUMULATED
+    down each cohort's age axis, alongside the cohort's size, so
+    cum_rev_micro / n_users is the per-user LTV trajectory.  Ages
+    appear whenever the cohort had ANY activity that week (zero-
+    revenue weeks included — the curve's flat segments are data, and
+    the presence rule is mirrored exactly in the oracle).  Scale: one
+    user_id exchange produces first-seen weeks, the fact join reuses
+    the same key, the rollup is (weeks x ages)-sized — horizon², not
+    event-count — and the cumulative window partitions by cohort."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) div {_WEEK_US}")
+    f = ev.groupBy("user_id").agg(F.min(wk).alias("cw"))
+    sz = f.groupBy("cw").agg(F.count(F.lit(1)).alias("n_users"))
+    rev = F.when(
+        F.col("event_type") == "purchase",
+        (F.col("value").cast("decimal(30,6)") * 1_000_000).cast("long"),
+    ).otherwise(F.lit(0))
+    e = ev.join(f, "user_id").select(
+        "cw", (wk - F.col("cw")).alias("age"), rev.alias("rev")
+    )
+    g = e.groupBy("cw", "age").agg(F.sum("rev").cast("long").alias("rev_micro"))
+    w = (
+        Window.partitionBy("cw")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        g.withColumn("cum_rev_micro", F.sum("rev_micro").over(w).cast("long"))
+        .join(F.broadcast(sz), "cw")
+        .select(
+            F.col("cw").alias("cohort_week"),
+            F.col("age").alias("age_weeks"),
+            "n_users",
+            "rev_micro",
+            "cum_rev_micro",
+        )
+    )

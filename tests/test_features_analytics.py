@@ -519,3 +519,41 @@ def test_rfm_segments_definition(spark, duck, sf_dir):
         sizes = Counter(s)
         assert set(sizes) == {1, 2, 3, 4}
         assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+def test_ltv_cohorts_definition(spark, duck, sf_dir):
+    """LTV curve re-derived brute-force: python cohorting by first-seen
+    week, per-(cohort, age) revenue, running cumulation, cohort sizes."""
+    got = {
+        (r["cohort_week"], r["age_weeks"]): (
+            r["n_users"], r["rev_micro"], r["cum_rev_micro"]
+        )
+        for r in _SPECS["q_ltv_cohorts"].fn(spark, sf_dir).collect()
+    }
+    week_us = 7 * 86_400_000_000
+    rows = duck.execute(
+        "SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)),"
+        " event_type = 'purchase',"
+        " CAST(CAST(CAST(value AS STRING) AS DECIMAL(30,6)) * 1000000"
+        "  AS BIGINT)"
+        " FROM events ORDER BY user_id, 2"
+    ).fetchall()
+    first: dict[int, int] = {}
+    for uid, tus, _p, _v in rows:
+        w = tus // week_us
+        if uid not in first or w < first[uid]:
+            first[uid] = w
+    size: dict[int, int] = {}
+    for cw in first.values():
+        size[cw] = size.get(cw, 0) + 1
+    rev: dict[tuple[int, int], int] = {}
+    for uid, tus, is_p, v in rows:
+        key = (first[uid], tus // week_us - first[uid])
+        rev[key] = rev.get(key, 0) + (v if is_p else 0)
+    exp = {}
+    for cw in {c for c, _ in rev}:
+        cum = 0
+        for age in sorted(a for c, a in rev if c == cw):
+            cum += rev[(cw, age)]
+            exp[(cw, age)] = (size[cw], rev[(cw, age)], cum)
+    assert got == exp
