@@ -564,3 +564,61 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.array_join("c", " ")).alias("chunk_md5"),
         )
     )
+
+
+_K_ANON = 5
+_K_ANON_BAND = 200
+
+_K_ANON_ORACLE = f"""
+WITH q AS (
+  SELECT lang, source, n_chars // {_K_ANON_BAND} AS len_band,
+    COUNT(*) AS grp_n
+  FROM documents GROUP BY 1, 2, 3
+)
+SELECT lang, source,
+  CAST(COUNT(*) AS BIGINT) AS n_classes,
+  CAST(SUM(CASE WHEN grp_n < {_K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_violating,
+  CAST(SUM(CASE WHEN grp_n < {_K_ANON} THEN grp_n ELSE 0 END) AS BIGINT)
+    AS n_suppressed,
+  CAST(SUM(CASE WHEN grp_n >= {_K_ANON} THEN grp_n ELSE 0 END) AS BIGINT)
+    AS n_released,
+  CAST(MIN(grp_n) AS BIGINT) AS min_class_size
+FROM q GROUP BY lang, source
+"""
+
+
+@register("q_k_anonymity", oracle=_K_ANON_ORACLE, tags=("datapipe",))
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit — the privacy gate a corpus release runs
+    after PII scrubbing (q_pii_scrub removes direct identifiers; this
+    key measures re-identification risk from QUASI-identifiers):
+    documents are grouped into equivalence classes on (lang, source,
+    banded length) and any class with fewer than k={_K_ANON} members
+    is marked for suppression.  The per-(lang, source) report emits
+    class counts, violating classes, suppressed vs released row
+    counts, and the minimum class size (the k actually achieved).
+    Scale: two hash aggregates, the second over class-cardinality
+    rows — the suppression rule is then a broadcast-joinable class
+    list, never a row-level shuffle of the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    q = d.groupBy(
+        "lang",
+        "source",
+        F.expr(f"n_chars div {_K_ANON_BAND}").alias("len_band"),
+    ).agg(F.count(F.lit(1)).alias("grp_n"))
+    small = F.col("grp_n") < _K_ANON
+    return q.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(small.cast("long")).alias("n_violating"),
+        F.sum(F.when(small, F.col("grp_n")).otherwise(0))
+        .cast("long")
+        .alias("n_suppressed"),
+        F.sum(F.when(~small, F.col("grp_n")).otherwise(0))
+        .cast("long")
+        .alias("n_released"),
+        F.min("grp_n").cast("long").alias("min_class_size"),
+    )
+
+
+q_k_anonymity.__doc__ = q_k_anonymity.__doc__.format(_K_ANON=_K_ANON)

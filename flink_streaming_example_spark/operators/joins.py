@@ -992,3 +992,101 @@ def q_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("action"),
         )
     )
+
+
+# ------------------------------------------------------ snapshot diff
+
+_DIFF_OLD_CUT = "1997-01-01"
+_DIFF_NEW_CUT = "1998-01-01"
+
+_SNAPSHOT_DIFF_ORACLE = f"""
+WITH snap_a AS (
+  SELECT o_orderkey AS k,
+    CAST(CAST(CAST(o_totalprice AS STRING) AS DECIMAL(30,6)) * 100
+         AS BIGINT) AS cents
+  FROM orders WHERE o_orderdate < TIMESTAMP '{_DIFF_OLD_CUT}'
+), snap_b AS (
+  SELECT o_orderkey AS k,
+    CAST(CAST(CAST(o_totalprice AS STRING) AS DECIMAL(30,6)) * 100
+         AS BIGINT)
+      + CASE WHEN o_orderkey % 7 = 0 THEN 500 ELSE 0 END AS cents
+  FROM orders
+  WHERE o_orderdate < TIMESTAMP '{_DIFF_NEW_CUT}'
+    AND o_orderkey % 97 <> 0
+), d AS (
+  SELECT COALESCE(a.k, b.k) AS k, a.cents AS ac, b.cents AS bc
+  FROM snap_a a FULL OUTER JOIN snap_b b ON a.k = b.k
+)
+SELECT
+  CASE WHEN ac IS NULL THEN 'added'
+       WHEN bc IS NULL THEN 'removed'
+       WHEN ac <> bc THEN 'changed'
+       ELSE 'unchanged' END AS change,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CASE WHEN ac IS NOT NULL AND bc IS NOT NULL
+                THEN ABS(bc - ac) ELSE 0 END) AS BIGINT)
+    AS abs_cent_delta,
+  CAST(SUM(COALESCE(bc, ac)) AS BIGINT) AS cents_checksum
+FROM d GROUP BY 1
+"""
+
+
+@register("q_snapshot_diff", oracle=_SNAPSHOT_DIFF_ORACLE, tags=("join",))
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — deriving a change feed from two table states
+    (what Delta/Iceberg call Change Data Feed, computed the portable
+    way when the format doesn't record one): FULL OUTER join on the
+    primary key classifies every row as added / removed / changed /
+    unchanged, with the changed class also carrying the exact cent
+    drift.  The two snapshots are synthesized deterministically from
+    orders (old = pre-{_DIFF_OLD_CUT}; new = pre-{_DIFF_NEW_CUT} with
+    key%97 rows deleted and key%7 prices re-stated +500 cents) so
+    every class is non-empty and the oracle regenerates them exactly.
+    Scale: ONE co-partitioned shuffle — both sides hash on the same
+    key — and the classification is pure projection; this beats the
+    two-anti-join-plus-inner-join formulation (three shuffles) that
+    diff tools naively emit."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(30,6)") * 100).cast("long")
+    snap_a = o.where(
+        F.col("o_orderdate") < F.lit(_DIFF_OLD_CUT).cast("timestamp_ntz")
+    ).select(F.col("o_orderkey").alias("k"), cents.alias("ac"))
+    snap_b = (
+        o.where(
+            F.col("o_orderdate") < F.lit(_DIFF_NEW_CUT).cast("timestamp_ntz")
+        )
+        .where(F.col("o_orderkey") % 97 != 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            (
+                cents
+                + F.when(F.col("o_orderkey") % 7 == 0, F.lit(500)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("bc"),
+        )
+    )
+    d = snap_a.join(snap_b, "k", "full_outer")
+    change = (
+        F.when(F.col("ac").isNull(), F.lit("added"))
+        .when(F.col("bc").isNull(), F.lit("removed"))
+        .when(F.col("ac") != F.col("bc"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    both = F.col("ac").isNotNull() & F.col("bc").isNotNull()
+    return d.groupBy(change.alias("change")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(both, F.abs(F.col("bc") - F.col("ac"))).otherwise(0)
+        )
+        .cast("long")
+        .alias("abs_cent_delta"),
+        F.sum(F.coalesce(F.col("bc"), F.col("ac")))
+        .cast("long")
+        .alias("cents_checksum"),
+    )
+
+
+q_snapshot_diff.__doc__ = q_snapshot_diff.__doc__.format(
+    _DIFF_OLD_CUT=_DIFF_OLD_CUT, _DIFF_NEW_CUT=_DIFF_NEW_CUT
+)

@@ -67,3 +67,58 @@ def q_groupby_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+_SQL_TOPN_ORACLE = """
+WITH rev AS (
+  SELECT o_custkey,
+    strftime(date_trunc('month', o_orderdate), '%Y-%m') AS mon,
+    CAST(SUM(CAST(CAST(CAST(o_totalprice AS STRING) AS DECIMAL(30,6))
+                  * 100 AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1, 2
+), ranked AS (
+  SELECT mon, o_custkey, cents,
+    ROW_NUMBER() OVER (PARTITION BY mon
+                       ORDER BY cents DESC, o_custkey) AS rnk
+  FROM rev
+)
+SELECT mon, CAST(rnk AS BIGINT) AS rnk,
+  o_custkey AS custkey, cents
+FROM ranked WHERE rnk <= 3
+"""
+
+
+@register("q_sql_topn", oracle=_SQL_TOPN_ORACLE, tags=("relational",))
+def q_sql_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front door: the engine's surface is not only the
+    DataFrame API — this key runs a multi-CTE SQL TEXT query
+    (aggregate -> window -> filter, the top-3-customers-per-month
+    leaderboard) through spark.sql() against a registered temp view,
+    proving text queries plan through the identical Catalyst path
+    (same pushdown, same partial aggregates) as the DataFrame keys.
+    Cents are exact via the decimal cast; the rank tiebreak is total
+    (cents DESC, custkey), so both engines elect identical top
+    rows."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_sql_v"
+    )
+    return spark.sql(
+        """
+        WITH rev AS (
+          SELECT o_custkey,
+            date_format(date_trunc('month', o_orderdate), 'yyyy-MM')
+              AS mon,
+            CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(30,6)) * 100
+                          AS BIGINT)) AS BIGINT) AS cents
+          FROM orders_sql_v GROUP BY 1, 2
+        ), ranked AS (
+          SELECT mon, o_custkey, cents,
+            ROW_NUMBER() OVER (PARTITION BY mon
+                               ORDER BY cents DESC, o_custkey) AS rnk
+          FROM rev
+        )
+        SELECT mon, CAST(rnk AS BIGINT) AS rnk,
+          o_custkey AS custkey, cents
+        FROM ranked WHERE rnk <= 3
+        """
+    )

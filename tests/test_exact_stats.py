@@ -252,3 +252,84 @@ def test_multiset_ops_counts(spark, duck, sf_dir):
         if ex or inter:
             exp[k] = (ex, inter)
     assert got == exp
+
+
+def test_k_anonymity_definition(spark, duck, sf_dir):
+    """k-anonymity audit re-derived brute-force over the equivalence
+    classes, plus the release/suppress partition invariant."""
+    from collections import Counter
+
+    got = {
+        (r["lang"], r["source"]): (
+            r["n_classes"], r["n_violating"], r["n_suppressed"],
+            r["n_released"], r["min_class_size"],
+        )
+        for r in _SPECS["q_k_anonymity"].fn(spark, sf_dir).collect()
+    }
+    rows = duck.execute(
+        "SELECT lang, source, n_chars // 200 FROM documents"
+    ).fetchall()
+    classes = Counter(rows)
+    exp = {}
+    for (lang, src, _band), n in classes.items():
+        c = exp.setdefault((lang, src), [0, 0, 0, 0, None])
+        c[0] += 1
+        if n < 5:
+            c[1] += 1
+            c[2] += n
+        else:
+            c[3] += n
+        c[4] = n if c[4] is None else min(c[4], n)
+    assert got == {k: tuple(v) for k, v in exp.items()}
+    total = duck.execute(
+        "SELECT COUNT(*) FROM documents"
+    ).fetchone()[0]
+    assert sum(v[2] + v[3] for v in got.values()) == total
+
+
+def test_snapshot_diff_definition(spark, duck, sf_dir):
+    """Snapshot diff re-derived brute-force from the two synthesized
+    states; every change class must be non-empty (the synthesis rule
+    guarantees it, and an empty class would mean the classifier is
+    dead code)."""
+    got = {
+        r["change"]: (r["n_rows"], r["abs_cent_delta"], r["cents_checksum"])
+        for r in _SPECS["q_snapshot_diff"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == {"added", "removed", "changed", "unchanged"}
+    rows = duck.execute(
+        "SELECT o_orderkey, epoch_us(o_orderdate),"
+        " CAST(CAST(CAST(o_totalprice AS STRING) AS DECIMAL(30,6)) * 100"
+        "  AS BIGINT) FROM orders"
+    ).fetchall()
+    import datetime
+
+    cut_a = int(
+        datetime.datetime(1997, 1, 1, tzinfo=datetime.timezone.utc)
+        .timestamp() * 1_000_000
+    )
+    cut_b = int(
+        datetime.datetime(1998, 1, 1, tzinfo=datetime.timezone.utc)
+        .timestamp() * 1_000_000
+    )
+    a = {k: c for k, t, c in rows if t < cut_a}
+    b = {
+        k: c + (500 if k % 7 == 0 else 0)
+        for k, t, c in rows
+        if t < cut_b and k % 97 != 0
+    }
+    exp: dict[str, list[int]] = {}
+    for k in set(a) | set(b):
+        if k not in a:
+            cls, delta, chk = "added", 0, b[k]
+        elif k not in b:
+            cls, delta, chk = "removed", 0, a[k]
+        elif a[k] != b[k]:
+            cls, delta, chk = "changed", abs(b[k] - a[k]), b[k]
+        else:
+            cls, delta, chk = "unchanged", 0, b[k]
+        c = exp.setdefault(cls, [0, 0, 0])
+        c[0] += 1
+        c[1] += delta
+        c[2] += chk
+    assert got == {k: tuple(v) for k, v in exp.items()}
