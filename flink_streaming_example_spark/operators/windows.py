@@ -732,3 +732,55 @@ def q_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(wrange).cast("long").alias("cume_n"),
         F.count(F.lit(1)).over(wall).cast("long").alias("n_seg"),
     )
+
+
+_OFFSET_H = 8
+_DAY_US_W = 86_400_000_000
+
+_WINDOW_OFFSET_ORACLE = f"""
+SELECT
+  CAST((epoch_us(CAST(ts AS TIMESTAMP)) - {_OFFSET_H} * 3600000000)
+       // {_DAY_US_W} AS BIGINT) AS wday,
+  event_type,
+  COUNT(*) AS n_events,
+  {sql_stable_sum("value", "sum_value")}
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "q_window_offset", oracle=_WINDOW_OFFSET_ORACLE, tags=("window",)
+)
+def q_window_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1-offset: Flink's TumblingEventTimeWindows.of(size, OFFSET) —
+    daily windows whose boundary sits at 08:00 instead of midnight
+    (business-day cutoffs, or day windows in a non-UTC market's local
+    time — the canonical use of the offset parameter).  Spark's
+    window() takes the same thing as startTime; the emitted key is
+    the offset-day INDEX ((epoch_us - 8h) div day, identical closed
+    form in the oracle), so window identity — not just membership
+    counts — is what hashes.  Same single partial+final aggregate
+    shape as the epoch-aligned W1."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 day", startTime=f"{_OFFSET_H} hours").alias(
+                "w"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            stable_sum("value", "sum_value"),
+        )
+        .select(
+            F.expr(
+                f"(unix_micros(CAST(w.start AS TIMESTAMP))"
+                f" - {_OFFSET_H} * 3600000000) div {_DAY_US_W}"
+            ).alias("wday"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

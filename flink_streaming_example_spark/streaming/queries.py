@@ -2331,3 +2331,78 @@ def q_streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("d"),
     )
     return run_to_memory(cusum_stream(ev), spark, output_mode="update")
+
+
+# FULL outer adds the right side's emission rule to the left-outer one:
+# an unmatched PURCHASE is held while a qualifying click (c_ts <= p_ts)
+# could still arrive, i.e. until the joint watermark passes p_ts itself
+# (the purchase's own end of match interval — clicks at or before it
+# are then impossible), and surfaces null-padded at eviction.  The
+# click side keeps the c_ts + 24h rule the LEFT OUTER oracle documents.
+_STREAM_INTERVAL_FULL_ORACLE = """
+WITH c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'click'),
+     p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'purchase'),
+     wm AS (SELECT LEAST(
+              (SELECT (epoch_us(MAX(ts)) // 1000) * 1000 FROM c),
+              (SELECT (epoch_us(MAX(ts)) // 1000) * 1000 FROM p)
+            ) - 3600000000 AS w_us)
+SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+  COALESCE(c.user_id, p.user_id) AS user_id
+FROM c FULL JOIN p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 24 HOURS
+WHERE (c.event_id IS NOT NULL AND p.event_id IS NOT NULL)
+   OR (p.event_id IS NULL
+       AND epoch_us(c.ts) + 86400000000 < (SELECT w_us FROM wm))
+   OR (c.event_id IS NULL
+       AND epoch_us(p.ts) < (SELECT w_us FROM wm))
+"""
+
+
+@register(
+    "q_streaming_interval_join_full",
+    oracle=_STREAM_INTERVAL_FULL_ORACLE,
+    tags=("streaming",),
+)
+def q_streaming_interval_join_full(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """J7-streaming, FULL OUTER — completing the interval-join matrix
+    (inner / left / full): both unmatched sides surface null-padded
+    once the joint watermark proves no partner can arrive (per-side
+    emission rules in the oracle comment; same symmetric hash state
+    as the inner twin, eviction-time emission on BOTH sides)."""
+    clicks = (
+        events_file_replay(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        events_file_replay(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (clicks.user_id == purchases.p_user_id)
+        & (purchases.p_ts >= clicks.c_ts)
+        & (purchases.p_ts <= clicks.c_ts + F.expr("INTERVAL 24 HOURS")),
+        "full_outer",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.coalesce(F.col("user_id"), F.col("p_user_id")).alias("user_id"),
+    )
+    return run_to_memory(joined, spark, output_mode="append")

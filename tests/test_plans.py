@@ -77,6 +77,7 @@ _EXPECTED_STATE_OPS = {
     "q_streaming_heavy_hitters": ["stateStoreSave"],
     "q_streaming_interval_join": ["symmetricHashJoin"],
     "q_streaming_interval_join_outer": ["symmetricHashJoin"],
+    "q_streaming_interval_join_full": ["symmetricHashJoin"],
     "q_inactivity_alert": ["applyInPandasWithState"],
     "q_stateful_counter": ["applyInPandasWithState"],
     "q_streaming_cep": ["applyInPandasWithState"],
