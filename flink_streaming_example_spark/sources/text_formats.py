@@ -524,3 +524,57 @@ def q_xml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(amp).cast("long").alias("n_amp"),
         F.sum(lt).cast("long").alias("n_lt"),
     )
+
+
+_DPP_ORACLE = """
+WITH keep AS (
+  SELECT event_type FROM events GROUP BY 1
+  HAVING COUNT(*) > (SELECT COUNT(*) // 5 FROM events)
+)
+SELECT e.event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(CAST(CAST(e.value AS STRING) AS DECIMAL(30,6)) * 1000000
+           AS BIGINT)) AS BIGINT) AS total_micro
+FROM events e JOIN keep ON e.event_type = keep.event_type
+GROUP BY 1
+"""
+
+
+@register("q_dpp_join", oracle=_DPP_ORACLE, tags=("source", "scale"))
+def q_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning — the 100 TB warehouse feature static
+    pruning (q_partitioned_source) can't give you: which fact
+    partitions survive is not knowable until a DIMENSION-side
+    predicate runs, so Catalyst injects a runtime
+    `dynamicpruningexpression(event_type IN <dim subquery>)` into the
+    fact scan's PartitionFilters and whole partition directories are
+    skipped at execution time.  The dim here is the above-average-
+    frequency event types (HAVING over a grouped count) — a predicate
+    on an AGGREGATE, which constraint propagation provably cannot
+    push into the fact statically (a key-expression filter like
+    md5(event_type) < '8' gets inferred through the equi-join and
+    turns the key into a static-pruning demo; this rule can't be).
+    The threshold is resolved to a literal driver-side (one bounded
+    COUNT — DPP's benefit heuristic requires a literal filter) and
+    the plan property is asserted by tests/test_sources.py."""
+    path = events_as_partitioned_parquet(spark, sf_dir)
+    fact = spark.read.parquet(path)
+    base = load_table(spark, sf_dir, "events")
+    # bounded scalar: one count, resolved to a literal so the DPP
+    # planner sees a selective dim filter (see docstring)
+    threshold = base.count() // 5
+    dim = (
+        base.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > F.lit(threshold))
+        .select("event_type")
+    )
+    vi = (F.col("value").cast("decimal(30,6)") * 1000000).cast("long")
+    return (
+        fact.join(F.broadcast(dim), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(vi).cast("long").alias("total_micro"),
+        )
+    )

@@ -228,3 +228,39 @@ def test_xml_roundtrip_exact_escaping(spark, sf_dir):
     )
     assert back.count() == orig.count()
     assert diff.count() == 0
+
+
+def test_dpp_join_prunes_dynamically(spark, sf_dir, duck):
+    """q_dpp_join's fact scan must carry a dynamicpruningexpression in
+    its PartitionFilters (runtime pruning fed by the dim subquery) and
+    NO other static partition predicate (the dim rule is an aggregate
+    HAVING — unpropagatable by constraint inference, so DPP is the
+    only pruning mechanism).  Also: the surviving category set is a
+    strict non-empty subset of the partitions."""
+    import contextlib
+    import io
+
+    from flink_streaming_example_spark.plans.registry import all_specs
+
+    df = all_specs()["q_dpp_join"].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    fact_filters = [
+        line
+        for line in plan.splitlines()
+        if "PartitionFilters" in line and "dynamicpruning" in line
+    ]
+    assert fact_filters, "fact scan lost its dynamic pruning expression"
+    static = fact_filters[0].split("dynamicpruning")[0]
+    assert "md5" not in static and ">" not in static and "<" not in static, (
+        f"unexpected static partition predicate: {static}"
+    )
+    counts = duck.execute(
+        "SELECT event_type, COUNT(*) FROM events GROUP BY 1"
+    ).fetchall()
+    total = sum(n for _, n in counts)
+    kept = [t for t, n in counts if n > total // 5]
+    assert 0 < len(kept) < len(counts)
+    assert df.count() == len(kept)
