@@ -741,3 +741,88 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("postings"),
     )
     return p.where(F.col("df_docs") >= 3)
+
+
+# Fixed BPE merge table (rank order = priority), byte-level style:
+# space is an ordinary symbol, so merges can cross into it the way
+# GPT-2-class tokenizers do.  The pairs are frequent English digrams;
+# what matters for the operator is that the table is FIXED (a trained
+# vocab applied at inference, not learned here).
+BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"),
+    ("th", "e"),
+    ("i", "n"),
+    ("a", "n"),
+    ("e", "r"),
+    ("o", "n"),
+    ("r", "e"),
+    ("s", "t"),
+)
+_BPE_PREFIX = 64  # chars of each doc tokenized (bounds expression cost)
+_BPE_SEP = "·"  # '·': absent from the fixture corpus (asserted)
+
+
+def _bpe_sql(col: str, split_fn: str, join_fn_duck: bool) -> str:
+    """The whole BPE apply as ONE scalar SQL expression (engine-specific
+    only in the split/join function names): encode the prefix as
+    ·-separated symbols, then apply each merge as a boundary-anchored
+    replace.  A single replace() pass scans left-to-right over
+    non-overlapping matches — exactly BPE's greedy merge order — but
+    adjacent repeats of the pair share a separator char in this
+    encoding, so each merge runs THREE passes (pass k halves the
+    remaining run; 3 passes close runs up to length 8, far beyond any
+    natural-text digram run in a 64-char prefix, and a replacement can
+    never create a new occurrence of its own pattern).  Token count =
+    separators - 1."""
+    s = _BPE_SEP
+    if join_fn_duck:
+        enc = f"'{s}' || array_to_string(str_split({col}, ''), '{s}') || '{s}'"
+    else:
+        enc = f"'{s}' || array_join(split({col}, ''), '{s}') || '{s}'"
+    for a, b in BPE_MERGES:
+        for _ in range(3):
+            enc = f"replace({enc}, '{s}{a}{s}{b}{s}', '{s}{a}{b}{s}')"
+    return (
+        f"length({enc}) - length(replace({enc}, '{s}', '')) - 1"
+    )
+
+
+_BPE_ORACLE = f"""
+WITH d AS (
+  SELECT lang, source, substring(text, 1, {_BPE_PREFIX}) AS p
+  FROM documents
+)
+SELECT lang, source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(length(p)) AS BIGINT) AS total_chars,
+  CAST(SUM({_bpe_sql("p", "str_split", True)}) AS BIGINT)
+    AS total_bpe_tokens
+FROM d GROUP BY lang, source
+"""
+
+
+@register("q_bpe_tokenize", oracle=_BPE_ORACLE, tags=("text",))
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization with a FIXED merge table — the inference-side
+    tokenizer pass every training pipeline runs for token accounting,
+    as pure whole-stage-codegen string expressions (no Python, no UDF;
+    see _bpe_sql for why chained boundary-anchored replace() IS the
+    greedy BPE merge).  Per (lang, source): docs, prefix chars, and
+    exact post-merge token counts — chars/tokens is the compression
+    ratio a vocab is judged by.  The oracle applies the identical
+    merge program in DuckDB (only the char-split builtin differs by
+    name), so a drift in merge ORDER or boundary handling
+    hash-mismatches.  Scale: embarrassingly parallel scan->aggregate;
+    a production vocab (50k merges) would move the loop into a Pandas
+    UDF over the same plan shape, trading codegen for table lookup."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.substring("text", 1, _BPE_PREFIX).alias("p"),
+    )
+    n_tokens = F.expr(_bpe_sql("p", "split", False))
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("p")).cast("long").alias("total_chars"),
+        F.sum(n_tokens).cast("long").alias("total_bpe_tokens"),
+    )

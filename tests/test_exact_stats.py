@@ -333,3 +333,57 @@ def test_snapshot_diff_definition(spark, duck, sf_dir):
         c[1] += delta
         c[2] += chk
     assert got == {k: tuple(v) for k, v in exp.items()}
+
+
+def test_bpe_tokenize_equals_true_greedy_bpe(spark, duck, sf_dir):
+    """The replace-chain implementation must equal an honest
+    symbol-list BPE apply: for each merge in priority order, greedily
+    merge all left-to-right non-overlapping occurrences to a fixed
+    point (one replace pass only closes alternating repeats — the
+    3-pass argument in _bpe_sql — so the reference here iterates to
+    convergence)."""
+    from flink_streaming_example_spark.operators.text_analysis import (
+        _BPE_PREFIX,
+        BPE_MERGES,
+    )
+
+    got = {
+        (r["lang"], r["source"]): (
+            r["n_docs"], r["total_chars"], r["total_bpe_tokens"]
+        )
+        for r in _SPECS["q_bpe_tokenize"].fn(spark, sf_dir).collect()
+    }
+    rows = duck.execute(
+        f"SELECT lang, source, substring(text, 1, {_BPE_PREFIX})"
+        " FROM documents"
+    ).fetchall()
+
+    def bpe_count(text: str) -> int:
+        syms = list(text)
+        for a, b in BPE_MERGES:
+            while True:
+                out, i, merged = [], 0, False
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == a
+                        and syms[i + 1] == b
+                    ):
+                        out.append(a + b)
+                        i += 2
+                        merged = True
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+                if not merged:
+                    break
+        return len(syms)
+
+    exp: dict[tuple[str, str], list[int]] = {}
+    for lang, src, p in rows:
+        c = exp.setdefault((lang, src), [0, 0, 0])
+        c[0] += 1
+        c[1] += len(p)
+        c[2] += bpe_count(p)
+    assert got == {k: tuple(v) for k, v in exp.items()}
