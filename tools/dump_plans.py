@@ -257,6 +257,21 @@ SHOWCASE: tuple[tuple[str, str], ...] = (
         "Window runs over the band table (value-range-sized), never the "
         "customers.",
     ),
+    (
+        "q_dpp_join",
+        "Dynamic partition pruning (r9 fifth block): the fact scan's "
+        "PartitionFilters carry `dynamicpruningexpression(event_type IN "
+        "subquery#N)` fed by the aggregate-gated dim — runtime directory "
+        "skipping where no static predicate exists; the dim itself is a "
+        "`BroadcastExchange` the subquery reuses.",
+    ),
+    (
+        "q_bpe_tokenize",
+        "Fixed-vocab BPE as codegen (r9 fifth block): the whole merge "
+        "program is nested string expressions inside one "
+        "`WholeStageCodegen` span over the scan — a tokenizer with zero "
+        "Python stages and zero shuffles before the final aggregate.",
+    ),
 )
 
 
