@@ -2361,6 +2361,27 @@ WHERE (c.event_id IS NOT NULL AND p.event_id IS NOT NULL)
 """
 
 
+def interval_full_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """The FULL OUTER interval join itself, shared by the registered
+    key and the multibatch composition test (same split as
+    interval_outer_join): clicks(click_id, user_id, c_ts) FULL OUTER
+    purchases(purchase_id, p_user_id, p_ts) within [c_ts, c_ts+24h],
+    both sides on a 1h watermark, user_id coalesced across sides."""
+    clicks = clicks.withWatermark("c_ts", "1 hour")
+    purchases = purchases.withWatermark("p_ts", "1 hour")
+    return clicks.join(
+        purchases,
+        (clicks.user_id == purchases.p_user_id)
+        & (purchases.p_ts >= clicks.c_ts)
+        & (purchases.p_ts <= clicks.c_ts + F.expr("INTERVAL 24 HOURS")),
+        "full_outer",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.coalesce(F.col("user_id"), F.col("p_user_id")).alias("user_id"),
+    )
+
+
 @register(
     "q_streaming_interval_join_full",
     oracle=_STREAM_INTERVAL_FULL_ORACLE,
@@ -2374,35 +2395,20 @@ def q_streaming_interval_join_full(
     once the joint watermark proves no partner can arrive (per-side
     emission rules in the oracle comment; same symmetric hash state
     as the inner twin, eviction-time emission on BOTH sides)."""
-    clicks = (
-        events_file_replay(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            "user_id",
-            F.col("ts").alias("c_ts"),
-        )
-        .withWatermark("c_ts", "1 hour")
-    )
-    purchases = (
-        events_file_replay(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user_id"),
-            F.col("ts").alias("p_ts"),
-        )
-        .withWatermark("p_ts", "1 hour")
-    )
-    joined = clicks.join(
-        purchases,
-        (clicks.user_id == purchases.p_user_id)
-        & (purchases.p_ts >= clicks.c_ts)
-        & (purchases.p_ts <= clicks.c_ts + F.expr("INTERVAL 24 HOURS")),
-        "full_outer",
+    clicks = events_file_replay(spark, sf_dir).filter(
+        F.col("event_type") == "click"
     ).select(
-        "click_id",
-        "purchase_id",
-        F.coalesce(F.col("user_id"), F.col("p_user_id")).alias("user_id"),
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("c_ts"),
     )
-    return run_to_memory(joined, spark, output_mode="append")
+    purchases = events_file_replay(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    return run_to_memory(
+        interval_full_join(clicks, purchases), spark, output_mode="append"
+    )

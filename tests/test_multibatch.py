@@ -1357,3 +1357,82 @@ def test_retract_agg_across_batches(spark, sharded_events_dir):
     import shutil as _sh
 
     _sh.rmtree(table, ignore_errors=True)
+
+
+def test_interval_full_join_across_micro_batches(spark):
+    """J7-streaming FULL OUTER: BOTH sides' null-padded emission must
+    compose across micro-batches — held clicks surface when a later
+    batch's watermark passes c_ts+24h, held purchases when it passes
+    p_ts — while cross-shard matches still pair via state.  Final
+    answer must equal the registered key's emission-rule oracle."""
+    import duckdb
+
+    from flink_streaming_example_spark.plans.registry import all_specs
+    from flink_streaming_example_spark.streaming.queries import (
+        interval_full_join,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    bounds = [lo + (hi - lo) * k / N_SHARDS for k in range(N_SHARDS + 1)]
+    c_dir = tempfile.mkdtemp(prefix="full_click_shards_")
+    p_dir = tempfile.mkdtemp(prefix="full_purch_shards_")
+    _write_time_aligned_shards(
+        ev.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"), "user_id", "ts"
+        ),
+        "ts",
+        bounds,
+        c_dir,
+    )
+    _write_time_aligned_shards(
+        ev.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            "ts",
+        ),
+        "ts",
+        bounds,
+        p_dir,
+    )
+
+    clicks = (
+        spark.readStream.schema(
+            "click_id long, user_id long, ts timestamp_ntz"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(c_dir)
+        .select(
+            "click_id", "user_id", F.col("ts").cast("timestamp").alias("c_ts")
+        )
+    )
+    purchases = (
+        spark.readStream.schema(
+            "purchase_id long, p_user_id long, ts timestamp_ntz"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(p_dir)
+        .select(
+            "purchase_id",
+            "p_user_id",
+            F.col("ts").cast("timestamp").alias("p_ts"),
+        )
+    )
+    got, batches = _drain(
+        spark, interval_full_join(clicks, purchases), "append"
+    )
+    assert batches >= N_SHARDS
+    got_pdf = got.toPandas()
+    assert got_pdf.purchase_id.isna().any(), "no unmatched-click rows"
+    assert got_pdf.click_id.isna().any(), "no unmatched-purchase rows"
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/events.parquet')"
+    )
+    want = con.execute(
+        all_specs()["q_streaming_interval_join_full"].oracle
+    ).df()
+    result = compare_frames(got_pdf, want)
+    assert result.ok, result.detail
