@@ -578,3 +578,95 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return visited.groupBy(F.col("d").alias("hop")).agg(
         F.count(F.lit(1)).alias("n_nodes")
     )
+
+
+_JACCARD_TOP = 25
+
+_JACCARD_ORACLE = f"""
+WITH {_COPURCHASE_SUPPORT_CTE},
+deg AS (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY src
+), common AS (
+  SELECT cop.p1, cop.p2, CAST(COUNT(*) AS BIGINT) AS c
+  FROM cop
+  JOIN e s1 ON s1.src = cop.p1
+  JOIN e s2 ON s2.src = cop.p2 AND s2.dst = s1.dst
+  GROUP BY cop.p1, cop.p2
+), j AS (
+  SELECT cop.p1, cop.p2,
+    COALESCE(common.c, 0) AS cn,
+    d1.d + d2.d - COALESCE(common.c, 0) AS un
+  FROM cop
+  LEFT JOIN common ON common.p1 = cop.p1 AND common.p2 = cop.p2
+  JOIN deg d1 ON d1.src = cop.p1
+  JOIN deg d2 ON d2.src = cop.p2
+)
+SELECT p1, p2,
+  CAST(cn AS BIGINT) AS common_nbrs,
+  CAST(un AS BIGINT) AS union_nbrs,
+  CAST(cn * 1000000 // un AS BIGINT) AS jaccard_micro
+FROM j
+ORDER BY jaccard_micro DESC, p1, p2
+LIMIT {_JACCARD_TOP}
+"""
+
+
+@register("q_jaccard_neighbors", oracle=_JACCARD_ORACLE, tags=("graph",))
+def q_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural edge similarity — neighborhood Jaccard
+    |N(u)∩N(v)| / |N(u)∪N(v)| per co-purchase edge, the
+    link-prediction / community-embeddedness score (an edge whose
+    endpoints share most of their neighborhoods is intra-community;
+    one with Jaccard ~0 is a bridge).  Computed on the
+    support-thresholded graph (same _SUPPORT=2 build as
+    q_connected_components): per half-edge, common = one JVM
+    array_intersect of the two sorted FULL neighbor lists (the
+    q_triangles broadcast-adjacency shape — node-sized sides
+    broadcast, wedges touched only inside per-row intersections,
+    never a wedge self-join), union = deg(u)+deg(v)−common, and the
+    ranking quotient is the floored micro-scaled integer both engines
+    compute identically.  Top-{_JACCARD_TOP} by (quotient, p1, p2) —
+    a TakeOrderedAndProject, no global sort."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    e = copurchase_half_edges(li, min_support=_SUPPORT).localCheckpoint(
+        eager=True
+    )
+    sym = e.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).unionAll(
+        e.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
+    )
+    adj = sym.groupBy(F.col("src").alias("node")).agg(
+        F.sort_array(F.collect_list("dst")).alias("nbrs")
+    )
+    withs = e.join(
+        F.broadcast(
+            adj.select(F.col("node").alias("p1"), F.col("nbrs").alias("na"))
+        ),
+        "p1",
+    ).join(
+        F.broadcast(
+            adj.select(F.col("node").alias("p2"), F.col("nbrs").alias("nb"))
+        ),
+        "p2",
+    )
+    j = withs.select(
+        "p1",
+        "p2",
+        F.size(F.array_intersect("na", "nb")).cast("long").alias("cn"),
+        (F.size("na") + F.size("nb")).cast("long").alias("dsum"),
+    ).select(
+        "p1",
+        "p2",
+        F.col("cn").alias("common_nbrs"),
+        (F.col("dsum") - F.col("cn")).alias("union_nbrs"),
+        F.expr("cn * 1000000 div (dsum - cn)").alias("jaccard_micro"),
+    )
+    return j.orderBy(
+        F.desc("jaccard_micro"), F.asc("p1"), F.asc("p2")
+    ).limit(_JACCARD_TOP)
+
+
+q_jaccard_neighbors.__doc__ = q_jaccard_neighbors.__doc__.replace(
+    "{_JACCARD_TOP}", str(_JACCARD_TOP)
+)

@@ -2412,3 +2412,76 @@ def q_streaming_interval_join_full(
     return run_to_memory(
         interval_full_join(clicks, purchases), spark, output_mode="append"
     )
+
+
+# Streaming offset-window emission: same append-mode rule as
+# q_streaming_ohlc, on 08:00-cut days — a bar surfaces once the final
+# watermark (ms-truncated max event time - 1h) passes its window END
+# (offset-day start + 24h).  The oracle is the batch q_window_offset
+# aggregate filtered by that predicate.
+_STREAM_WINDOW_OFFSET_ORACLE = f"""
+WITH bars AS ({{batch}}
+), wm AS (
+  SELECT (epoch_us(MAX(CAST(ts AS TIMESTAMP))) // 1000) * 1000
+         - 3600000000 AS w_us
+  FROM events
+)
+SELECT * FROM bars
+WHERE wday * 86400000000 + {8 * 3_600_000_000} + 86400000000
+      <= (SELECT w_us FROM wm)
+"""
+
+
+def _register_streaming_window_offset() -> None:
+    from flink_streaming_example_spark.operators.windows import (
+        _OFFSET_H,
+        _WINDOW_OFFSET_ORACLE,
+    )
+
+    @register(
+        "q_streaming_window_offset",
+        oracle=_STREAM_WINDOW_OFFSET_ORACLE.format(
+            batch=_WINDOW_OFFSET_ORACLE
+        ),
+        tags=("streaming",),
+    )
+    def q_streaming_window_offset(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """W1-offset streaming: the OFFSET tumbling window under a
+        watermark — window(ts, 1 day, startTime=8h) aggregates in the
+        state store and append mode emits each 08:00-cut day exactly
+        once when the watermark passes its (offset) end; the
+        emission-rule oracle shares the batch q_window_offset
+        aggregate verbatim, so window identity AND the offset-shifted
+        close predicate are both checked."""
+        from flink_streaming_example_spark.functions.stable import (
+            stable_sum,
+        )
+
+        ev = events_file_replay(spark, sf_dir).withWatermark("ts", "1 hour")
+        bars = (
+            ev.groupBy(
+                F.window(
+                    "ts", "1 day", startTime=f"{_OFFSET_H} hours"
+                ).alias("w"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                stable_sum("value", "sum_value"),
+            )
+            .select(
+                F.expr(
+                    f"(unix_micros(CAST(w.start AS TIMESTAMP))"
+                    f" - {_OFFSET_H} * 3600000000) div 86400000000"
+                ).alias("wday"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
+        )
+        return run_to_memory(bars, spark, output_mode="append")
+
+
+_register_streaming_window_offset()

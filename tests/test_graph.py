@@ -33,3 +33,32 @@ def test_docstring_constants_interpolated():
     d = pipeline.split_cap_pack_report.__doc__
     assert "{_MIX_CAP}" not in d and "{_MIX_BUDGET}" not in d
     assert str(pipeline._MIX_CAP) in d and str(pipeline._MIX_BUDGET) in d
+
+
+def test_jaccard_neighbors_bruteforce(spark, duck, sf_dir):
+    """Edge Jaccard re-derived with python set math over the same
+    support-2 graph; the top-25 ordering (floored micro quotient,
+    then pair) must match row-for-row."""
+    got = [
+        (r["p1"], r["p2"], r["common_nbrs"], r["union_nbrs"],
+         r["jaccard_micro"])
+        for r in all_specs()["q_jaccard_neighbors"].fn(spark, sf_dir).collect()
+    ]
+    edges = duck.execute(
+        "WITH op AS (SELECT DISTINCT a.l_orderkey AS ok,"
+        "  a.l_partkey AS p1, b.l_partkey AS p2"
+        " FROM lineitem a JOIN lineitem b"
+        "  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)"
+        " SELECT p1, p2 FROM op GROUP BY 1, 2 HAVING COUNT(*) >= 2"
+    ).fetchall()
+    nbrs: dict[int, set[int]] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    rows = []
+    for a, b in edges:
+        cn = len(nbrs[a] & nbrs[b])
+        un = len(nbrs[a] | nbrs[b])
+        rows.append((a, b, cn, un, cn * 1_000_000 // un))
+    rows.sort(key=lambda r: (-r[4], r[0], r[1]))
+    assert got == rows[:25]

@@ -74,6 +74,7 @@ _EXPECTED_STATE_OPS = {
     "q_streaming_count_window": ["applyInPandasWithState"],
     "q_streaming_enrich": [],
     "q_streaming_ohlc": ["stateStoreSave"],
+    "q_streaming_window_offset": ["stateStoreSave"],
     "q_streaming_heavy_hitters": ["stateStoreSave"],
     "q_streaming_interval_join": ["symmetricHashJoin"],
     "q_streaming_interval_join_outer": ["symmetricHashJoin"],
