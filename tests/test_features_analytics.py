@@ -557,3 +557,36 @@ def test_ltv_cohorts_definition(spark, duck, sf_dir):
             cum += rev[(cw, age)]
             exp[(cw, age)] = (size[cw], rev[(cw, age)], cum)
     assert got == exp
+
+
+def test_max_concurrency_boundary_tie_order(spark, tmp_path):
+    """The sweep's ends-before-starts rule on an EXACT collision — a
+    case the fixture can't produce (it needs a ts difference of
+    exactly the 6h gap): user A's session end instant coincides with
+    user B's session start, so the correct peak is 1; a
+    starts-before-ends sweep would read 2.  A second pair overlaps
+    for real to pin peak_ts on the genuine concurrency."""
+    from tests.test_timeseries import _write_events
+
+    rows = [
+        # collision pair: A ends (last ts 01:00 + 6h = 07:00) exactly
+        # as B starts at 07:00
+        (1, 1, "2023-03-01T01:00:00", 1.0),
+        (2, 2, "2023-03-01T07:00:00", 1.0),
+        # genuine overlap pair much later: C [20:00, 02:00+6h) and
+        # D [21:00, ...) -> concurrency 2 first reached at 21:00
+        (3, 3, "2023-03-02T20:00:00", 1.0),
+        (4, 4, "2023-03-02T21:00:00", 1.0),
+    ]
+    _write_events(rows, str(tmp_path))
+    row = (
+        _SPECS["q_max_concurrency"].fn(spark, str(tmp_path)).collect()[0]
+    )
+    import datetime as _dt
+
+    want_ts = int(
+        _dt.datetime(
+            2023, 3, 2, 21, tzinfo=_dt.timezone.utc
+        ).timestamp() * 1_000_000
+    )
+    assert (row["peak"], row["peak_ts_us"]) == (2, want_ts)
