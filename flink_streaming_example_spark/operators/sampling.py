@@ -372,3 +372,69 @@ def q_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("sel"), F.lit(0)).cast("long").alias("n_selected"),
         )
     )
+
+
+# Class balancing: where q_stratified_sample keeps a FIXED k per
+# stratum, the balanced-training-set op keeps min-class-size rows per
+# class — the k is DATA-DEPENDENT, so the operator is two aggregates
+# (class counts -> scalar min) plus the same bottom-k-hash selection,
+# with the min broadcast to every row.
+_BALANCE_ORACLE = """
+WITH k AS (
+  SELECT MIN(n) AS kk FROM (
+    SELECT COUNT(*) AS n FROM documents GROUP BY lang
+  )
+), r AS (
+  SELECT lang, doc_id, n_chars,
+    ROW_NUMBER() OVER (
+      PARTITION BY lang
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    ) AS rn
+  FROM documents
+)
+SELECT lang,
+  CAST(COUNT(*) AS BIGINT) AS n_kept,
+  CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+  CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+FROM r WHERE rn <= (SELECT kk FROM k)
+GROUP BY lang
+"""
+
+
+@register("q_class_balance", oracle=_BALANCE_ORACLE, tags=("sampling", "llm"))
+def q_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced downsampling to the minority class — the class-balance
+    pass before training on skewed labels: every language keeps
+    exactly min-class-size documents, selected by the same
+    reproducible bottom-k-md5 order as q_stratified_sample (content-
+    deterministic, partition-order-free).  The per-class report emits
+    the kept count (provably equal across classes), an id checksum
+    and the kept character mass, so both the SELECTION and the
+    balance property are hash-checked.  Scale: one shuffle by class
+    for the ranking, one class-cardinality aggregate reduced to a
+    broadcast scalar — the data-dependent k costs one extra tiny
+    stage over the fixed-k primitive."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    kk = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.min("n").alias("kk"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    r = docs.select(
+        "lang", "doc_id", "n_chars", F.row_number().over(w).alias("rn")
+    )
+    return (
+        r.crossJoin(F.broadcast(kk))
+        .where(F.col("rn") <= F.col("kk"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+            F.sum("n_chars").cast("long").alias("kept_chars"),
+        )
+    )

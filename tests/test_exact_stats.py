@@ -387,3 +387,29 @@ def test_bpe_tokenize_equals_true_greedy_bpe(spark, duck, sf_dir):
         c[1] += len(p)
         c[2] += bpe_count(p)
     assert got == {k: tuple(v) for k, v in exp.items()}
+
+
+def test_class_balance_definition(spark, duck, sf_dir):
+    """Balance property + selection re-derived: every class keeps
+    exactly min-class-size docs, and the kept set is the bottom-k of
+    the md5 order."""
+    import hashlib as _h
+
+    got = {
+        r["lang"]: (r["n_kept"], r["id_checksum"], r["kept_chars"])
+        for r in _SPECS["q_class_balance"].fn(spark, sf_dir).collect()
+    }
+    rows = duck.execute(
+        "SELECT lang, doc_id, n_chars FROM documents"
+    ).fetchall()
+    by_lang: dict[str, list] = {}
+    for lang, did, nc in rows:
+        by_lang.setdefault(lang, []).append((did, nc))
+    k = min(len(v) for v in by_lang.values())
+    exp = {}
+    for lang, docs in by_lang.items():
+        docs.sort(key=lambda d: (_h.md5(str(d[0]).encode()).hexdigest(), d[0]))
+        kept = docs[:k]
+        exp[lang] = (k, sum(d for d, _ in kept), sum(c for _, c in kept))
+    assert got == exp
+    assert len({v[0] for v in got.values()}) == 1
