@@ -76,12 +76,40 @@ _MINHASHES = 16
 _BANDS = 4  # 4 rows/band -> candidate s-curve threshold ~ (1/4)^(1/4) ≈ 0.71
 
 
-@register("q_dedup_near", oracle=None, tags=("dedup", "approx"))
+# Exact ground truth for the LSH: brute-force all-pairs char-shingle
+# Jaccard + the identical >= 0.6 threshold and min-id survivor rule.
+# The minhash signature itself is not SQL-mirrorable (xxhash64 has no
+# DuckDB twin), but the oracle does not need it: hash-matching the
+# exact answer PROVES the banded LSH achieved perfect recall on this
+# fixture (its near-dup pairs sit far above the ~0.71 s-curve knee,
+# where the 4x4-band miss probability is < 2%; a pair at exactly 0.6
+# would be missed ~57% of the time — such pairs don't exist here, and
+# both sides are fully deterministic, so the match is stable across
+# rounds).  O(n^2) pairs is oracle-only math: fine at 500 docs, never
+# the engine's path.
+_DEDUP_NEAR_ORACLE = """
+WITH sh AS (
+  SELECT doc_id,
+    list_distinct([substring(text, i, 5)
+                   FOR i IN range(1, greatest(length(text) - 3, 2))]) AS shingles
+  FROM documents
+), dropped AS (
+  SELECT DISTINCT b.doc_id AS doc_id
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.6
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
+
+
+@register("q_dedup_near", oracle=_DEDUP_NEAR_ORACLE, tags=("dedup", "approx"))
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2: near-dup dedup via banded MinHash LSH, entirely in JVM
-    expressions (rows-only: xxhash64 has no DuckDB twin, so the
-    signature is not SQL-mirrorable; determinism is still absolute —
-    fixed hash seeds, no randomness).
+    expressions (fixed hash seeds, no randomness — deterministic; the
+    oracle is the brute-force exact-Jaccard ground truth, see
+    _DEDUP_NEAR_ORACLE's recall note).
 
     Pipeline: 5-char shingles (token-set Jaccard saturates on the
     31-word fixture vocab — SURVEY §2.9) -> 16 minhashes

@@ -265,8 +265,10 @@ def test_rows_only_keys_are_minority():
     oracle_free = [n for n, s in _SPECS.items() if s.oracle is None]
     # Every rows-only key must be justifiable (approximate/pseudo-random
     # ops); keep the list explicit so additions are deliberate.
+    # q_dedup_near graduated to an oracle in round 10 (brute-force
+    # exact-Jaccard ground truth; the LSH has perfect recall on the
+    # fixture) — only the two genuinely engine-specific sketches stay.
     assert set(oracle_free) <= {
-        "q_dedup_near",  # banded-MinHash signature: xxhash64 has no DuckDB twin
         "q_approx_distinct",  # HLL estimate is engine-specific; error bound tested
         "q_approx_quantiles",  # GK sketch is engine-specific; rank error tested
     }, oracle_free
