@@ -590,7 +590,7 @@ def q_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FUZZY_ORACLE = """
 WITH probes AS (
   SELECT p_partkey,
-         ((p_partkey % (length(p_name) - 2)) + 2) AS del_at,
+         ((p_partkey % greatest(1, length(p_name) - 2)) + 2) AS del_at,
          p_name
   FROM part
 ), probe_names AS (
@@ -631,7 +631,11 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     length by at most 1, so the catalog is replicated exactly 3x with
     block_len in {L-1, L, L+1} — a length-banded inverted index; recall
     is provably 100% for distance <= 1 while the expensive levenshtein
-    runs only inside blocks.  At corpus scale the blocked join shuffles
+    runs only inside blocks.  The deletion-position modulus is clamped
+    to greatest(1, len-2): a <=2-char name would otherwise divide by
+    zero or by a negative — Spark yields NULL (row silently dropped)
+    while DuckDB raises, a cross-engine divergence on data outside the
+    TPC-H fixture (round-9 advisor).  At corpus scale the blocked join shuffles
     on the compact block key and the catalog side is vocabulary-sized
     (broadcast-able); with a skewed first-character distribution, widen
     the block key (first 2 chars) or salt — same plan shape."""
@@ -639,8 +643,8 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_names = parts.select(
         "p_partkey",
         F.expr(
-            "concat(substr(p_name, 1, ((p_partkey % (length(p_name) - 2)) + 2) - 1),"
-            " substr(p_name, ((p_partkey % (length(p_name) - 2)) + 2) + 1))"
+            "concat(substr(p_name, 1, ((p_partkey % greatest(1, length(p_name) - 2)) + 2) - 1),"
+            " substr(p_name, ((p_partkey % greatest(1, length(p_name) - 2)) + 2) + 1))"
         ).alias("probe_name"),
     )
     catalog = parts.groupBy(F.col("p_name").alias("cat_name")).agg(

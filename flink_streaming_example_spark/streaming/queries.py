@@ -1820,7 +1820,12 @@ def ewma_stream(ev: DataFrame) -> DataFrame:
                 ids.append(int(eid))
                 nums.append(num)
                 dens.append((1 << _EWMA_SPAN) - (1 << (_EWMA_SPAN - m)))
-        state.update((buf,))
+        # persist only the last _EWMA_SPAN-1 values: a retained
+        # _EWMA_SPAN-th (oldest) slot would always be popped before
+        # contributing to the next emission — one dead value per key
+        # (round-9 advisor).  Emission math is unchanged: the next
+        # append refills the buffer to the same _EWMA_SPAN values.
+        state.update((buf[-(_EWMA_SPAN - 1):],))
         yield pd.DataFrame(
             {
                 "user_id": [user_id] * len(ids),
@@ -2164,7 +2169,17 @@ def first_seen_stream(ev: DataFrame) -> DataFrame:
     """The first-appearance kernel behind q_streaming_running_distinct:
     per key, state is ONE long (the day the key was first seen); the
     key emits exactly one row, in the batch that first contains it.
-    Input: a streaming frame with (user_id, day)."""
+    Input: a streaming frame with (user_id, day).
+
+    CONTRACT (round-9 advisor): first_day is exact only under
+    TIME-ORDERED REPLAY — the source must never deliver a key's
+    earlier-day event in a later batch than its first.  The one-row-
+    ever append-mode emission cannot be retracted, so folding a later
+    batch's smaller day into state could not repair the already-
+    emitted answer anyway; a reuser with an out-of-order source needs
+    a watermark-delayed emission (emit on timeout, not first sight)
+    instead of this kernel.  events_file_replay satisfies the contract
+    by construction (time-aligned shards)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 

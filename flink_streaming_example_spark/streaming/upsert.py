@@ -104,19 +104,32 @@ def _check_bucketing(path: str, n_buckets: int) -> None:
 
 
 def _latest_per_key(
-    df: DataFrame, key_cols: list[str], version_col: str
+    df: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
-    # provenance: batch rows (is_new=1) beat existing rows on version
-    # ties, so a replayed batch converges to the same table.  Final
-    # tiebreak: a stable content hash over every data column, so two
-    # DISTINCT rows sharing (key, version, provenance) inside one batch
-    # still elect the same winner on replay — without it, row_number's
-    # winner would depend on partition-internal order and the
-    # "overwrite is idempotent" exactly-once claim would only hold for
-    # callers whose (key, version) happens to be unique per batch.
+    # ``tiebreak_cols`` (DESC) extend the version into a COMPOSITE one
+    # — e.g. version=ts, tiebreak=event_id makes the election
+    # `ORDER BY ts DESC, event_id DESC`, exactly what a SQL changelog
+    # consumer computes, regardless of which micro-batch a row arrived
+    # in (round-9 advisor: the xxhash64-only tiebreak picked the
+    # min-hash row while every oracle picks max event_id — a latent
+    # cross-engine mismatch on equal-µs timestamps).  They rank ABOVE
+    # provenance for that reason: arrival order must not override the
+    # caller's stated tie semantics.  provenance: batch rows (is_new=1)
+    # beat existing rows on full composite-version ties, so a replayed
+    # batch converges to the same table.  Final tiebreak: a stable
+    # content hash over every data column, so two DISTINCT rows sharing
+    # (key, version, tiebreaks, provenance) inside one batch still
+    # elect the same winner on replay — without it, row_number's winner
+    # would depend on partition-internal order and the "overwrite is
+    # idempotent" exactly-once claim would only hold for callers whose
+    # composite version happens to be unique per batch.
     data_cols = [c for c in df.columns if c != "_is_new"]
     w = Window.partitionBy(*key_cols).orderBy(
         F.col(version_col).desc(),
+        *[F.col(c).desc() for c in (tiebreak_cols or [])],
         F.col("_is_new").desc(),
         F.xxhash64(*data_cols).asc(),
     )
@@ -135,6 +148,7 @@ def upsert_batch(
     version_col: str,
     n_buckets: int = _N_BUCKETS,
     tombstone_col: str | None = None,
+    tiebreak_cols: list[str] | None = None,
 ) -> None:
     """MERGE one (micro-)batch into the keyed parquet table at ``path``.
 
@@ -178,7 +192,7 @@ def upsert_batch(
                 existing.explain("formatted")
             _captured_scan_plans.append(buf.getvalue())
         merged = new.unionByName(existing)
-    out = _latest_per_key(merged, key_cols, version_col)
+    out = _latest_per_key(merged, key_cols, version_col, tiebreak_cols)
     # dynamic mode replaces exactly the buckets present in `out`
     (
         out.write.mode("overwrite")
@@ -196,6 +210,7 @@ def upsert_sink(
     checkpoint: str,
     n_buckets: int = _N_BUCKETS,
     tombstone_col: str | None = None,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataStreamWriter:
     """S9-upsert: streaming latest-wins keyed table sink (module
     docstring has the merge plan and the lakehouse swap at scale);
@@ -211,6 +226,7 @@ def upsert_sink(
             version_col,
             n_buckets,
             tombstone_col,
+            tiebreak_cols,
         )
 
     return df.writeStream.foreachBatch(merge).option(
@@ -233,7 +249,8 @@ SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
 FROM (
   SELECT user_id, event_id, ts, event_type, value,
          ROW_NUMBER() OVER (
-           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+           PARTITION BY user_id
+           ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC
          ) AS rn
   FROM events
 ) WHERE rn = 1
@@ -272,14 +289,18 @@ def _register_streaming_upsert() -> None:
                     key_cols=["user_id"],
                     version_col="ts",
                     checkpoint=ckpt,
+                    tiebreak_cols=["event_id"],
                 )
                 .trigger(availableNow=True)
                 .start()
             )
             q.awaitTermination()
             got = read_upsert_table(spark, table)
-            # ties: fixture (user_id, ts) are unique; event_id ordering
-            # in the oracle is the deterministic tiebreak mirror.
+            # ties: tiebreak_cols=["event_id"] makes the sink's
+            # election mirror the oracle's ts DESC, event_id DESC even
+            # on equal-µs timestamps (round-9 advisor); the oracle
+            # orders by µs-cast ts so a ns-stored fixture cannot
+            # out-tiebreak the µs-truncated Spark side.
             result = got.select(
                 "user_id",
                 "event_id",
@@ -404,7 +425,8 @@ SELECT user_id, event_id, event_type
 FROM (
   SELECT user_id, event_id, event_type,
          ROW_NUMBER() OVER (
-           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+           PARTITION BY user_id
+           ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC
          ) AS rn
   FROM events
 ) WHERE rn = 1 AND event_id % 10 <> 0
@@ -447,6 +469,7 @@ def _register_streaming_cdc() -> None:
                     version_col="ts",
                     checkpoint=ckpt,
                     tombstone_col="is_delete",
+                    tiebreak_cols=["event_id"],
                 )
                 .trigger(availableNow=True)
                 .start()
@@ -543,7 +566,14 @@ def retract_agg_sink(
                     (-F.col("vi")).alias("dv"),
                 )
             )
-        upsert_batch(spark, batch_df, key_table, ["user_id"], "ts")
+        upsert_batch(
+            spark,
+            batch_df,
+            key_table,
+            ["user_id"],
+            "ts",
+            tiebreak_cols=["event_id"],
+        )
         new = _read_live_buckets(spark, key_table, affected).join(
             users, "user_id", "left_semi"
         )
@@ -575,7 +605,8 @@ _RETRACT_AGG_ORACLE = """
 WITH latest AS (
   SELECT user_id, event_type, value,
     ROW_NUMBER() OVER (
-      PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+      PARTITION BY user_id
+           ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC
     ) AS rn
   FROM events
 )

@@ -393,3 +393,49 @@ def test_upsert_same_key_version_tie_is_deterministic(spark, tmp_path):
     )
     result = compare_frames(a, c)
     assert result.ok, result.detail
+
+
+def test_upsert_tiebreak_cols_mirror_sql_election(spark, tmp_path):
+    # round-9 advisor (medium): with tiebreak_cols=["event_id"], a
+    # version tie inside one batch elects the row the SQL changelog
+    # consumers elect (ORDER BY ts DESC, event_id DESC) — the max
+    # event_id — not whichever row xxhash64 happens to rank first.
+    rows = [
+        (1, 100, 10, "a"),
+        (1, 105, 10, "b"),  # same ts, larger event_id -> must win
+        (1, 103, 10, "c"),
+        (2, 7, 5, "x"),
+        (2, 9, 4, "y"),  # older ts loses despite larger event_id
+    ]
+    cols = ["user_id", "event_id", "ts", "payload"]
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(rows, cols).repartition(3)
+    upsert_batch(
+        spark, df, t, ["user_id"], "ts", tiebreak_cols=["event_id"]
+    )
+    got = {
+        r["user_id"]: (r["event_id"], r["payload"])
+        for r in read_upsert_table(spark, t).collect()
+    }
+    assert got == {1: (105, "b"), 2: (7, "x")}
+    # cross-batch: an equal-version row arriving LATER with a smaller
+    # event_id must not displace the stored winner...
+    late = spark.createDataFrame([(1, 101, 10, "late")], cols)
+    upsert_batch(
+        spark, late, t, ["user_id"], "ts", tiebreak_cols=["event_id"]
+    )
+    got = {
+        r["user_id"]: (r["event_id"], r["payload"])
+        for r in read_upsert_table(spark, t).collect()
+    }
+    assert got[1] == (105, "b")
+    # ...while a larger event_id at the same version must.
+    later = spark.createDataFrame([(1, 110, 10, "win")], cols)
+    upsert_batch(
+        spark, later, t, ["user_id"], "ts", tiebreak_cols=["event_id"]
+    )
+    got = {
+        r["user_id"]: (r["event_id"], r["payload"])
+        for r in read_upsert_table(spark, t).collect()
+    }
+    assert got[1] == (110, "win")
