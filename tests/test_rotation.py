@@ -163,9 +163,6 @@ def test_stale_window_keys_lead_rotation():
     latest = max(rnd for rnd, _ok in hist.values())
     ordered = list(specs)
     budget = 50
-    stale = [
-        n for n in ordered if n in hist and hist[n][0] <= latest - 2
-    ]
 
     def higher_priority(n: str) -> bool:
         rec = hist.get(n)
@@ -174,6 +171,18 @@ def test_stale_window_keys_lead_rotation():
             or (n in must and (rec is None or rec[0] <= must[n]))  # changed
             or rec is None  # never driver-checked
         )
+
+    # the AGE tier: old greens whose code is unchanged.  A stale key
+    # whose closure ALSO changed jumps to the must-reverify tier and
+    # is rightly exempt from the age ordering (it sorts ahead of the
+    # whole tier, in registration order).
+    stale = [
+        n
+        for n in ordered
+        if n in hist
+        and hist[n][0] <= latest - 2
+        and not higher_priority(n)
+    ]
 
     n_priority = sum(1 for n in ordered if higher_priority(n))
     window = max(budget, n_priority + len(stale))
@@ -272,3 +281,41 @@ def test_real_derivation_runs_and_orders_rotation():
             assert worst_flagged < first_green, (
                 "a changed key sorts behind a fresh unchanged green key"
             )
+
+
+def test_next_draw_covers_all_undrawn_and_changed_keys():
+    """Round-10 telemetry (round-9 judge item 6): the whole priority
+    surface — recorded failures, changed-since-green keys, and
+    never-driver-checked keys — must FIT the next driver draw (~50
+    keys).  Round 9 registered 73 new keys and 27 slipped past the
+    budget, leaving ~11% of the surface with local-only evidence; this
+    gate fails the build the moment in-round churn plus new
+    registrations would push any never-checked or changed key out of
+    the next draw (a key missing its draw waits >= 1 extra round, i.e.
+    >= 3 rounds registered-but-undrawn).  Fix = stop editing
+    checked keys' closures this round, or register fewer new keys."""
+    specs = registry.all_specs()
+    hist = registry._verification_history()
+    must = registry._must_reverify()
+    if not hist:
+        pytest.skip("no driver rounds recorded")
+    budget = 50
+    ordered = list(specs)
+    priority = [
+        n
+        for n in ordered
+        if (n in hist and not hist[n][1])
+        or (n in must and (n not in hist or hist[n][0] <= must[n]))
+        or n not in hist
+    ]
+    assert len(priority) <= budget, (
+        f"{len(priority)} priority keys exceed the ~{budget}-key driver "
+        f"draw; the overflow would stay undrawn another round: "
+        f"{priority[budget:]}"
+    )
+    late = {
+        n: ordered.index(n) for n in priority if ordered.index(n) >= budget
+    }
+    assert not late, (
+        f"priority keys sort outside the next driver draw: {late}"
+    )
