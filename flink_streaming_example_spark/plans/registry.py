@@ -53,6 +53,7 @@ _OPERATOR_MODULES: tuple[str, ...] = (
     "flink_streaming_example_spark.operators.udfs",
     "flink_streaming_example_spark.operators.pipeline",
     "flink_streaming_example_spark.sources.text_formats",
+    "flink_streaming_example_spark.sources.streams",
     "flink_streaming_example_spark.streaming.queries",
     "flink_streaming_example_spark.streaming.upsert",
 )

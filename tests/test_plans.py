@@ -39,6 +39,7 @@ _STREAMING = {
         "q_streaming_cdc",
         "q_streaming_retract_agg",
         "q_file_sink_roundtrip",
+        "q_console_sink",  # drains through the real console sink
     )
 }
 # Keys whose operator is a keyed Python state function — the ONE shape
