@@ -946,3 +946,30 @@ def q_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_rev_micro",
         )
     )
+
+
+_FREQ_OF_FREQ_ORACLE = """
+WITH per_user AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT n_events, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM per_user GROUP BY n_events
+"""
+
+
+@register("q_freq_of_freq", oracle=_FREQ_OF_FREQ_ORACLE, tags=("analytics",))
+def q_freq_of_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-of-frequencies — the heavy-tail census (how many
+    users produced exactly k events) behind Good-Turing smoothing,
+    bot/outlier triage, and shuffle-skew forecasting: the k-spectrum
+    IS the histogram that predicts whether a keyed job needs salting.
+    Two hash aggregations, the second over a domain bounded by
+    max-activity — never data-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return per_user.groupBy("n_events").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )

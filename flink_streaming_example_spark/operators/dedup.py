@@ -76,63 +76,22 @@ _MINHASHES = 16
 _BANDS = 4  # 4 rows/band -> candidate s-curve threshold ~ (1/4)^(1/4) ≈ 0.71
 
 
-# Exact ground truth for the LSH: brute-force all-pairs char-shingle
-# Jaccard + the identical >= 0.6 threshold and min-id survivor rule.
-# The minhash signature itself is not SQL-mirrorable (xxhash64 has no
-# DuckDB twin), but the oracle does not need it: hash-matching the
-# exact answer PROVES the banded LSH achieved perfect recall on this
-# fixture (its near-dup pairs sit far above the ~0.71 s-curve knee,
-# where the 4x4-band miss probability is < 2%; a pair at exactly 0.6
-# would be missed ~57% of the time — such pairs don't exist here, and
-# both sides are fully deterministic, so the match is stable across
-# rounds).  O(n^2) pairs is oracle-only math: fine at 500 docs, never
-# the engine's path.
-_DEDUP_NEAR_ORACLE = """
-WITH sh AS (
-  SELECT doc_id,
-    list_distinct([substring(text, i, 5)
-                   FOR i IN range(1, greatest(length(text) - 3, 2))]) AS shingles
-  FROM documents
-), dropped AS (
-  SELECT DISTINCT b.doc_id AS doc_id
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-        / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.6
-)
-SELECT doc_id FROM documents
-WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
-"""
-
-
-@register("q_dedup_near", oracle=_DEDUP_NEAR_ORACLE, tags=("dedup", "approx"))
-def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2: near-dup dedup via banded MinHash LSH, entirely in JVM
-    expressions (fixed hash seeds, no randomness — deterministic; the
-    oracle is the brute-force exact-Jaccard ground truth, see
-    _DEDUP_NEAR_ORACLE's recall note).
-
-    Pipeline: 5-char shingles (token-set Jaccard saturates on the
-    31-word fixture vocab — SURVEY §2.9) -> 16 minhashes
-    (array_min of xxhash64(shingle, i)) -> 4 banded signatures ->
-    candidate pairs by (band, signature) equi-join -> exact-Jaccard
-    verification >= 0.6 -> greedy min-id survivor.
-
-    100 TB design: candidate generation is an equi-join on the band
-    hash (shuffle keyed by 8-byte signatures, never all-pairs); the
-    shingle arrays are only rejoined for the candidate set.  Greedy
-    min-id survivor election is exact for small clusters; transitive
-    mega-clusters need an iterative connected-components pass (module
-    docstring)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+def _band_prefiltered_candidates(docs: DataFrame) -> DataFrame:
+    """Banded-MinHash candidate pairs (id_a < id_b), signature-
+    prefiltered — the SHARED blocking stage behind q_dedup_near and
+    q_containment_dedup (one implementation, so the two keys'
+    candidate semantics cannot drift).  Pipeline: 5-char shingles ->
+    16 minhashes -> 4 banded signatures -> (band, signature)
+    equi-join -> >= 5/16 matching-signature prefilter.  Returns a
+    persisted frame; callers re-derive exact shingle sets only for
+    these pairs (_candidate_shingle_sets)."""
     # Shingle positions exploded row-wise so hashing stays in codegen
     # (per-element higher-order functions are interpreted — measured
-    # several× slower), then ONE aggregation computes both the hashed
-    # shingle set and all 16 minhashes.  Persisted: it feeds five
-    # branches (bands + signature prefilter ×2 + verification ×2).
-    # NOTE on a Spark trap: F.transform with a two-argument lambda
-    # passes (element, ARRAY INDEX) — a closure default like
-    # `lambda s, i=i:` silently collapses all 16 hash functions into
-    # one; the explode form sidesteps that entirely.
+    # several× slower), then ONE aggregation computes all 16
+    # minhashes.  NOTE on a Spark trap: F.transform with a
+    # two-argument lambda passes (element, ARRAY INDEX) — a closure
+    # default like `lambda s, i=i:` silently collapses all 16 hash
+    # functions into one; the explode form sidesteps that entirely.
     ex = docs.select(
         "doc_id",
         "text",
@@ -179,10 +138,10 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # Cheap signature prefilter before the exact set intersection:
+    # Cheap signature prefilter before any exact set intersection:
     # estimated Jaccard = matching minhashes / 16; >= 5/16 keeps
-    # essentially all true >= 0.6 pairs (P[Binom(16, .6) < 5] ~ 2e-3)
-    # while discarding ~99% of band-collision candidates.
+    # essentially all true >= 0.6-Jaccard pairs (P[Binom(16, .6) < 5]
+    # ~ 2e-3) while discarding ~99% of band-collision candidates.
     mha = agg.select(
         F.col("doc_id").alias("id_a"),
         *[F.col(f"mh{i}").alias(f"a{i}") for i in range(_MINHASHES)],
@@ -195,25 +154,28 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
         for i in range(_MINHASHES)
     )
-    pre = (
+    return (
         cand.join(mha, "id_a")
         .join(mhb, "id_b")
         .filter(sig_matches >= 5)
         .select("id_a", "id_b")
+        .persist()
     )
-    # Exact Jaccard over the hashed shingle sets (longs, not strings —
-    # same value modulo 64-bit collisions, far cheaper to intersect).
-    # Sets are re-derived IN PLACE (array transform) from the text of
-    # candidate docs only: the interpreted higher-order function is
-    # fine over hundreds of rows, and it keeps the full-corpus shuffle
-    # above minhash-only.
+
+
+def _candidate_shingle_sets(docs: DataFrame, pre: DataFrame) -> DataFrame:
+    """Exact hashed 5-char shingle sets (doc_id, hs) for ONLY the docs
+    appearing in the candidate pairs ``pre`` — longs, not strings:
+    same set modulo 64-bit collisions, far cheaper to intersect.  Sets
+    are re-derived IN PLACE (array transform) from candidate docs'
+    text: the interpreted higher-order function is fine over hundreds
+    of rows, and it keeps the full-corpus shuffle minhash-only."""
     hashed_shingles = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.length("text") - 4, F.lit(1))),
             lambda i: F.xxhash64(F.col("text").substr(i, F.lit(5))),
         )
     )
-    pre = pre.persist()
     cand_ids = (
         pre.select(F.col("id_a").alias("doc_id"))
         .unionByName(pre.select(F.col("id_b").alias("doc_id")))
@@ -222,9 +184,62 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Restrict docs to candidates BEFORE shingling (the semi-join keeps
     # the transform off the full corpus — as a bare projection Catalyst
     # would evaluate it for every row).
-    doc_sets = docs.join(F.broadcast(cand_ids), "doc_id", "left_semi").select(
+    return docs.join(F.broadcast(cand_ids), "doc_id", "left_semi").select(
         "doc_id", hashed_shingles.alias("hs")
     )
+
+
+# Exact ground truth for the LSH: brute-force all-pairs char-shingle
+# Jaccard + the identical >= 0.6 threshold and min-id survivor rule.
+# The minhash signature itself is not SQL-mirrorable (xxhash64 has no
+# DuckDB twin), but the oracle does not need it: hash-matching the
+# exact answer PROVES the banded LSH achieved perfect recall on this
+# fixture (its near-dup pairs sit far above the ~0.71 s-curve knee,
+# where the 4x4-band miss probability is < 2%; a pair at exactly 0.6
+# would be missed ~57% of the time — such pairs don't exist here, and
+# both sides are fully deterministic, so the match is stable across
+# rounds).  O(n^2) pairs is oracle-only math: fine at 500 docs, never
+# the engine's path.
+_DEDUP_NEAR_ORACLE = """
+WITH sh AS (
+  SELECT doc_id,
+    list_distinct([substring(text, i, 5)
+                   FOR i IN range(1, greatest(length(text) - 3, 2))]) AS shingles
+  FROM documents
+), dropped AS (
+  SELECT DISTINCT b.doc_id AS doc_id
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.6
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
+
+
+@register("q_dedup_near", oracle=_DEDUP_NEAR_ORACLE, tags=("dedup", "approx"))
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: near-dup dedup via banded MinHash LSH, entirely in JVM
+    expressions (fixed hash seeds, no randomness — deterministic; the
+    oracle is the brute-force exact-Jaccard ground truth, see
+    _DEDUP_NEAR_ORACLE's recall note).
+
+    Pipeline: 5-char shingles (token-set Jaccard saturates on the
+    31-word fixture vocab — SURVEY §2.9) -> 16 minhashes
+    (array_min of xxhash64(shingle, i)) -> 4 banded signatures ->
+    candidate pairs by (band, signature) equi-join -> exact-Jaccard
+    verification >= 0.6 -> greedy min-id survivor.
+
+    100 TB design: candidate generation is an equi-join on the band
+    hash (shuffle keyed by 8-byte signatures, never all-pairs); the
+    shingle arrays are only rejoined for the candidate set.  Greedy
+    min-id survivor election is exact for small clusters; transitive
+    mega-clusters need an iterative connected-components pass (module
+    docstring).  Blocking + prefilter live in
+    _band_prefiltered_candidates (shared with q_containment_dedup)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pre = _band_prefiltered_candidates(docs)
+    doc_sets = _candidate_shingle_sets(docs, pre)
     jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
         F.array_distinct(F.concat("sh_a", "sh_b"))
     )
@@ -824,4 +839,98 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("edit_dist", F.levenshtein("head_a", "head_b"))
         .filter(F.col("edit_dist") <= 20)
         .select("id_a", "id_b", "edit_dist")
+    )
+
+
+# Exact ground truth: brute-force all-pairs containment (oracle-only
+# O(n^2) math, same policy as _DEDUP_NEAR_ORACLE).  Orientation: the
+# CONTAINED side is the smaller shingle set (min doc_id on equal
+# sizes); containment is the floored per-mille integer quotient so
+# both engines agree bit-for-bit.
+_CONTAINMENT_ORACLE = """
+WITH sh AS (
+  SELECT doc_id,
+    list_distinct([substring(text, i, 5)
+                   FOR i IN range(1, greatest(length(text) - 3, 2))]) AS s
+  FROM documents
+)
+SELECT
+  CASE WHEN len(a.s) < len(b.s)
+            OR (len(a.s) = len(b.s) AND a.doc_id < b.doc_id)
+       THEN a.doc_id ELSE b.doc_id END AS id_small,
+  CASE WHEN len(a.s) < len(b.s)
+            OR (len(a.s) = len(b.s) AND a.doc_id < b.doc_id)
+       THEN b.doc_id ELSE a.doc_id END AS id_big,
+  CAST(1000 * len(list_intersect(a.s, b.s))
+       // least(len(a.s), len(b.s)) AS BIGINT) AS cont_pm
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE 1000 * len(list_intersect(a.s, b.s))
+      // least(len(a.s), len(b.s)) >= 900
+"""
+
+
+@register("q_containment_dedup", oracle=_CONTAINMENT_ORACLE, tags=("dedup",))
+def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-containment: sub-document near-dup detection — pairs where
+    >= 90% of the SMALLER document's shingles appear in the larger
+    one.  Jaccard (q_dedup_near) structurally misses these: a doc
+    embedded in one 10x its size has containment 1.0 but Jaccard
+    ~0.1, and quote-inflation / boilerplate-wrapping dups are the
+    norm in crawl corpora (the ExactSubstr motivation in
+    deduplication literature).
+
+    Candidate generation is the SHARED banded-MinHash blocker
+    (_band_prefiltered_candidates — one implementation with
+    q_dedup_near, so candidate semantics cannot drift), then EXACT
+    containment over full shingle sets for candidates only.  Why
+    banding and not a prefix-filter inverted index here: this corpus
+    has a ~31-word vocabulary, so posting lists are corpus-sized —
+    a rarest-shingle probe index was measured generating 2.37M
+    candidate pairs at sf0.1 where banding generates thousands; and
+    the corpus's containment pairs are mutated near-identicals, which
+    band-collide by construction (the oracle hash-match PROVES exact
+    recall).  On a natural-vocabulary corpus where a small doc hides
+    inside a 10x container (band signatures disagree), swap the
+    blocker for PPJoin-style prefix filtering: probe the contained
+    side's floor(0.1*|A|)+1 rarest shingles against a full inverted
+    index — equi-shuffles on the 8-byte shingle hash, df-bounded
+    probes."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pre = _band_prefiltered_candidates(docs)
+    doc_sets = _candidate_shingle_sets(docs, pre)
+    j = (
+        pre.join(
+            doc_sets.select(
+                F.col("doc_id").alias("id_a"), F.col("hs").alias("sa")
+            ),
+            "id_a",
+        )
+        .join(
+            doc_sets.select(
+                F.col("doc_id").alias("id_b"), F.col("hs").alias("sb")
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sa", "sb")).cast("long").alias("inter"),
+            F.size("sa").cast("long").alias("na"),
+            F.size("sb").cast("long").alias("nb"),
+        )
+    )
+    # id_a < id_b by canonicalization, so the equal-size tie resolves
+    # to id_a — mirroring the oracle's CASE
+    small_is_a = (F.col("na") < F.col("nb")) | (F.col("na") == F.col("nb"))
+    return (
+        j.select(
+            F.when(small_is_a, F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("id_small"),
+            F.when(small_is_a, F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("id_big"),
+            F.expr("1000 * inter div least(na, nb)").alias("cont_pm"),
+        )
+        .filter(F.col("cont_pm") >= 900)
     )

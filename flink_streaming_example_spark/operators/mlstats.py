@@ -539,3 +539,51 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("n2").cast("long").alias("n_neg"),
         )
     )
+
+
+_BENFORD_ORACLE = """
+WITH digits AS (
+  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS BIGINT) AS digit
+  FROM orders
+  WHERE o_totalprice >= 1
+), counts AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY digit
+)
+SELECT digit, n,
+  CAST(1000 * n // (SELECT SUM(n) FROM counts) AS BIGINT) AS share_pm
+FROM counts
+"""
+
+
+@register("q_benford", oracle=_BENFORD_ORACLE, tags=("mlstats",))
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit — the classic anomaly screen run over
+    monetary columns before a corpus is trusted (fabricated or
+    clipped data departs from the log distribution).  The leading
+    digit is extracted through explicit floor + string head (NOT a bare
+    CAST — DuckDB ROUNDS double->BIGINT while Spark truncates, so
+    999.6 would flip its leading digit; and NOT
+    floor(x/10^floor(log10 x)) — log10 is libm-dependent); shares are
+    floored per-mille integers over a broadcast single-row total.
+    Scale: one hash aggregation to 9 rows, then arithmetic on the
+    9-row side — nothing global touches data volume."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") >= 1
+    )
+    counts = (
+        orders.select(
+            F.expr(
+                "CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING),"
+                " 1, 1) AS BIGINT)"
+            ).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("tot"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "n",
+        F.expr("CAST(1000 * n div tot AS BIGINT)").alias("share_pm"),
+    )

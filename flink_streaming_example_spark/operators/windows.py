@@ -784,3 +784,61 @@ def q_window_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+_RANGE_FRAME_ORACLE = """
+WITH daily AS (
+  SELECT user_id,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT)
+           AS day,
+         CAST(SUM(CAST(CAST(CAST(value AS VARCHAR) AS DECIMAL(30,6))
+                       * 1000000 AS BIGINT)) AS BIGINT) AS day_vi
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, day, day_vi,
+  CAST(SUM(day_vi) OVER (
+    PARTITION BY user_id ORDER BY day
+    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+  ) AS BIGINT) AS trail7_vi
+FROM daily
+"""
+
+
+@register("q_range_frame_7d", oracle=_RANGE_FRAME_ORACLE, tags=("window",))
+def q_range_frame_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W10-range: a time-RANGE framed aggregate — the frame boundary is
+    a VALUE interval (trailing 7 calendar days per user), not a row
+    count, so days with no events correctly shrink the window (a ROWS
+    frame cannot express this; Flink's OVER RANGE INTERVAL '7' DAY
+    class).  Amounts ride as exact micro-ints (DECIMAL ingest, the
+    repo's standard float policy) so the frame sum is order-free and
+    engine-exact.  Plan: one shuffle for the per-(user, day) rollup,
+    then the range frame runs inside the SAME user partitioning — no
+    second exchange; at 100 TB the state per frame is bounded by 7
+    distinct days regardless of event volume because the rollup
+    happens first."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "user_id",
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"
+            ).alias("day"),
+            F.expr(
+                "CAST(CAST(value AS DECIMAL(30,6)) * 1000000 AS BIGINT)"
+            ).alias("vi"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.sum("vi").alias("day_vi"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "user_id",
+        "day",
+        "day_vi",
+        F.sum("day_vi").over(w).alias("trail7_vi"),
+    )
