@@ -973,3 +973,68 @@ def q_freq_of_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_user.groupBy("n_events").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+_ATTRIBUTION_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+    CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT) AS day,
+    CAST(CAST(CAST(value AS VARCHAR) AS DECIMAL(30,6)) * 1000000
+         AS BIGINT) AS vi,
+    MIN(CASE WHEN event_type = 'click' THEN
+          CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT)
+        END) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS first_click_day
+  FROM events
+)
+SELECT COALESCE(first_click_day, -1) AS attrib_day,
+  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+  CAST(SUM(vi) AS BIGINT) AS total_micro
+FROM seq WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+@register("q_attribution", oracle=_ATTRIBUTION_ORACLE, tags=("analytics",))
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution — every purchase's revenue credited to
+    the day of the user's FIRST click at or before it (the marketing
+    analytics companion to q_funnel_steps / q_time_to_convert; -1
+    collects purchases with no preceding click).  The first-click
+    lookup is a running MIN over a conditional day (min == first
+    because the frame is event-time ordered, and MIN ignores the
+    non-click NULLs on both engines — no IGNORE NULLS dialect
+    dependence); revenue rides as exact micro-ints.  One window
+    exchange keyed by user_id, then a day-cardinality rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    day = F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq = ev.select(
+        "event_type",
+        F.expr(
+            "CAST(CAST(value AS DECIMAL(30,6)) * 1000000 AS BIGINT)"
+        ).alias("vi"),
+        F.min(
+            F.when(F.col("event_type") == "click", day)
+        ).over(w).alias("first_click_day"),
+    )
+    return (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce(F.col("first_click_day"), F.lit(-1)).alias(
+                "attrib_day"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("vi").alias("total_micro"),
+        )
+    )

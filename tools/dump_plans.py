@@ -174,13 +174,33 @@ SHOWCASE: tuple[tuple[str, str], ...] = (
     ),
     (
         "q_triangles",
-        "Triangle counting (r9): edge-intersection form — ordered "
-        "half-edges localCheckpointed once, sorted higher-neighbor "
-        "lists BROADCAST onto the edges, third corners via per-row "
-        "JVM array_intersect (never materializing the 49M-row wedge "
-        "set the self-join form shuffles; A/B 6.6 -> 3.4 s at sf0.1), "
-        "endpoint explode + count — integer-exact, nothing "
-        "driver-side.",
+        "Triangle counting (r9, r10): edge-intersection form — "
+        "half-edges localCheckpointed once, oriented low-(deg,id) -> "
+        "high-(deg,id) so adjacency lists stay ~sqrt(2|E|)-bounded "
+        "under hubs (r10), sorted out-neighbor lists BROADCAST onto "
+        "the edges, third corners via per-row JVM array_intersect "
+        "(never materializing the 49M-row wedge set the self-join "
+        "form shuffles; A/B 6.6 -> 3.4 s at sf0.1), endpoint explode "
+        "+ count, then `TakeOrderedAndProject` top-k (r10: the "
+        "emission is a bounded per-partition heap, not a "
+        "single-partition sort of the node set).",
+    ),
+    (
+        "q_range_frame_7d",
+        "Time-RANGE framed aggregate (r10): the per-(user, day) "
+        "rollup shuffles once and the RANGE BETWEEN 6 PRECEDING "
+        "window runs inside the SAME hashpartitioning(user_id) — one "
+        "exchange total, exact micro-int amounts, value-interval "
+        "frame semantics a ROWS frame cannot express.",
+    ),
+    (
+        "q_containment_dedup",
+        "Sub-document containment dedup (r10): the shared "
+        "banded-MinHash blocker (band-signature equi-join + 5/16 "
+        "signature prefilter) feeds exact full-set containment over "
+        "candidates ONLY — no all-pairs stage anywhere; the exact "
+        "shingle sets are re-derived in place for candidate docs via "
+        "a broadcast semi-join.",
     ),
     (
         "q_bucketed_join",
