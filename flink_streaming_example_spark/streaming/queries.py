@@ -2500,3 +2500,92 @@ def _register_streaming_window_offset() -> None:
 
 
 _register_streaming_window_offset()
+
+
+def attribution_stream(ev: DataFrame) -> DataFrame:
+    """The first-click kernel behind q_streaming_attribution: per
+    user, state is ONE long (the day of the first click ever seen);
+    each purchase emits its attribution row at arrival, credited to
+    the state (or -1 when no click has preceded it).  Input: a
+    streaming frame with (user_id, ts, event_id, event_type, day,
+    vi).  State is constant-size per key and watermark-free; the
+    first-click identity relies on the same time-ordered-replay
+    prefix contract as first_seen_stream (documented there)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def attrib(key, pdfs, state: GroupState):
+        (user_id,) = key
+        first_click = state.get[0] if state.exists else None
+        days, vis = [], []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for etype, d, vi in zip(
+                pdf["event_type"], pdf["day"], pdf["vi"]
+            ):
+                if etype == "click":
+                    if first_click is None:
+                        first_click = int(d)
+                elif etype == "purchase":
+                    days.append(
+                        first_click if first_click is not None else -1
+                    )
+                    vis.append(int(vi))
+        if first_click is not None:
+            state.update((int(first_click),))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(days),
+                "attrib_day": days,
+                "vi": vis,
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        attrib,
+        outputStructType="user_id long, attrib_day long, vi long",
+        stateStructType="first_click_day long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+from flink_streaming_example_spark.operators.analytics import (  # noqa: E402
+    _ATTRIBUTION_ORACLE as _STREAM_ATTRIBUTION_ORACLE,
+)
+
+
+@register(
+    "q_streaming_attribution",
+    oracle=_STREAM_ATTRIBUTION_ORACLE,
+    tags=("streaming",),
+)
+def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_attribution: first-touch revenue
+    attribution maintained incrementally — the keyed state is one
+    long per user (the first click's day), each purchase emits its
+    credited row exactly once in the batch it arrives (append mode),
+    and the post-drain rollup to per-day totals shares the batch
+    key's oracle verbatim.  This is the attribution shape a
+    production funnel runs: state accumulates with the clickstream,
+    revenue rows land attributed the moment they occur instead of
+    re-scanning history."""
+    ev = events_file_replay(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"
+        ).alias("day"),
+        F.expr(
+            "CAST(CAST(value AS DECIMAL(30,6)) * 1000000 AS BIGINT)"
+        ).alias("vi"),
+    )
+    res = run_to_memory(attribution_stream(ev), spark, output_mode="append")
+    return res.groupBy("attrib_day").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("vi").alias("total_micro"),
+    )

@@ -1211,6 +1211,90 @@ def test_streaming_running_distinct_emit_once(spark):
     assert g.equals(e)
 
 
+def test_streaming_attribution_across_batches(spark):
+    """attribution_stream credits a purchase to its user's FIRST
+    click — the one-long state must carry across micro-batches so a
+    purchase in shard N is attributed to a click seen in shard 1.
+    Proof in two parts: (a) the fixture genuinely splits click and
+    purchase across shards for some user, (b) every streamed
+    attribution row matches the batch running-min window."""
+    import os
+
+    from pyspark.sql import Window
+
+    from flink_streaming_example_spark.streaming.queries import (
+        attribution_stream,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    bounds = list(
+        ev.selectExpr(
+            "min(ts) AS a", "timestamp'2024-01-08' AS b",
+            "timestamp'2024-01-15' AS c", "timestamp'2024-01-22' AS d",
+            "max(ts) AS e"
+        ).collect()[0]
+    )
+    out_dir = tempfile.mkdtemp(prefix="attrib_shards_")
+    _write_time_aligned_shards(ev, "ts", bounds, out_dir)
+    assert len(os.listdir(out_dir)) == len(bounds) - 1
+
+    # (a) some user's first click lands before 2024-01-08 and they
+    # purchase on/after it — the cross-shard carry is exercised
+    first_click = (
+        ev.where("event_type = 'click'")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fc"))
+    )
+    crossers = (
+        ev.where("event_type = 'purchase' AND ts >= timestamp'2024-01-08'")
+        .join(first_click, "user_id")
+        .where(F.col("fc") < F.lit("2024-01-08").cast("timestamp"))
+        .count()
+    )
+    assert crossers > 0, "fixture never splits click/purchase across shards"
+
+    day = "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"
+    vi = "CAST(CAST(value AS DECIMAL(30,6)) * 1000000 AS BIGINT)"
+    stream = _replay(spark, out_dir).select(
+        "user_id", "ts", "event_id", "event_type",
+        F.expr(day).alias("day"), F.expr(vi).alias("vi"),
+    )
+    got, batches = _drain(spark, attribution_stream(stream), "append")
+    assert batches >= len(bounds) - 1
+
+    # (b) per-user rollup vs the batch running-min first-click window
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    exp = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.expr(vi).alias("vi"),
+            F.min(
+                F.when(F.col("event_type") == "click", F.expr(day))
+            ).over(w).alias("fc_day"),
+        )
+        .where("event_type = 'purchase'")
+        .groupBy(
+            "user_id",
+            F.coalesce("fc_day", F.lit(-1)).alias("attrib_day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("vi").alias("total"),
+        )
+    )
+    g = (
+        got.groupBy("user_id", "attrib_day")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("vi").alias("total"))
+    )
+    result = compare_frames(g.toPandas(), exp.toPandas())
+    assert result.ok, result.detail
+
+
 def test_streaming_cusum_across_batches(spark):
     """q_streaming_cusum's statistic is order-dependent (prefix sum
     minus running min) — state must carry (P, minP) across

@@ -61,6 +61,7 @@ _STATE_FN_KEYS = {
     "q_streaming_stratified_sample",
     "q_streaming_funnel",
     "q_streaming_cusum",
+    "q_streaming_attribution",
 }
 # Expected state-store operator shape per key (lastProgress
 # stateOperators operatorName); stateless keys must carry NO state.
@@ -94,6 +95,7 @@ _EXPECTED_STATE_OPS = {
     "q_streaming_stratified_sample": ["applyInPandasWithState"],
     "q_streaming_funnel": ["applyInPandasWithState"],
     "q_streaming_cusum": ["applyInPandasWithState"],
+    "q_streaming_attribution": ["applyInPandasWithState"],
 }
 
 
