@@ -716,3 +716,98 @@ def q_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_jaccard_neighbors.__doc__ = q_jaccard_neighbors.__doc__.replace(
     "{_JACCARD_TOP}", str(_JACCARD_TOP)
 )
+
+
+# ---- Synchronous label propagation (round 10): the community-
+# detection iterate that CC cannot express — CC answers "which nodes
+# are reachable", LPA answers "which nodes CLUSTER": each round every
+# node adopts the most frequent label among its neighbors (ties to
+# the smallest label, keeping the vote deterministic), so dense
+# regions converge to one label while bridges stay contested.  A
+# fixed _LPA_ROUNDS=3 unrolls into the plan like q_kcore's peel, and
+# the oracle states the identical three voting rounds as chained
+# CTEs.  Per round the work is ONE shuffle: edges join the label
+# table on the neighbor endpoint (both node-sized), then a
+# (node,label) count whose argmax is taken with the same
+# orderBy-count-desc window — the exact shape GraphX/GraphFrames LPA
+# runs distributed, so the 100 TB story is the per-round join key
+# (dst), not an adjacency broadcast.
+_LPA_ROUNDS = 3
+
+_LPA_ORACLE = f"""
+WITH {_COPURCHASE_SUPPORT_CTE}, l0 AS (
+  SELECT DISTINCT src AS node, src AS label FROM e
+), l1 AS (
+  SELECT node, label FROM (
+    SELECT e.src AS node, l.label, ROW_NUMBER() OVER (
+      PARTITION BY e.src ORDER BY COUNT(*) DESC, l.label
+    ) AS rn
+    FROM e JOIN l0 l ON l.node = e.dst
+    GROUP BY e.src, l.label
+  ) WHERE rn = 1
+), l2 AS (
+  SELECT node, label FROM (
+    SELECT e.src AS node, l.label, ROW_NUMBER() OVER (
+      PARTITION BY e.src ORDER BY COUNT(*) DESC, l.label
+    ) AS rn
+    FROM e JOIN l1 l ON l.node = e.dst
+    GROUP BY e.src, l.label
+  ) WHERE rn = 1
+), l3 AS (
+  SELECT node, label FROM (
+    SELECT e.src AS node, l.label, ROW_NUMBER() OVER (
+      PARTITION BY e.src ORDER BY COUNT(*) DESC, l.label
+    ) AS rn
+    FROM e JOIN l2 l ON l.node = e.dst
+    GROUP BY e.src, l.label
+  ) WHERE rn = 1
+)
+SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM l3 GROUP BY label
+"""
+
+
+@register("q_label_propagation", oracle=_LPA_ORACLE, tags=("graph",))
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous LPA community detection over the thresholded
+    co-purchase graph: labels start as node ids, three voting rounds
+    (mode of neighbor labels, ties to the smallest label), output is
+    the per-community size census.  Each round = one equi-join of the
+    undirected edge list with the current label table on the
+    neighbor endpoint + a (node,label) count + an argmax taken as a
+    max_by AGGREGATE on (count, -label) — a hash agg with map-side
+    partials, not a per-node sort window (the (c,-label) pair is
+    unique within a node, so max_by is deterministic).  No adjacency
+    materialization; the edge list is checkpointed once (it feeds all
+    three rounds)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    e = copurchase_half_edges(li, min_support=_SUPPORT).localCheckpoint(
+        eager=True
+    )
+    und = e.selectExpr("p1 AS src", "p2 AS dst").unionByName(
+        e.selectExpr("p2 AS src", "p1 AS dst")
+    )
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(_LPA_ROUNDS):
+        labels = (
+            und.join(
+                labels.withColumnRenamed("node", "dst"), "dst"
+            )
+            .groupBy(F.col("src").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("node")
+            .agg(
+                F.max_by(
+                    "label", F.struct(F.col("c"), (-F.col("label")))
+                ).alias("label")
+            )
+        )
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )

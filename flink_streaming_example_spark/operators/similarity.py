@@ -745,3 +745,47 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(qv).alias("q_max"),
         F.array_min(qv).alias("q_min"),
     )
+
+
+_ANN_RECALL_ORACLE = f"""
+WITH exact_k AS ({_KNN_ORACLE}), appr_k AS ({_IVF_ORACLE})
+SELECT e.query_id,
+  CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+  CAST(COUNT(*) AS BIGINT) AS n_exact
+FROM exact_k e LEFT JOIN appr_k a
+  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+@register("q_ann_recall", oracle=_ANN_RECALL_ORACLE, tags=("similarity",))
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 audit of the IVF index against the exact scan — the
+    QA query every ANN deployment runs before trusting the index:
+    per query, how many of the true top-5 survive the bucket
+    restriction.  Emitted as exact integer hits/total (no float
+    ratio), so the check is bit-stable; the oracle recomputes BOTH
+    pipelines and the same left-join census.  Plan shape: the two
+    top-k frames are query-sized (k rows per query), so the audit
+    join and rollup are trivially broadcastable no matter how large
+    the corpus that produced them — auditing recall costs two index
+    probes, not a third scan."""
+    exact = q_knn_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    appr = q_knn_ivf(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(appr, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias(
+                "n_hits"
+            ),
+            "n_exact",
+        )
+    )

@@ -826,3 +826,61 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("p")).cast("long").alias("total_chars"),
         F.sum(n_tokens).cast("long").alias("total_bpe_tokens"),
     )
+
+
+_SIMPSON_ORACLE = """
+WITH toks AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS token
+  FROM documents
+), tf AS (
+  SELECT source, token, COUNT(*) AS c FROM toks GROUP BY source, token
+)
+SELECT source,
+  CAST(SUM(c) AS BIGINT) AS n_tokens,
+  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+  CAST(SUM(c * (c - 1)) AS BIGINT) AS simpson_num,
+  CAST(SUM(c) * (SUM(c) - 1) AS BIGINT) AS simpson_den
+FROM tf GROUP BY source
+"""
+
+
+@register("q_simpson_diversity", oracle=_SIMPSON_ORACLE, tags=("text",))
+def q_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical diversity via Simpson's index — the
+    log-free companion to entropy-style corpus health metrics (the
+    probability two random tokens from a source coincide): a source
+    that degenerated into boilerplate shows a spiking index long
+    before eyeballing does.  Emitted as exact integer numerator
+    sum(c*(c-1)) and denominator N*(N-1) — a division- and log-free
+    rational, so the cross-engine check is bit-exact (the repo-wide
+    emit-num/den-separately policy).  Two hash aggregations: token
+    frequency per (source, token), then a source-sized rollup —
+    map-side partials absorb the Zipf head, nothing else shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+        )
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        tf.groupBy("source")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.col("c") * (F.col("c") - F.lit(1))).alias(
+                "simpson_num"
+            ),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_distinct",
+            "simpson_num",
+            (F.col("n_tokens") * (F.col("n_tokens") - F.lit(1))).alias(
+                "simpson_den"
+            ),
+        )
+    )
