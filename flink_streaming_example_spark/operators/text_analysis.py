@@ -884,3 +884,80 @@ def q_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_VOCAB_GROWTH_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), tri AS (
+  SELECT doc_id,
+    unnest([t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+            FOR i IN range(1, len(t) - 1)]) AS g
+  FROM tok WHERE len(t) > 2
+), ft AS (
+  SELECT g, MIN(doc_id) AS fd FROM tri GROUP BY g
+), n AS (
+  SELECT MAX(doc_id) + 1 AS nd FROM documents
+), b AS (
+  SELECT CAST(fd * 10 // nd AS BIGINT) AS bucket, COUNT(*) AS n_new
+  FROM ft, n GROUP BY 1
+)
+SELECT bucket,
+  CAST(n_new AS BIGINT) AS n_new_tokens,
+  CAST(SUM(n_new) OVER (ORDER BY bucket) AS BIGINT) AS vocab_size
+FROM b
+"""
+
+
+@register("q_vocab_growth", oracle=_VOCAB_GROWTH_ORACLE, tags=("text",))
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve — new-vs-cumulative distinct
+    TRIGRAMS per corpus decile (buckets of the doc_id range): the
+    curve's flattening tells a data pipeline when more ingestion
+    stops buying vocabulary (dedup/boilerplate saturation shows as a
+    premature plateau).  Trigrams are the unit because the unigram
+    vocabulary saturates in the first decile on any corpus (and
+    within one bucket on this fixture) — the phrase space is where
+    growth lives.  Each trigram contributes its FIRST document only
+    (min doc_id — one hash agg over the tail-zipped explode,
+    q_bigrams' codegen idiom), so cumulative distinct needs no
+    distinct-within-window; the decile cut uses integer div against
+    max(doc_id)+1 (broadcast single-row total, the repo-wide
+    pattern) and the running sum is a window over exactly 10 bucket
+    rows — constant-size, never node-scaled."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.lower(F.col("text")), " ")
+    tri = F.arrays_zip(
+        F.slice(t, 1, F.size(t) - 2),
+        F.slice(t, 2, F.size(t) - 2),
+        F.slice(t, 3, F.size(t) - 2),
+    )
+    ft = (
+        docs.filter(F.size(t) > 2)
+        .select("doc_id", F.explode(tri).alias("p"))
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.col("p.0"), F.col("p.1"), F.col("p.2")
+            ).alias("g"),
+        )
+        .groupBy("g")
+        .agg(F.min("doc_id").alias("fd"))
+    )
+    nd = docs.agg((F.max("doc_id") + F.lit(1)).alias("nd"))
+    b = (
+        ft.crossJoin(F.broadcast(nd))
+        .select(F.expr("fd * 10 div nd").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_new_tokens"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return b.select(
+        "bucket",
+        "n_new_tokens",
+        F.sum("n_new_tokens").over(w).alias("vocab_size"),
+    )
