@@ -772,15 +772,18 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes, not a third scan."""
     exact = q_knn_cosine(spark, sf_dir).select("query_id", "neighbor_id")
     appr = q_knn_ivf(spark, sf_dir).select("query_id", "neighbor_id")
+    # Both frames are k-rows-per-query (invisible to Catalyst's size
+    # estimates behind the windows), so the audit joins carry explicit
+    # broadcast hints — true at any corpus scale by construction.
     hits = (
-        exact.join(appr, ["query_id", "neighbor_id"], "left_semi")
+        exact.join(F.broadcast(appr), ["query_id", "neighbor_id"], "left_semi")
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
     return (
         exact.groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_exact"))
-        .join(hits, "query_id", "left")
+        .join(F.broadcast(hits), "query_id", "left")
         .select(
             "query_id",
             F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias(

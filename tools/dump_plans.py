@@ -292,6 +292,22 @@ SHOWCASE: tuple[tuple[str, str], ...] = (
         "`WholeStageCodegen` span over the scan — a tokenizer with zero "
         "Python stages and zero shuffles before the final aggregate.",
     ),
+    (
+        "q_label_propagation",
+        "Synchronous LPA (r10): three unrolled voting rounds, each ONE "
+        "edge⋈label join plus a (node,label) partial+final "
+        "`HashAggregate` and a `max_by` argmax as partial+final "
+        "`SortAggregate` pairs — map-side partials shrink every round's "
+        "shuffle, and there is no per-node `Window` rank anywhere; the "
+        "edge list is a checkpointed scan reused by all rounds.",
+    ),
+    (
+        "q_ann_recall",
+        "Index-QA audit (r10): both top-k probes are `WindowGroupLimit`-"
+        "pruned to k rows per query, so the recall joins carry explicit "
+        "broadcast hints (`BroadcastHashJoin` LeftSemi + LeftOuter) — "
+        "auditing the index never rescans the corpus.",
+    ),
 )
 
 
