@@ -176,6 +176,23 @@ def test_graph_topk_is_distributed(spark, name):
     )
 
 
+def test_lpa_argmax_is_aggregate_not_window(spark):
+    """q_label_propagation's per-round argmax must compile to
+    partial+final aggregate pairs (max_by), NEVER a per-node
+    row_number window: the aggregate's map-side partials shrink each
+    voting round's shuffle by the per-node label multiplicity, while
+    a window must co-locate and sort every (node,label,count) row
+    before ranking.  Guards the r10 design choice against a
+    refactor back to the window form."""
+    plan = _plan(spark, "q_label_propagation")
+    assert "Window" not in plan, (
+        f"q_label_propagation: argmax regressed to a window\n{plan}"
+    )
+    assert "max_by" in plan, (
+        f"q_label_propagation: expected max_by aggregate\n{plan}"
+    )
+
+
 @pytest.mark.parametrize(
     "name,table,max_scans",
     [
