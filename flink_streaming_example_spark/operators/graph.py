@@ -767,34 +767,25 @@ FROM l3 GROUP BY label
 """
 
 
-@register("q_label_propagation", oracle=_LPA_ORACLE, tags=("graph",))
-def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Synchronous LPA community detection over the thresholded
-    co-purchase graph: labels start as node ids, three voting rounds
-    (mode of neighbor labels, ties to the smallest label), output is
-    the per-community size census.  Each round = one equi-join of the
-    undirected edge list with the current label table on the
-    neighbor endpoint + a (node,label) count + an argmax taken as a
-    max_by AGGREGATE on (count, -label) — a hash agg with map-side
-    partials, not a per-node sort window (the (c,-label) pair is
-    unique within a node, so max_by is deterministic).  No adjacency
-    materialization; the edge list is checkpointed once (it feeds all
-    three rounds)."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    e = copurchase_half_edges(li, min_support=_SUPPORT).localCheckpoint(
-        eager=True
-    )
-    und = e.selectExpr("p1 AS src", "p2 AS dst").unionByName(
-        e.selectExpr("p2 AS src", "p1 AS dst")
-    )
+def lpa_labels(und: DataFrame, rounds: int) -> DataFrame:
+    """The LPA voting kernel behind q_label_propagation (factored so
+    the volume smoke can drive it on synthetic graphs): given a
+    DIRECTED view of an undirected edge list (src, dst) — both
+    orientations present — labels start as node ids and each round
+    every node adopts the most frequent label among its neighbors,
+    ties to the smallest label.  Per round: one equi-join of edges
+    with the label table on the neighbor endpoint, a (node,label)
+    count, and an argmax taken as a max_by AGGREGATE on (count,
+    -label) — partial+final aggregates with map-side combine, never
+    a per-node rank window (the (c,-label) pair is unique within a
+    node, so max_by is deterministic; plan-gated in
+    tests/test_plans.py::test_lpa_argmax_is_aggregate_not_window)."""
     labels = (
         und.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
     )
-    for _ in range(_LPA_ROUNDS):
+    for _ in range(rounds):
         labels = (
             und.join(
                 labels.withColumnRenamed("node", "dst"), "dst"
@@ -808,6 +799,28 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("label")
             )
         )
+    return labels
+
+
+@register("q_label_propagation", oracle=_LPA_ORACLE, tags=("graph",))
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous LPA community detection over the thresholded
+    co-purchase graph: labels start as node ids, three voting rounds
+    (mode of neighbor labels, ties to the smallest label), output is
+    the per-community size census.  Voting kernel and its plan story
+    live in lpa_labels(); no adjacency materialization anywhere, and
+    the edge list is checkpointed once (it feeds all three
+    rounds)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    e = copurchase_half_edges(li, min_support=_SUPPORT).localCheckpoint(
+        eager=True
+    )
+    und = e.selectExpr("p1 AS src", "p2 AS dst").unionByName(
+        e.selectExpr("p2 AS src", "p1 AS dst")
+    )
+    labels = lpa_labels(und, _LPA_ROUNDS)
     return labels.groupBy(F.col("label").alias("community")).agg(
         F.count(F.lit(1)).alias("n_nodes")
     )

@@ -575,3 +575,38 @@ def test_cc_lss_1m_edges_logn_rounds_and_release(spark):
         f"superseded localCheckpoints not released: persistent RDDs "
         f"{before} -> {after}"
     )
+
+
+def test_lpa_cliques_900k_edges_converge_to_min_id(spark):
+    """Label propagation at volume: 10,000 disjoint 10-cliques
+    (450k undirected = 900k directed edges).  Analytically, sync LPA
+    with min-tie converges in TWO rounds on a clique: round 1 sends
+    every non-min node to the clique minimum (all neighbor labels tie
+    at count 1, min wins) and the min node to the second-minimum;
+    round 2's vote is then min-dominated for every node.  Three
+    rounds (the registered key's setting) must therefore label every
+    node with its clique base exactly — 10,000 communities of size
+    10, bit-exact.  Exercises the same per-round join+max_by shape as
+    q_label_propagation at ~1M edge rows per round."""
+    from flink_streaming_example_spark.operators.graph import lpa_labels
+
+    n_cliques, k = 10_000, 10
+    pairs = ", ".join(
+        f"id * {k} + {i}, id * {k} + {j}"
+        for i in range(k)
+        for j in range(i + 1, k)
+    )
+    half = spark.range(n_cliques).selectExpr(
+        f"stack({k * (k - 1) // 2}, {pairs}) AS (p1, p2)"
+    )
+    und = half.selectExpr("p1 AS src", "p2 AS dst").unionByName(
+        half.selectExpr("p2 AS src", "p1 AS dst")
+    )
+    labels = lpa_labels(und, 3)
+    bad = labels.filter(
+        F.col("label") != F.col("node") - F.col("node") % k
+    ).count()
+    assert bad == 0
+    sizes = labels.groupBy("label").count().select("count").distinct()
+    assert [r["count"] for r in sizes.collect()] == [k]
+    assert labels.select("label").distinct().count() == n_cliques
