@@ -62,3 +62,31 @@ def test_jaccard_neighbors_bruteforce(spark, duck, sf_dir):
         rows.append((a, b, cn, un, cn * 1_000_000 // un))
     rows.sort(key=lambda r: (-r[4], r[0], r[1]))
     assert got == rows[:25]
+
+
+def test_lpa_tie_votes_partition_invariant(spark):
+    """LPA's argmax must be deterministic under data layout even when
+    every vote is a TIE: on a path graph each interior node sees
+    exactly {left, right} labels at count 1 apiece, so the min-label
+    tiebreak decides every round.  Two adversarially different
+    physical layouts (round-robin vs hash-on-src repartitioning) must
+    produce identical label tables — guards the max_by(struct(c,
+    -label)) uniqueness argument (a plain max_by on count alone would
+    be layout-dependent here)."""
+    from pyspark.sql import functions as F
+
+    from flink_streaming_example_spark.operators.graph import lpa_labels
+
+    n = 2_000
+    half = spark.range(n - 1).selectExpr("id AS p1", "id + 1 AS p2")
+    und = half.selectExpr("p1 AS src", "p2 AS dst").unionByName(
+        half.selectExpr("p2 AS src", "p1 AS dst")
+    )
+    a = lpa_labels(und.repartition(7), 3).toPandas()
+    b = lpa_labels(und.repartition(13, "src"), 3).toPandas()
+    a = a.sort_values("node").reset_index(drop=True)
+    b = b.sort_values("node").reset_index(drop=True)
+    assert a.equals(b)
+    # ties resolved to the smaller side: node 1's first-round vote
+    # between labels 0 and 2 must pick 0
+    assert int(a.loc[a["node"] == 1, "label"].iloc[0]) == 0
