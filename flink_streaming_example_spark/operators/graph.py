@@ -824,3 +824,37 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy(F.col("label").alias("community")).agg(
         F.count(F.lit(1)).alias("n_nodes")
     )
+
+
+_DEGREE_HIST_ORACLE = f"""
+WITH {_COPURCHASE_SUPPORT_CTE}, deg AS (
+  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM e GROUP BY src
+)
+SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY degree
+"""
+
+
+@register("q_degree_hist", oracle=_DEGREE_HIST_ORACLE, tags=("graph",))
+def q_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the thresholded co-purchase graph — the
+    first diagnostic run on any production graph (power-law check:
+    hub weight decides between broadcast-adjacency and salted plans,
+    see q_triangles' orientation note).  Two hash aggregations: the
+    symmetric view's per-endpoint count (half-edges exploded, so the
+    checkpoint-free build carries |E| rows) then the node-count
+    census per degree — the graph twin of q_freq_of_freq's
+    frequency spectrum."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    e = copurchase_half_edges(li, min_support=_SUPPORT)
+    deg = (
+        e.select(
+            F.explode(F.array(F.col("p1"), F.col("p2"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))

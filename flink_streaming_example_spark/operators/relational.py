@@ -122,3 +122,47 @@ def q_sql_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ranked WHERE rnk <= 3
         """
     )
+
+
+_PROFILE_COLS = ("user_id", "event_type", "value", "props")
+
+_DATA_PROFILE_ORACLE = " UNION ALL ".join(
+    f"""
+SELECT '{c}' AS column_name,
+  CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+  CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+FROM events"""
+    for c in _PROFILE_COLS
+)
+
+
+@register("q_data_profile", oracle=_DATA_PROFILE_ORACLE, tags=("relational",))
+def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile audit (the Deequ/Great-Expectations primitive a
+    pipeline runs before trusting a new table): per column, exact
+    null count and exact distinct cardinality, emitted long-form as
+    (column_name, n_nulls, n_distinct).  All columns profile in ONE
+    aggregation — Catalyst compiles the multi-count-distinct into a
+    single Expand pass (rows x #columns, one scan), and the null
+    counts ride the same aggregate for free.  At 100 TB swap the
+    exact distincts for approx_count_distinct to drop the Expand
+    multiplier; exact is kept here because the oracle hash-checks the
+    cardinalities."""
+    ev = load_table(spark, sf_dir, "events")
+    prof = ev.agg(
+        *[
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}")
+            for c in _PROFILE_COLS
+        ],
+        *[
+            F.countDistinct(F.col(c)).alias(f"nd_{c}")
+            for c in _PROFILE_COLS
+        ],
+    )
+    stacked = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}" for c in _PROFILE_COLS
+    )
+    return prof.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stacked}) AS "
+        "(column_name, n_nulls, n_distinct)"
+    )

@@ -612,3 +612,53 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("corr_den_y"),
     )
+
+
+_SEASONALITY_ORACLE = """
+WITH wd AS (
+  SELECT event_type,
+    CAST((epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 4) % 7
+         AS BIGINT) AS weekday
+  FROM events
+), counts AS (
+  SELECT event_type, weekday, CAST(COUNT(*) AS BIGINT) AS n
+  FROM wd GROUP BY event_type, weekday
+), tot AS (
+  SELECT event_type, SUM(n) AS t FROM counts GROUP BY event_type
+)
+SELECT c.event_type, c.weekday, c.n,
+  CAST(1000 * c.n // t.t AS BIGINT) AS share_pm
+FROM counts c JOIN tot t ON c.event_type = t.event_type
+"""
+
+
+@register("q_seasonality", oracle=_SEASONALITY_ORACLE, tags=("timeseries",))
+def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonal profile — per event type, each weekday's share
+    of activity in floored per-mille (the seasonality fingerprint a
+    forecast residual or an anomaly baseline divides out).  The
+    weekday is pure integer arithmetic on epoch days ((days + 4) % 7,
+    Sunday = 0 — 1970-01-01 was a Thursday), sidestepping the
+    dayofweek() dialect split (Spark is 1-based, DuckDB 0-based);
+    shares are integer-div per-mille against per-type totals
+    (q_benford's pattern, here keyed).  Scale: one hash aggregation
+    to <= 7 x |event types| rows, then arithmetic on that constant-
+    size frame — the per-type totals join is broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.select(
+            "event_type",
+            F.expr(
+                "(unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000 + 4) % 7"
+            ).alias("weekday"),
+        )
+        .groupBy("event_type", "weekday")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = counts.groupBy("event_type").agg(F.sum("n").alias("t"))
+    return counts.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "weekday",
+        "n",
+        F.expr("CAST(1000 * n div t AS BIGINT)").alias("share_pm"),
+    )
