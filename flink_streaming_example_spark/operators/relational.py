@@ -136,33 +136,36 @@ FROM events"""
 )
 
 
+def profile_columns(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+    """The profiling kernel behind q_data_profile (factored so the
+    null-count path is unit-testable — the parity fixture carries no
+    NULLs): one aggregation computing exact null count + exact
+    distinct cardinality for every column (Catalyst compiles the
+    multi-count-distinct into a single Expand pass; COUNT DISTINCT
+    ignores NULLs, matching SQL), stacked to long-form rows."""
+    prof = df.agg(
+        *[
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}")
+            for c in cols
+        ],
+        *[F.countDistinct(F.col(c)).alias(f"nd_{c}") for c in cols],
+    )
+    stacked = ", ".join(f"'{c}', nn_{c}, nd_{c}" for c in cols)
+    return prof.selectExpr(
+        f"stack({len(cols)}, {stacked}) AS "
+        "(column_name, n_nulls, n_distinct)"
+    )
+
+
 @register("q_data_profile", oracle=_DATA_PROFILE_ORACLE, tags=("relational",))
 def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-profile audit (the Deequ/Great-Expectations primitive a
     pipeline runs before trusting a new table): per column, exact
     null count and exact distinct cardinality, emitted long-form as
-    (column_name, n_nulls, n_distinct).  All columns profile in ONE
-    aggregation — Catalyst compiles the multi-count-distinct into a
-    single Expand pass (rows x #columns, one scan), and the null
-    counts ride the same aggregate for free.  At 100 TB swap the
-    exact distincts for approx_count_distinct to drop the Expand
+    (column_name, n_nulls, n_distinct).  Kernel and its one-Expand
+    plan story live in profile_columns().  At 100 TB swap the exact
+    distincts for approx_count_distinct to drop the Expand
     multiplier; exact is kept here because the oracle hash-checks the
     cardinalities."""
     ev = load_table(spark, sf_dir, "events")
-    prof = ev.agg(
-        *[
-            F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}")
-            for c in _PROFILE_COLS
-        ],
-        *[
-            F.countDistinct(F.col(c)).alias(f"nd_{c}")
-            for c in _PROFILE_COLS
-        ],
-    )
-    stacked = ", ".join(
-        f"'{c}', nn_{c}, nd_{c}" for c in _PROFILE_COLS
-    )
-    return prof.selectExpr(
-        f"stack({len(_PROFILE_COLS)}, {stacked}) AS "
-        "(column_name, n_nulls, n_distinct)"
-    )
+    return profile_columns(ev, _PROFILE_COLS)

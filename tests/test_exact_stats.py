@@ -413,3 +413,48 @@ def test_class_balance_definition(spark, duck, sf_dir):
         exp[lang] = (k, sum(d for d, _ in kept), sum(c for _, c in kept))
     assert got == exp
     assert len({v[0] for v in got.values()}) == 1
+
+
+def test_profile_columns_counts_nulls_and_distincts(spark):
+    """The parity fixture carries ZERO nulls, so q_data_profile's
+    null-count path needs a crafted frame: NULLs must be counted per
+    column AND excluded from the distinct cardinality (SQL COUNT
+    DISTINCT semantics on both engines)."""
+    from flink_streaming_example_spark.operators.relational import (
+        profile_columns,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", None),
+            (2, None, None),
+            (2, "a", 5.0),
+            (None, "b", 5.0),
+        ],
+        "k long, s string, v double",
+    )
+    got = {
+        r["column_name"]: (r["n_nulls"], r["n_distinct"])
+        for r in profile_columns(df, ("k", "s", "v")).collect()
+    }
+    assert got == {"k": (1, 2), "s": (1, 2), "v": (2, 1)}
+
+
+def test_seasonality_weekday_arithmetic_pins_sunday_zero(spark):
+    """(epoch_days + 4) % 7 must map Sunday->0 .. Saturday->6 — the
+    portable weekday q_seasonality relies on instead of dayofweek()
+    (Spark is 1-based Sunday, DuckDB 0-based).  2024-01-07 was a
+    Sunday; the week from there must enumerate 0..6."""
+    rows = spark.sql(
+        """
+        SELECT d,
+          (unix_micros(CAST(d AS TIMESTAMP)) div 86400000000 + 4) % 7
+            AS wd
+        FROM (
+          SELECT explode(sequence(DATE'2024-01-07', DATE'2024-01-13'))
+            AS d
+        )
+        ORDER BY d
+        """
+    ).collect()
+    assert [r["wd"] for r in rows] == [0, 1, 2, 3, 4, 5, 6]
