@@ -2003,3 +2003,52 @@ def q_binary_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("content").alias("payload"),
     )
     return media_decode(media)
+
+
+# 8x8 thumbnails: the embedding-input normalization shape every vision
+# pipeline runs (SURVEY §2.9 L5 "resize").
+_RESIZE_TARGET = 8
+
+_IMAGE_RESIZE_ORACLE = f"""
+SELECT doc_id,
+  'image/bmp' AS mime,
+  CAST({_RESIZE_TARGET * _RESIZE_TARGET} AS BIGINT) AS n_units,
+  CAST(list_sum(list_transform(
+    range(0, {_RESIZE_TARGET * _RESIZE_TARGET}),
+    i -> ((3 * (((i % {_RESIZE_TARGET}) * (doc_id % 16 + 4))
+                // {_RESIZE_TARGET})
+           + 7 * (((i // {_RESIZE_TARGET}) * ((doc_id * 7) % 16 + 4))
+                  // {_RESIZE_TARGET})
+           + doc_id) % 256) * (i + 1)
+  )) AS BIGINT) AS checksum
+FROM documents WHERE doc_id % 4 = 0
+"""
+
+
+@register(
+    "q_image_resize",
+    oracle=_IMAGE_RESIZE_ORACLE,
+    tags=("multimodal", "python"),
+)
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 resize: REAL image thumbnailing over the BMP cohort —
+    decode -> nearest-neighbor sample to 8x8 -> re-ENCODE
+    (resize_images), then the resized payload is decoded AGAIN by the
+    shared media_decode kernel and checksummed, so the driver hash
+    proves the full decode->resize->encode->decode chain, not just
+    the sampling arithmetic.  The oracle restates nearest-neighbor in
+    closed form from the generator's pixel law (src = (dst * dim) //
+    8, v = (3x + 7y + d) mod 256 — all integer).  Both stages are
+    Arrow-batched mapInPandas kernels (the honest Python boundary,
+    tagged in the plan gate); at 100 TB the shape is unchanged —
+    per-row work, no shuffle anywhere."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 4 == 0)
+    )
+    media = docs.mapInPandas(
+        synth_decodable_payloads, schema="doc_id long, payload binary"
+    ).withColumn("mime", F.lit("image/bmp"))
+    small = resize_images(media, _RESIZE_TARGET, _RESIZE_TARGET)
+    return media_decode(small.select("doc_id", "payload"))
