@@ -111,6 +111,58 @@ SELECT node, rank, CAST(rn AS INTEGER) AS rn FROM (
 """
 
 
+def pagerank_ranks(
+    edges_raw: DataFrame, rounds: int = _ROUNDS, scale: int = _SCALE
+) -> DataFrame:
+    """The fixed-point-integer PageRank kernel behind q_pagerank
+    (factored so the volume smoke can drive it on synthetic graphs):
+    given a directed (src, dst) edge list — already materialized/
+    checkpointed by the caller, it feeds every round — run ``rounds``
+    unrolled iterations at integer mass ``scale`` and return the
+    final (node, rank) table.  Headroom contract from the module
+    docstring: 85 * total_mass must stay under 2^63, so callers with
+    10^7+ nodes pass a smaller scale.
+
+    Broadcast hints: ranks and contrib are NODE-sized, edges are
+    FACT-sized; per round the only shuffle left is the groupBy-dst
+    partial sum.  On a graph whose node set outgrows broadcast, drop
+    the hints and pre-partition edges by src so the shuffle joins
+    co-locate."""
+    base = 15 * scale // 100
+    nodes = (
+        edges_raw.select(F.col("src").alias("node"))
+        .union(edges_raw.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    out_deg = edges_raw.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    edges = edges_raw.join(out_deg, "src").localCheckpoint(eager=True)
+
+    ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
+    for _ in range(rounds):
+        contrib = (
+            edges.join(
+                F.broadcast(
+                    ranks.select(F.col("node").alias("src"), "rank")
+                ),
+                "src",
+            )
+            .select("dst", F.expr("rank div out_deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = nodes.join(
+            F.broadcast(contrib), nodes.node == contrib.dst, "left"
+        ).select(
+            "node",
+            F.expr(
+                f"CAST({base} + (85 * coalesce(contrib, 0)) div 100 "
+                "AS BIGINT)"
+            ).alias("rank"),
+        )
+    return ranks
+
+
 @register("q_pagerank", oracle=_oracle(), tags=("graph",))
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three unrolled rounds of fixed-point-integer PageRank (module
@@ -119,7 +171,8 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     order.  Per round: one join shipping rank div out_deg along edges
     + one shuffle-by-dst integer sum + one left join back onto the
     node set — all exact 64-bit arithmetic, bit-equal to the oracle's
-    identical unroll."""
+    identical unroll (kernel and broadcast story in
+    pagerank_ranks())."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     pairs = (
@@ -139,42 +192,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
         F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
     ).localCheckpoint(eager=True)
-    nodes = (
-        edges_raw.select(F.col("src").alias("node"))
-        .union(edges_raw.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    out_deg = edges_raw.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    edges = edges_raw.join(out_deg, "src").localCheckpoint(eager=True)
-
-    ranks = nodes.withColumn("rank", F.lit(_SCALE).cast("long"))
-    # Broadcast hints: ranks and contrib are NODE-sized (dimension
-    # scale — customers + suppliers), edges are FACT-sized; per round
-    # the only shuffle left is the groupBy-dst partial sum.  On a
-    # graph whose node set outgrows broadcast, drop the hints and
-    # pre-partition edges by src so the shuffle joins co-locate.
-    for _ in range(_ROUNDS):
-        contrib = (
-            edges.join(
-                F.broadcast(
-                    ranks.select(F.col("node").alias("src"), "rank")
-                ),
-                "src",
-            )
-            .select("dst", F.expr("rank div out_deg").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("contrib"))
-        )
-        ranks = nodes.join(
-            F.broadcast(contrib), nodes.node == contrib.dst, "left"
-        ).select(
-            "node",
-            F.expr(
-                f"CAST({_BASE} + (85 * coalesce(contrib, 0)) div 100 "
-                "AS BIGINT)"
-            ).alias("rank"),
-        )
+    ranks = pagerank_ranks(edges_raw)
     return _top_ranked(
         ranks.select("node", "rank"),
         [F.col("rank").desc(), F.col("node")],

@@ -610,3 +610,48 @@ def test_lpa_cliques_900k_edges_converge_to_min_id(spark):
     sizes = labels.groupBy("label").count().select("count").distinct()
     assert [r["count"] for r in sizes.collect()] == [k]
     assert labels.select("label").distinct().count() == n_cliques
+
+
+def test_pagerank_star_1m_edges_exact(spark):
+    """PageRank at volume with a closed-form answer: a 1M-spoke star
+    (every spoke has ONE out-edge into the hub; the hub dangles).
+    With integer mass s and base b = 15s//100: after round 1 every
+    spoke holds exactly b forever (no in-edges), the hub holds
+    b + 85(N*s)//100 in round 1 and b + 85(N*b)//100 in every later
+    round — so three rounds land the hub on a single exact integer
+    and all 1M spokes on b, bit-for-bit.  scale=10^6 keeps
+    85 * N * s inside int64 (the headroom contract in
+    pagerank_ranks' docstring — at 10^12 this graph would
+    overflow).  Exercises the full kernel: per-round edge⋈rank
+    broadcast join, groupBy-dst partial sum, node-set left join."""
+    from flink_streaming_example_spark.operators.graph import (
+        pagerank_ranks,
+    )
+
+    n, scale = 1_000_000, 10**6
+    base = 15 * scale // 100
+    edges = spark.range(n).select(
+        (F.col("id") + 1).cast("string").alias("src"),
+        F.lit("hub").alias("dst"),
+    ).localCheckpoint(eager=True)
+    ranks = pagerank_ranks(edges, rounds=3, scale=scale)
+    hub_expected = base + (85 * (n * base)) // 100
+    got = {
+        r["node"]: r["rank"]
+        for r in ranks.filter(F.col("node") == "hub").collect()
+    }
+    assert got == {"hub": hub_expected}
+    spoke_stats = (
+        ranks.filter(F.col("node") != "hub")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("rank").alias("lo"),
+            F.max("rank").alias("hi"),
+        )
+        .collect()[0]
+    )
+    assert (spoke_stats["n"], spoke_stats["lo"], spoke_stats["hi"]) == (
+        n,
+        base,
+        base,
+    )
