@@ -1,10 +1,10 @@
 """Sorts, limits, distinct, set operations (SURVEY.md §2.6 O1-O3, O5).
 
 Scale notes (100 TB): the global sort (O1) is a range-partitioned
-exchange (Spark samples boundaries, sorts partitions independently) —
-the explicit row_number materialization is only there because the
-driver's hash check is order-insensitive; it collapses the plan to one
-partition and would NOT be part of a production sort (see docstring).
+exchange (Spark samples boundaries, sorts partitions independently);
+the rank witness the driver's order-insensitive hash check needs is
+derived per-partition (local row_number + broadcast cumulative
+offsets), so no stage ever serializes the full table through one task.
 Top-k (O2) plans as TakeOrderedAndProject: per-partition heaps, no full
 sort, no full shuffle.  distinct/intersect/except are hash aggregates /
 joins on the full row — they shuffle once on the row hash.
@@ -18,6 +18,10 @@ from pyspark.sql import functions as F
 from flink_streaming_example_spark.plans.registry import register
 from flink_streaming_example_spark.sources.tables import load_table
 
+# Previous q_sort invocation's localCheckpoint handle, released at the
+# start of the next call (bounded accumulation across bench reps).
+_SORT_PREV_CKPT: DataFrame | None = None
+
 _SORT_ORACLE = """
 SELECT
   o_orderkey,
@@ -29,16 +33,60 @@ FROM orders
 
 @register("q_sort", oracle=_SORT_ORACLE, tags=("setop",))
 def q_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O1: global sort.  The order-insensitive hash gate can't see row
-    order, so the sort is witnessed by materializing the global rank.
-    A production global sort is just `orderBy` (range exchange, fully
-    parallel); the unpartitioned row_number window here is the
-    verification encoding, not the scale path — at 100 TB you'd write
-    `orderBy(...)` alone or zipWithIndex per range partition."""
+    """O1: global sort, witnessed scale-safely.  The order-insensitive
+    hash gate can't see row order, so the sort is witnessed by
+    materializing the global rank — but WITHOUT the single-partition
+    row_number window the naive encoding forces.  Instead: (1)
+    ``orderBy`` performs the production range exchange (sampled
+    boundaries, partitions sorted independently, partition i's keys all
+    precede partition i+1's — and the o_orderkey tiebreak makes the
+    order total, so boundaries never split ties); (2) one
+    partition-count-sized collect fetches per-partition row counts and
+    turns them into cumulative offsets; (3) the global rank is the
+    LOCAL row_number within each range partition (a window PARTITIONED
+    by spark_partition_id — parallelism = partition count) plus the
+    broadcast offset.  The localCheckpoint pins partition membership so
+    the counts job and the rank job see identical boundaries (range
+    sampling is not stable across re-executions); at 100 TB the same
+    pin is a persist to disk.  No stage ever holds more than one range
+    partition.  Repeated invocations (bench reps) release the PREVIOUS
+    call's checkpoint blocks — the superseded-checkpoint pattern from
+    dedup.cc_min_labels — so accumulation is bounded at one."""
+    from flink_streaming_example_spark.operators.dedup import (
+        _release_checkpoint,
+    )
+
+    global _SORT_PREV_CKPT
+    if _SORT_PREV_CKPT is not None:
+        _release_checkpoint(_SORT_PREV_CKPT)
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-    return orders.select(
-        "o_orderkey", "o_totalprice", F.row_number().over(w).alias("pos")
+    s = (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    _SORT_PREV_CKPT = s
+    counts = sorted(
+        (r["pid"], r["n"])
+        for r in s.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, n in counts:
+        offsets.append((pid, acc))
+        acc += n
+    off = spark.createDataFrame(offsets, "pid INT, off BIGINT")
+    w = Window.partitionBy("pid").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        s.withColumn("lrn", F.row_number().over(w))
+        .join(F.broadcast(off), "pid")
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            (F.col("off") + F.col("lrn")).cast("int").alias("pos"),
+        )
     )
 
 

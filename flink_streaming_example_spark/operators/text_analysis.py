@@ -21,7 +21,7 @@ verifiable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_streaming_example_spark.plans.registry import register
@@ -645,9 +645,11 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     minimum support 5.  Shares q_bigrams' tail-zip pair build (one
     hash aggregate, no window); the unigram table is vocabulary-sized
     — broadcast into both legs — and the two corpus totals ride one
-    broadcast scalar row.  The only global sort is the top-30 over the
-    support-filtered collocation set (vocabulary-bounded, post-filter
-    tiny)."""
+    broadcast scalar row.  The scored pair set is vocab² worst-case
+    (NOT vocabulary-bounded), so the top-30 emission goes through
+    graph._top_ranked — ``orderBy().limit(30)`` compiles to
+    TakeOrderedAndProject (per-partition bounded heaps merged at 30
+    rows); the rn window then touches only the 30 survivors."""
     docs = load_table(spark, sf_dir, "documents")
     t = F.split(F.lower(F.col("text")), " ")
     toks = docs.select(F.explode(t).alias("w"))
@@ -693,10 +695,10 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score_ppm"),
         )
     )
-    w = Window.orderBy(F.col("score_ppm").desc(), "w1", "w2")
-    return (
-        scored.withColumn("rn", F.row_number().over(w).cast("int"))
-        .filter(F.col("rn") <= _COLL_TOP)
+    from flink_streaming_example_spark.operators.graph import _top_ranked
+
+    return _top_ranked(
+        scored, [F.col("score_ppm").desc(), "w1", "w2"], _COLL_TOP
     )
 
 
