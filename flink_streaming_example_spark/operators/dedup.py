@@ -76,6 +76,14 @@ _MINHASHES = 16
 _BANDS = 4  # 4 rows/band -> candidate s-curve threshold ~ (1/4)^(1/4) ≈ 0.71
 
 
+# The previous _band_prefiltered_candidates invocation's persisted
+# frames, released at the start of the next call: the returned frame
+# must stay cached until the CALLER materializes its result, so the
+# release point is the next invocation (bench reps / the two sharing
+# keys), bounding accumulation at one invocation's worth (r10 ADVICE).
+_BAND_PREV_PERSISTS: list[DataFrame] = []
+
+
 def _band_prefiltered_candidates(docs: DataFrame) -> DataFrame:
     """Banded-MinHash candidate pairs (id_a < id_b), signature-
     prefiltered — the SHARED blocking stage behind q_dedup_near and
@@ -85,6 +93,8 @@ def _band_prefiltered_candidates(docs: DataFrame) -> DataFrame:
     equi-join -> >= 5/16 matching-signature prefilter.  Returns a
     persisted frame; callers re-derive exact shingle sets only for
     these pairs (_candidate_shingle_sets)."""
+    while _BAND_PREV_PERSISTS:
+        _BAND_PREV_PERSISTS.pop().unpersist()
     # Shingle positions exploded row-wise so hashing stays in codegen
     # (per-element higher-order functions are interpreted — measured
     # several× slower), then ONE aggregation computes all 16
@@ -154,13 +164,15 @@ def _band_prefiltered_candidates(docs: DataFrame) -> DataFrame:
         F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
         for i in range(_MINHASHES)
     )
-    return (
+    pre = (
         cand.join(mha, "id_a")
         .join(mhb, "id_b")
         .filter(sig_matches >= 5)
         .select("id_a", "id_b")
         .persist()
     )
+    _BAND_PREV_PERSISTS.extend([agg, pre])
+    return pre
 
 
 def _candidate_shingle_sets(docs: DataFrame, pre: DataFrame) -> DataFrame:

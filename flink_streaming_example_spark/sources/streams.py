@@ -334,22 +334,38 @@ def _register_console_sink_key() -> None:
         emits every batch header.  Excluded from the run_to_memory
         plan gate like the other self-draining sinks (the sink IS the
         thing under test)."""
+        import shutil
         import tempfile
 
         ev = events_file_replay(spark, sf_dir)
-        q = (
-            print_sink(ev, num_rows=1)
-            .option(
-                "checkpointLocation",
-                tempfile.mkdtemp(prefix="console_q_ckpt_"),
+        ckpt = tempfile.mkdtemp(prefix="console_q_ckpt_")
+        try:
+            q = (
+                print_sink(ev, num_rows=1)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
             )
-            .trigger(availableNow=True)
-            .start()
+            q.awaitTermination()
+            progress = list(q.recentProgress or [])
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
+        # recentProgress is a RING BUFFER capped at
+        # spark.sql.streaming.numRecentProgressUpdates (default 100);
+        # summing a saturated buffer silently undercounts.  Fail loud
+        # if the replay ever splits into enough micro-batches to risk
+        # eviction (r10 ADVICE) — the fix then is a
+        # StreamingQueryListener accumulator, not a bigger cap.
+        cap = int(
+            spark.conf.get("spark.sql.streaming.numRecentProgressUpdates")
         )
-        q.awaitTermination()
-        total = sum(
-            int(p["numInputRows"]) for p in (q.recentProgress or [])
-        )
+        if len(progress) >= cap:
+            raise RuntimeError(
+                f"q_console_sink: {len(progress)} progress updates "
+                f"saturate the recentProgress ring buffer (cap {cap}); "
+                "row-count parity would silently undercount"
+            )
+        total = sum(int(p["numInputRows"]) for p in progress)
         return spark.createDataFrame(
             [(total,)], "rows_printed bigint"
         )

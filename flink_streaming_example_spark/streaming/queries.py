@@ -1725,10 +1725,12 @@ def anomaly_stream(ev: DataFrame) -> DataFrame:
         (user_id,) = key
         m, s1, s2, flags = state.get if state.exists else (0, 0, 0, 0)
         m, s1, s2, flags = int(m), int(s1), int(s2), int(flags)
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # whole-group sort: concat ALL Arrow chunks first — per-chunk
+        # sorting is arbitrary across chunks once a key spans more
+        # than one Arrow record batch (r10 ADVICE)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
             for x in (int(v) for v in pdf["vi"]):
                 if m >= 8 and (m * x - s1) ** 2 > 9 * (m * s2 - s1 * s1):
                     flags += 1
@@ -1805,10 +1807,11 @@ def ewma_stream(ev: DataFrame) -> DataFrame:
         (user_id,) = key
         buf = list(state.get[0]) if state.exists else []
         ids, nums, dens = [], [], []
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # whole-group sort across ALL Arrow chunks (r10 ADVICE): a
+        # per-chunk sort is arbitrary across chunk boundaries
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
             for eid, x in zip(pdf["event_id"], pdf["vi_micro"]):
                 buf.append(int(x))
                 if len(buf) > _EWMA_SPAN:
@@ -1984,10 +1987,10 @@ def funnel_stream(ev: DataFrame) -> DataFrame:
         (user_id,) = key
         stage, t, seq = state.get if state.exists else (0, -1, 0)
         stage, t, seq = int(stage), int(t), int(seq)
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values(["t_us", "event_id"])
+        # whole-group sort across ALL Arrow chunks (r10 ADVICE)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(["t_us", "event_id"])
             for et, tu in zip(pdf["event_type"], pdf["t_us"]):
                 want = steps.get(et)
                 if want == stage + 1 and (stage == 0 or int(tu) > t):
@@ -2094,10 +2097,10 @@ def transitions_stream(ev: DataFrame) -> DataFrame:
         (user_id,) = key
         last = state.get[0] if state.exists else None
         ids, prevs, nexts = [], [], []
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # whole-group sort across ALL Arrow chunks (r10 ADVICE)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
             for eid, etype in zip(pdf["event_id"], pdf["event_type"]):
                 if last is not None:
                     ids.append(int(eid))
@@ -2273,10 +2276,10 @@ def cusum_stream(ev: DataFrame) -> DataFrame:
             )
         else:
             pp, mp, rn, alarms, first_rn, max_s = 0, 0, 0, 0, -1, 0
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # whole-group sort across ALL Arrow chunks (r10 ADVICE)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
             for d in (int(v) for v in pdf["d"]):
                 rn += 1
                 pp += d
@@ -2518,10 +2521,14 @@ def attribution_stream(ev: DataFrame) -> DataFrame:
         (user_id,) = key
         first_click = state.get[0] if state.exists else None
         days, vis = [], []
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # Concatenate ALL Arrow chunks before sorting (the repo-wide
+        # whole-group idiom): a per-chunk sort would give arbitrary
+        # cross-chunk order once a key's micro-batch rows span more
+        # than one Arrow record batch, letting a purchase process
+        # before an earlier-ts click in the same batch (r10 ADVICE).
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
             for etype, d, vi in zip(
                 pdf["event_type"], pdf["day"], pdf["vi"]
             ):
