@@ -58,6 +58,7 @@ _STATE_FN_KEYS = {
     "q_streaming_ewma",
     "q_streaming_transitions",
     "q_streaming_running_distinct",
+    "q_streaming_first_seen_robust",
     "q_streaming_stratified_sample",
     "q_streaming_funnel",
     "q_streaming_cusum",
@@ -92,6 +93,7 @@ _EXPECTED_STATE_OPS = {
     "q_streaming_ewma": ["applyInPandasWithState"],
     "q_streaming_transitions": ["applyInPandasWithState"],
     "q_streaming_running_distinct": ["applyInPandasWithState"],
+    "q_streaming_first_seen_robust": ["applyInPandasWithState"],
     "q_streaming_stratified_sample": ["applyInPandasWithState"],
     "q_streaming_funnel": ["applyInPandasWithState"],
     "q_streaming_cusum": ["applyInPandasWithState"],
