@@ -223,12 +223,13 @@ SHOWCASE: tuple[tuple[str, str], ...] = (
     ),
     (
         "q_collocations",
-        "Exact integer PMI-lift collocations (r9 continuation): "
-        "tail-zip bigram build (one hash aggregate), vocabulary-sized "
-        "unigram table BROADCAST into both legs, corpus totals on one "
-        "broadcast scalar row, DECIMAL(38,0) lift arithmetic fully "
-        "JVM-side; the only global sort is the top-30 over the "
-        "support-filtered pair set.",
+        "Exact integer PMI-lift collocations (r9 continuation, r11 "
+        "emission fix): tail-zip bigram build (one hash aggregate), "
+        "vocabulary-sized unigram table BROADCAST into both legs, "
+        "corpus totals on one broadcast scalar row, DECIMAL(38,0) lift "
+        "arithmetic fully JVM-side; the top-30 over the vocab^2-worst-"
+        "case pair set emits via `TakeOrderedAndProject` (per-partition "
+        "bounded heaps), with the rn window over only the 30 survivors.",
     ),
     (
         "q_pareto",
@@ -307,6 +308,32 @@ SHOWCASE: tuple[tuple[str, str], ...] = (
         "pruned to k rows per query, so the recall joins carry explicit "
         "broadcast hints (`BroadcastHashJoin` LeftSemi + LeftOuter) — "
         "auditing the index never rescans the corpus.",
+    ),
+    (
+        "q_sort",
+        "Scale-safe global-rank witness (r11): the production range "
+        "exchange (`Sort` over `Exchange rangepartitioning`) pinned by a "
+        "localCheckpoint scan, a partition-count-sized count collect, "
+        "then the rank as a `Window` PARTITIONED by spark_partition_id "
+        "plus a `BroadcastHashJoin` of the cumulative offsets — no "
+        "single-partition stage anywhere (the old encoding's "
+        "unpartitioned row_number is gone; package-wide plan gate).",
+    ),
+    (
+        "q_sketch_error_bounds",
+        "Sketch-tier audit (r11): HLL and GK estimates computed next to "
+        "their exact counterparts in partial+final `HashAggregate`/"
+        "`SortAggregate` pairs; the GK rank check re-scans orders ONCE "
+        "against the broadcast 1-row sketch output (BroadcastNestedLoop "
+        "of a scalar side, the repo's seed-broadcast idiom).",
+    ),
+    (
+        "q_kafka_frame_roundtrip",
+        "Kafka writer projection round-trip (r11): to_json/binary casts, "
+        "header struct array, mod-8 partitioner and from_json decode are "
+        "ALL JVM expressions in one `Project` inside `WholeStageCodegen` "
+        "— a single scan, one partial+final aggregate pair, no Python "
+        "stage and no shuffle beyond the final groupBy.",
     ),
 )
 
