@@ -31,16 +31,14 @@ FROM orders
 """
 
 
-@register("q_sort", oracle=_SORT_ORACLE, tags=("setop",))
-def q_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O1: global sort, witnessed scale-safely.  The order-insensitive
-    hash gate can't see row order, so the sort is witnessed by
-    materializing the global rank — but WITHOUT the single-partition
-    row_number window the naive encoding forces.  Instead: (1)
-    ``orderBy`` performs the production range exchange (sampled
-    boundaries, partitions sorted independently, partition i's keys all
-    precede partition i+1's — and the o_orderkey tiebreak makes the
-    order total, so boundaries never split ties); (2) one
+def global_rank(df: DataFrame, order_cols, pos_col: str = "pos") -> DataFrame:
+    """Scale-safe global-rank materialization kernel: df's columns plus
+    an int ``pos_col`` = 1-based rank under ``order_cols`` (which must
+    define a TOTAL order — include a unique tiebreak column).  No
+    single-partition stage: (1) ``orderBy`` performs the production
+    range exchange (sampled boundaries, partitions sorted
+    independently, partition i's keys all precede partition i+1's —
+    and the total order means boundaries never split ties); (2) one
     partition-count-sized collect fetches per-partition row counts and
     turns them into cumulative offsets; (3) the global rank is the
     LOCAL row_number within each range partition (a window PARTITIONED
@@ -48,10 +46,10 @@ def q_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast offset.  The localCheckpoint pins partition membership so
     the counts job and the rank job see identical boundaries (range
     sampling is not stable across re-executions); at 100 TB the same
-    pin is a persist to disk.  No stage ever holds more than one range
-    partition.  Repeated invocations (bench reps) release the PREVIOUS
-    call's checkpoint blocks — the superseded-checkpoint pattern from
-    dedup.cc_min_labels — so accumulation is bounded at one."""
+    pin is a persist to disk.  Repeated invocations (bench reps)
+    release the PREVIOUS call's checkpoint blocks — the
+    superseded-checkpoint pattern from dedup.cc_min_labels — so
+    accumulation is bounded at one."""
     from flink_streaming_example_spark.operators.dedup import (
         _release_checkpoint,
     )
@@ -59,34 +57,52 @@ def q_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     global _SORT_PREV_CKPT
     if _SORT_PREV_CKPT is not None:
         _release_checkpoint(_SORT_PREV_CKPT)
-    orders = load_table(spark, sf_dir, "orders")
+    out_cols = list(df.columns)
     s = (
-        orders.select("o_orderkey", "o_totalprice")
-        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-        .withColumn("pid", F.spark_partition_id())
+        df.orderBy(*order_cols)
+        .withColumn("_gr_pid", F.spark_partition_id())
         .localCheckpoint()
     )
     _SORT_PREV_CKPT = s
     counts = sorted(
-        (r["pid"], r["n"])
-        for r in s.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
+        (r["_gr_pid"], r["n"])
+        for r in s.groupBy("_gr_pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
     )
     offsets, acc = [], 0
     for pid, n in counts:
         offsets.append((pid, acc))
         acc += n
-    off = spark.createDataFrame(offsets, "pid INT, off BIGINT")
-    w = Window.partitionBy("pid").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    off = df.sparkSession.createDataFrame(
+        offsets, "_gr_pid INT, _gr_off BIGINT"
     )
+    w = Window.partitionBy("_gr_pid").orderBy(*order_cols)
     return (
-        s.withColumn("lrn", F.row_number().over(w))
-        .join(F.broadcast(off), "pid")
+        s.withColumn("_gr_lrn", F.row_number().over(w))
+        .join(F.broadcast(off), "_gr_pid")
         .select(
-            "o_orderkey",
-            "o_totalprice",
-            (F.col("off") + F.col("lrn")).cast("int").alias("pos"),
+            *out_cols,
+            (F.col("_gr_off") + F.col("_gr_lrn")).cast("int").alias(pos_col),
         )
+    )
+
+
+@register("q_sort", oracle=_SORT_ORACLE, tags=("setop",))
+def q_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: global sort, witnessed scale-safely.  The order-insensitive
+    hash gate can't see row order, so the sort is witnessed by
+    materializing the global rank through the global_rank kernel
+    (above) — range exchange + per-partition local ranks + broadcast
+    cumulative offsets, never a single-partition window.  The
+    o_orderkey tiebreak makes the order total, the kernel's
+    precondition.  Tie-splitting at range boundaries and 20M-row
+    exactness are pinned analytically in tests (test_setops_rank.py,
+    test_scale_smoke.py)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return global_rank(
+        orders.select("o_orderkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
     )
 
 

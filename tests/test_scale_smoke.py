@@ -746,3 +746,37 @@ def test_banded_blocker_natural_vocab_candidates_subquadratic(spark):
     assert probe_p99 <= 50, (
         f"per-doc rarest-shingle document frequency p99 {probe_p99}"
     )
+
+
+def test_global_rank_20m_rows_exact(spark):
+    """The q_sort witness kernel at 100x the fixture: 20M rows, 1000
+    distinct sort values (20k-row tie groups spanning every range
+    boundary), tiebreak on id.  Closed form under (v ASC, id ASC):
+    pos = v*(N/1000) + (id - v)/1000 + 1.  Asserts zero mismatches and
+    that pos is a permutation of 1..N — the local-rank + broadcast-
+    offset composition cannot silently skip or duplicate a rank at
+    volume.  (The kernel's one collect is partition-count-sized, and
+    no stage holds more than one range partition; this smoke fails
+    loudly if either property regresses.)"""
+    from flink_streaming_example_spark.operators.setops import global_rank
+
+    n = N  # 20M
+    groups = 1_000
+    df = spark.range(n).select(
+        F.col("id"), (F.col("id") % groups).alias("v")
+    )
+    ranked = global_rank(df, [F.col("v"), F.col("id")])
+    expected = (
+        F.col("v") * (n // groups)
+        + (F.col("id") - F.col("v")) / groups
+        + 1
+    ).cast("int")
+    agg = ranked.agg(
+        F.sum(F.when(F.col("pos") != expected, 1).otherwise(0)).alias("bad"),
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("pos").alias("d"),
+        F.min("pos").alias("lo"),
+        F.max("pos").alias("hi"),
+    ).collect()[0]
+    assert agg["bad"] == 0
+    assert (agg["n"], agg["d"], agg["lo"], agg["hi"]) == (n, n, 1, n)

@@ -1,0 +1,61 @@
+"""Analytic pins for the global_rank kernel behind q_sort (the r11
+scale-safe rank witness): range-partitioned orderBy + local row_number
++ broadcast cumulative offsets must equal the true global rank even
+when the sort key is massively tied ACROSS range-partition boundaries
+— the exact situation where a non-total order would let the range
+partitioner split a tie group and corrupt ranks.  The tiebreak column
+restores totality; these tests prove the composed kernel honors it."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_streaming_example_spark.operators.setops import global_rank
+
+
+def test_global_rank_exact_under_heavy_ties(spark):
+    """10k rows, only FIVE distinct sort values (2k-row tie groups —
+    every range boundary lands inside a tie group), tiebreak on id.
+    Under (v ASC, id ASC) the true rank has the closed form
+    pos = v*(n/5) + (id - v)/5 + 1 (ids with id%5 == v are the v-th
+    tie group, ordered by id).  Zero mismatches required."""
+    n = 10_000
+    df = spark.range(n).select(
+        F.col("id"), (F.col("id") % 5).alias("v")
+    )
+    ranked = global_rank(df, [F.col("v"), F.col("id")])
+    expected = (
+        F.col("v") * (n // 5) + (F.col("id") - F.col("v")) / 5 + 1
+    ).cast("int")
+    bad = ranked.filter(F.col("pos") != expected).count()
+    assert bad == 0
+    # completeness: pos is a permutation of 1..n
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("pos").alias("d"),
+        F.min("pos").alias("lo"),
+        F.max("pos").alias("hi"),
+    ).collect()[0]
+    assert (agg["n"], agg["d"], agg["lo"], agg["hi"]) == (n, n, 1, n)
+
+
+def test_global_rank_empty_and_single_row(spark):
+    empty = spark.range(0).select(F.col("id"))
+    assert global_rank(empty, [F.col("id")]).count() == 0
+    one = global_rank(spark.range(1), [F.col("id")]).collect()
+    assert [(r["id"], r["pos"]) for r in one] == [(0, 1)]
+
+
+def test_global_rank_descending_with_tiebreak(spark):
+    """DESC primary key with ASC tiebreak — the q_sort shape."""
+    n = 1_000
+    df = spark.range(n).select(
+        F.col("id"), (F.col("id") % 10).alias("v")
+    )
+    ranked = global_rank(df, [F.col("v").desc(), F.col("id")])
+    # v=9 group first (ids 9,19,..), then v=8, ...: for a row (v, id),
+    # pos = (9 - v) * (n/10) + (id - v)/10 + 1
+    expected = (
+        (9 - F.col("v")) * (n // 10) + (F.col("id") - F.col("v")) / 10 + 1
+    ).cast("int")
+    assert ranked.filter(F.col("pos") != expected).count() == 0
