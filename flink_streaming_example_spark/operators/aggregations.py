@@ -328,9 +328,12 @@ def q_sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks [cnt_lt+1, cnt_le] under ties, and that interval must meet
     [target - n/10000 - 1, target + n/10000 + 1], with the target
     rank in pure integer arithmetic (the _PCTL_RANKS discipline).
-    Shape at 100 TB: three scans total (events agg, orders agg, one
-    orders re-scan for the rank counts against the broadcast 1-row
-    sketch output) — constant-size state throughout."""
+    Shape at 100 TB: events once, orders three times (the stats agg
+    feeding the HLL row, and stats + the rank-count re-scan against
+    the broadcast 1-row sketch output inside the stacked GK branch);
+    the three GK rows stack off ONE ranks row — three union branches
+    would re-execute the subtree.  Constant-size state throughout;
+    scan count plan-gated."""
     ev = load_table(spark, sf_dir, "events")
     orders = load_table(spark, sf_dir, "orders")
     hll_u = ev.agg(
@@ -376,20 +379,27 @@ def q_sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(3)
         ],
     )
-    out = hll_u.unionAll(hll_o)
+    # All three GK rows come off the ONE ranks row via stack — three
+    # unionAll branches would re-execute the ranks subtree (another 2
+    # fact scans each); with this shape the whole key reads orders 3x
+    # (stats for the HLL row, stats + the rank-count pass inside gk)
+    # and events once, asserted in tests/test_plans.py.
+    ok_flags = []
     for i, (label, num, den) in enumerate(_PCTL_RANKS):
         slack = F.expr("n div 10000") + F.lit(1)
         r_lo = F.expr(f"({num} * n) div {den}") - slack
         r_hi = F.expr(f"({num} * n + {den} - 1) div {den}") + slack
         ok = (F.col(f"le{i}") >= r_lo) & ((F.col(f"lt{i}") + 1) <= r_hi)
-        out = out.unionAll(
-            ranks.select(
-                F.lit(f"gk_totalprice_{label}").alias("check_name"),
-                F.col("n").cast("long").alias("exact_stat"),
-                ok.cast("long").alias("within_bound"),
-            )
+        ok_flags.append(ok.cast("long").alias(f"ok{i}"))
+    gk = ranks.select(F.col("n").cast("long").alias("n"), *ok_flags).selectExpr(
+        "stack(3, "
+        + ", ".join(
+            f"'gk_totalprice_{label}', n, ok{i}"
+            for i, (label, _, _) in enumerate(_PCTL_RANKS)
         )
-    return out
+        + ") AS (check_name, exact_stat, within_bound)"
+    )
+    return hll_u.unionAll(hll_o).unionAll(gk)
 
 
 # Exact type-1 quantiles by INTEGER rank arithmetic: the target rank

@@ -15,10 +15,10 @@ Scale shape:
   join back to the activity set (same key), then a small per-bucket
   aggregate.  Nothing is ever keyed by (user × week) before the
   per-user reduction.
-- The funnel is a chain of per-user conditional MINs: each step is a
-  groupBy(user) + equi-join on user_id — the same partitioning all
-  the way down, so at scale the whole chain is ONE exchange of the
-  event log plus user-sized intermediates.
+- The funnel is ONE groupBy(user) pass — first-step MIN plus each
+  later step's sorted per-user timestamp list, the strictly-after
+  chain resolved by array higher-order expressions in place — a
+  single exchange of the event log, no joins (funnel_steps).
 - The only global-order window (running distinct's cumulative sum)
   runs AFTER aggregation to per-day rows — driver-scale cardinality
   (#days), not data-scale.
@@ -110,34 +110,62 @@ def funnel_steps(events: DataFrame) -> DataFrame:
     """The funnel core on an arbitrary (user_id, event_type, ts) frame
     — factored out so the cross-engine property fuzz
     (tests/test_property.py) can drive it with adversarial tie-heavy
-    timelines; q_funnel_steps feeds it the fixture."""
-    prev: DataFrame | None = None
-    stages: list[DataFrame] = []
-    for step in _FUNNEL_STEPS:
-        e = events.where(F.col("event_type") == step)
-        if prev is None:
-            cur = e.groupBy("user_id").agg(F.min("ts").alias("t"))
-        else:
-            cur = (
-                e.join(prev.select("user_id", F.col("t").alias("pt")), "user_id")
-                .where(F.col("ts") > F.col("pt"))
-                .groupBy("user_id")
-                .agg(F.min("ts").alias("t"))
-            )
-        stages.append(cur)
-        prev = cur
-    counts = [
-        s.agg(
-            F.lit(i + 1).cast("long").alias("step_order"),
-            F.lit(step).alias("step"),
-            F.count(F.lit(1)).alias("n_users"),
-        )
-        for i, (step, s) in enumerate(zip(_FUNNEL_STEPS, stages))
+    timelines; q_funnel_steps feeds it the fixture.
+
+    ONE events pass (plan-gated): the old stage-join chain referenced
+    stage k-1's subtree from stage k, re-deriving the source
+    1+2+3+4 = 10 times at the scan (caught when round 11 de-vacuumed
+    test_fact_scanned_once).  Instead, one groupBy collects the first
+    step's MIN plus each later step's per-user SORTED timestamp list
+    (per-user-cardinality-bounded, the session-operator state bound),
+    and the strictly-after chain resolves per row with
+    filter(l, x -> x > t_prev)[1] — JVM higher-order expressions, no
+    joins, no re-scan.  The final 4-row emission stacks off the one
+    scalar count row."""
+    aggs = [
+        F.min(
+            F.when(F.col("event_type") == _FUNNEL_STEPS[0], F.col("ts"))
+        ).alias("t1")
     ]
-    out = counts[0]
-    for c in counts[1:]:
-        out = out.unionByName(c)
-    return out
+    for i, step in enumerate(_FUNNEL_STEPS[1:], start=2):
+        aggs.append(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("event_type") == step, F.col("ts"))
+                )
+            ).alias(f"l{i}")
+        )
+    u = events.groupBy("user_id").agg(*aggs)
+    for i in range(2, len(_FUNNEL_STEPS) + 1):
+        prev = F.col(f"t{i - 1}")
+        u = u.withColumn(
+            f"t{i}",
+            # try_element_at: NULL (not an ANSI error) when no element
+            # of the step's list is strictly after the previous step
+            F.try_element_at(
+                F.filter(F.col(f"l{i}"), lambda x: x > prev), F.lit(1)
+            ),
+        )
+    counts = u.agg(
+        *[
+            F.sum(
+                F.when(F.col(f"t{i + 1}").isNotNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"n{i + 1}")
+            for i in range(len(_FUNNEL_STEPS))
+        ]
+    )
+    return counts.selectExpr(
+        "stack("
+        + str(len(_FUNNEL_STEPS))
+        + ", "
+        + ", ".join(
+            f"CAST({i + 1} AS BIGINT), '{step}', n{i + 1}"
+            for i, step in enumerate(_FUNNEL_STEPS)
+        )
+        + ") AS (step_order, step, n_users)"
+    )
 
 
 @register("q_funnel_steps", oracle=_FUNNEL_ORACLE, tags=("analytics",))
@@ -145,9 +173,9 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel conversion: per step, the number of users whose
     earliest qualifying event STRICTLY follows their previous step's
     timestamp (signup -> view -> click -> purchase).  Set-based
-    companion to q_cep_funnel's pattern automaton: each stage is a
-    per-user conditional MIN + equi-join on user_id — one partitioning
-    reused down the whole chain (module docstring)."""
+    companion to q_cep_funnel's pattern automaton: one per-user
+    aggregation pass, the step chain resolved in place over sorted
+    per-step timestamp lists (funnel_steps docstring)."""
     return funnel_steps(
         load_table(spark, sf_dir, "events").select(
             "user_id", "event_type", "ts"
@@ -677,6 +705,10 @@ def q_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GAP_US = 6 * 3_600 * 1_000_000
 _CONC_SHIFT = 35  # ~9.5h time bands for the boundary prefix sum
 
+# Previous q_max_concurrency invocation's pinned boundary frame,
+# released at the start of the next call (bounded accumulation).
+_CONC_PREV_CKPT: DataFrame | None = None
+
 _MAX_CONC_ORACLE = f"""
 WITH e AS (
   SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
@@ -729,7 +761,24 @@ def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-(t,delta) aggregation first, so the sweep runs over
     boundary-distinct rows, then MAX and first-argmax as two scalar
     aggregates broadcast-joined — no data-scale single-partition
-    stage, nothing collected."""
+    stage, nothing collected.
+
+    One events pass (plan-gated): the boundary pair explodes off a
+    SINGLE sess reference (the union form referenced sess twice), and
+    the windowed boundary frame is localCheckpoint-pinned before the
+    band rollup / argmax re-reference it — unpinned, the subtree
+    fan-out re-derived the session aggregate 8 times at the events
+    scan (caught when round 11 de-vacuumed test_fact_scanned_once).
+    The pinned frame is boundary-distinct-sized (<= 2 sessions rows);
+    the previous call's checkpoint is released on the next invocation
+    (the q_sort pattern)."""
+    from flink_streaming_example_spark.operators.dedup import (
+        _release_checkpoint,
+    )
+
+    global _CONC_PREV_CKPT
+    if _CONC_PREV_CKPT is not None:
+        _release_checkpoint(_CONC_PREV_CKPT)
     ev = load_table(spark, sf_dir, "events")
     sess = (
         ev.groupBy(F.session_window("ts", "6 hours").alias("w"), "user_id")
@@ -740,8 +789,13 @@ def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     b = sess.select(
-        F.col("s_us").alias("t"), F.lit(1).alias("delta")
-    ).unionAll(sess.select(F.col("e_us").alias("t"), F.lit(-1).alias("delta")))
+        F.explode(
+            F.array(
+                F.struct(F.col("s_us").alias("t"), F.lit(1).alias("delta")),
+                F.struct(F.col("e_us").alias("t"), F.lit(-1).alias("delta")),
+            )
+        ).alias("x")
+    ).select("x.t", "x.delta")
     g = (
         b.groupBy("t", "delta")
         .agg(F.sum("delta").cast("long").alias("contrib"))
@@ -752,7 +806,8 @@ def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("t", "delta")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    g = g.withColumn("local_cum", F.sum("contrib").over(wl))
+    g = g.withColumn("local_cum", F.sum("contrib").over(wl)).localCheckpoint()
+    _CONC_PREV_CKPT = g
     bands = g.groupBy("band").agg(F.sum("contrib").alias("band_total"))
     wb = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
     bands = bands.select(
@@ -802,6 +857,10 @@ def _banded_rank(df: DataFrame, key_col: str, shift: int, out: str) -> DataFrame
 
 _RFM_ANCHOR = "1998-12-31"  # just past the orders fixture horizon
 
+# Previous q_rfm_segments invocation's pinned customer aggregate,
+# released at the start of the next call (bounded accumulation).
+_RFM_PREV_CKPT: DataFrame | None = None
+
 _RFM_ORACLE = f"""
 WITH cm AS (
   SELECT o_custkey AS cust,
@@ -842,7 +901,21 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     metric (arithmetic shiftright keeps negative bands monotonic).
     Three rank passes = three bounded shuffles over the CUSTOMER
     aggregate (orders-table cardinality never re-shuffled); band
-    tables are value-range-sized broadcasts."""
+    tables are value-range-sized broadcasts.  The customer aggregate
+    is localCheckpoint-pinned: each _banded_rank references its input
+    twice (ranked rows + band counts), so the unpinned chain re-derived
+    the aggregate 2^3 + 1 = 9 times AT THE ORDERS SCAN (caught when
+    round 11 de-vacuumed test_fact_scanned_once); pinned, orders is
+    read once and the three passes shuffle only customer-sized rows.
+    The previous call's checkpoint is released on the next invocation
+    (the q_sort pattern)."""
+    from flink_streaming_example_spark.operators.dedup import (
+        _release_checkpoint,
+    )
+
+    global _RFM_PREV_CKPT
+    if _RFM_PREV_CKPT is not None:
+        _release_checkpoint(_RFM_PREV_CKPT)
     o = load_table(spark, sf_dir, "orders")
     cm = o.groupBy(F.col("o_custkey").alias("cust")).agg(
         (
@@ -857,7 +930,8 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             (F.col("o_totalprice").cast("decimal(30,6)") * 100).cast("long")
         ).alias("cents"),
-    )
+    ).localCheckpoint()
+    _RFM_PREV_CKPT = cm
     r = _banded_rank(cm, "neg_recency", 6, "rr")
     r = _banded_rank(r, "freq", 2, "rf")
     r = _banded_rank(r, "cents", 21, "rm")
