@@ -227,9 +227,11 @@ SHOWCASE: tuple[tuple[str, str], ...] = (
         "emission fix): tail-zip bigram build (one hash aggregate), "
         "vocabulary-sized unigram table BROADCAST into both legs, "
         "corpus totals on one broadcast scalar row, DECIMAL(38,0) lift "
-        "arithmetic fully JVM-side; the top-30 over the vocab^2-worst-"
-        "case pair set emits via `TakeOrderedAndProject` (per-partition "
-        "bounded heaps), with the rn window over only the 30 survivors.",
+        "arithmetic fully JVM-side; both aggregates checkpoint-pinned "
+        "(documents read twice, not five times — r11 scan audit); the "
+        "top-30 over the vocab^2-worst-case pair set emits via "
+        "`TakeOrderedAndProject` (per-partition bounded heaps), with "
+        "the rn window over only the 30 survivors.",
     ),
     (
         "q_pareto",
@@ -258,11 +260,14 @@ SHOWCASE: tuple[tuple[str, str], ...] = (
     ),
     (
         "q_max_concurrency",
-        "Interval stabbing (r9 fifth block): session_window aggregate -> "
-        "+1/-1 boundary union -> banded prefix sum (Window partitioned by "
-        "time band + `BroadcastExchange` of the band offsets); peak and "
-        "argmax are scalar aggregates broadcast back — no data-scale "
-        "single-partition Window, no collect.",
+        "Interval stabbing (r9 fifth block, r11 single-scan): session_"
+        "window aggregate -> +1/-1 boundaries exploded off ONE sess "
+        "reference -> banded prefix sum (Window partitioned by time band "
+        "+ `BroadcastExchange` of the band offsets); the windowed "
+        "boundary frame is checkpoint-pinned (Scan ExistingRDD below) so "
+        "the band rollup and argmax re-references never re-derive the "
+        "events scan; peak and argmax are scalar aggregates broadcast "
+        "back — no data-scale single-partition Window, no collect.",
     ),
     (
         "q_cusum",
@@ -272,9 +277,12 @@ SHOWCASE: tuple[tuple[str, str], ...] = (
     ),
     (
         "q_rfm_segments",
-        "Three banded global rankings (r9 fifth block, factored "
-        "_banded_rank): each metric ranks inside value bands then adds "
-        "broadcast exclusive band offsets — the only unpartitioned "
+        "Three banded global rankings (r9 fifth block, r11 single-scan): "
+        "the customer aggregate is checkpoint-pinned (Scan ExistingRDD), "
+        "so the chained _banded_rank passes — each referencing its input "
+        "twice — shuffle only customer-sized rows instead of re-deriving "
+        "orders 2^3+1 times; each metric ranks inside value bands then "
+        "adds broadcast exclusive band offsets — the only unpartitioned "
         "Window runs over the band table (value-range-sized), never the "
         "customers.",
     ),
