@@ -264,3 +264,50 @@ def test_dpp_join_prunes_dynamically(spark, sf_dir, duck):
     kept = [t for t, n in counts if n > total // 5]
     assert 0 < len(kept) < len(counts)
     assert df.count() == len(kept)
+
+
+def test_kafka_frame_roundtrips_adversarial_strings(spark):
+    """The kafka writer projection (kafka_frame) must round-trip any
+    string payload byte-exactly through JSON value bytes, key bytes,
+    and header bytes — the classes JSON encoders historically mangle:
+    quotes, backslashes, newlines/tabs, unicode (incl. astral plane),
+    JSON-looking strings, and empties.  Decoded exactly the way
+    q_kafka_frame_roundtrip / kafka_source decode."""
+    from pyspark.sql import functions as F
+
+    from flink_streaming_example_spark.sources.streams import kafka_frame
+
+    payloads = [
+        'quote " inside',
+        "backslash \\ and \\\\ double",
+        "newline\nand\ttab",
+        "unicode: émojis 🎉 中文   line-sep",
+        '{"looks": "like json", "n": [1,2]}',
+        "",
+        " leading and trailing ",
+        "null",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(payloads)], "k long, payload string"
+    )
+    frames = kafka_frame(
+        df,
+        key_col="k",
+        topic="t.v1",
+        n_partitions=4,
+        headers=[("h", F.col("payload"))],
+    )
+    got = frames.select(
+        F.col("key").cast("string").cast("long").alias("k"),
+        F.from_json(
+            F.col("value").cast("string"), "k long, payload string"
+        ).alias("r"),
+        F.col("headers")[0]["value"].cast("string").alias("h"),
+        "partition",
+    ).collect()
+    assert len(got) == len(payloads)
+    for row in sorted(got, key=lambda r: r["k"]):
+        want = payloads[row["k"]]
+        assert row["r"]["payload"] == want, repr((row["r"]["payload"], want))
+        assert row["h"] == want
+        assert row["partition"] == row["k"] % 4
