@@ -780,3 +780,27 @@ def test_global_rank_20m_rows_exact(spark):
     ).collect()[0]
     assert agg["bad"] == 0
     assert (agg["n"], agg["d"], agg["lo"], agg["hi"]) == (n, n, 1, n)
+
+
+def test_sketch_bounds_hold_at_20m_rows(spark):
+    """The q_sketch_error_bounds contracts at 100x the fixture, where
+    the sketches actually earn their keep: HLL (rsd 2%) over 20M
+    distinct keys must land within the 5x-rsd bound of the exact
+    count (known analytically — no exact-count pass needed), and GK
+    (accuracy 10^4) over a known uniform distribution must return
+    p50/p90/p99 within the n/10^4 rank slack of the analytic values.
+    One pass, constant-size state; fails loudly if either sketch's
+    error drifts past its advertised bound at volume."""
+    n = N  # 20M, ids 0..N-1: NDV = N, value quantiles analytic
+    df = spark.range(n)
+    row = df.agg(
+        F.approx_count_distinct("id", rsd=0.02).alias("ndv"),
+        F.expr(
+            "approx_percentile(id, array(0.5, 0.9, 0.99), 10000)"
+        ).alias("q"),
+    ).collect()[0]
+    assert abs(row["ndv"] - n) <= 0.10 * n, row["ndv"]
+    slack = n // 10_000 + 1
+    for p, got in zip((0.5, 0.9, 0.99), row["q"]):
+        target = int(p * n)
+        assert abs(got - target) <= slack, (p, got, target, slack)
