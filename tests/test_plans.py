@@ -295,6 +295,54 @@ def test_lpa_argmax_is_aggregate_not_window(spark):
     )
 
 
+_SCAN_BASELINE_PATH = __file__.rsplit("/", 1)[0] + "/scan_baseline.json"
+
+
+@pytest.mark.parametrize("name", sorted(_BATCH), ids=sorted(_BATCH))
+def test_fact_scan_ratchet(spark, name):
+    """Per-key fact-scan RATCHET (closes the round-11 scan-audit
+    defect class the way the window gate closed round 10's): every
+    batch key's parquet-scan count per base table must not exceed the
+    recorded baseline (tests/scan_baseline.json, generated from the
+    audited plans — self-join / index-probe keys carry their audited
+    multi-scan counts; single-pass keys are pinned at 1).  A key
+    missing from the baseline (i.e. NEW) may scan each table at most
+    twice — register a higher number deliberately by adding it to the
+    baseline with a justification in the commit.  This would have
+    caught funnel_steps quietly regressing from 1 to 10 events scans.
+    Counts BELOW baseline are reported by failing too — ratchet the
+    baseline down so the win is locked in."""
+    import json
+    import re as _re
+
+    with open(_SCAN_BASELINE_PATH) as fh:
+        baseline = json.load(fh)
+    plan = _plan(spark, name)
+    tables = (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split()
+    counts = {
+        t: len(_re.findall(rf"Location:[^\n]*/{t}\.parquet", plan))
+        for t in tables
+    }
+    counts = {t: c for t, c in counts.items() if c}
+    allowed = baseline.get(name)
+    if allowed is None:
+        over = {t: c for t, c in counts.items() if c > 2}
+        assert not over, (
+            f"{name} (new key, not in scan_baseline.json) scans {over} — "
+            "add a deliberate baseline entry or restructure to <=2"
+        )
+        return
+    assert counts == allowed, (
+        f"{name}: scan counts {counts} != baseline {allowed}; a higher "
+        "count is a subtree-fan-out regression, a lower one is a win — "
+        "update tests/scan_baseline.json deliberately either way"
+    )
+
+
+
 @pytest.mark.parametrize(
     "name,table,max_scans",
     [
