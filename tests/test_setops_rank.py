@@ -59,3 +59,34 @@ def test_global_rank_descending_with_tiebreak(spark):
         (9 - F.col("v")) * (n // 10) + (F.col("id") - F.col("v")) / 10 + 1
     ).cast("int")
     assert ranked.filter(F.col("pos") != expected).count() == 0
+
+
+def test_global_rank_matches_python_sort_fuzz(spark):
+    """Randomized cross-check without hypothesis overhead: a dozen
+    deterministic pseudo-random value multisets (heavy ties, negatives,
+    singleton tails) ranked by global_rank must match the
+    Python-sorted enumeration exactly."""
+    import hashlib
+
+    for seed in range(12):
+        n = 200 + seed * 37
+        vals = [
+            int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:4], 16)
+            % (3 if seed % 3 == 0 else 1000)
+            - (500 if seed % 2 else 0)
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "id long, v long"
+        )
+        got = {
+            r["id"]: r["pos"]
+            for r in global_rank(df, [F.col("v"), F.col("id")]).collect()
+        }
+        want = {
+            i: pos + 1
+            for pos, (v, i) in enumerate(
+                sorted((v, i) for i, v in enumerate(vals))
+            )
+        }
+        assert got == want, f"seed {seed}"
