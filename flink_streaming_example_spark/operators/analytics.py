@@ -705,10 +705,6 @@ def q_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GAP_US = 6 * 3_600 * 1_000_000
 _CONC_SHIFT = 35  # ~9.5h time bands for the boundary prefix sum
 
-# Previous q_max_concurrency invocation's pinned boundary frame,
-# released at the start of the next call (bounded accumulation).
-_CONC_PREV_CKPT: DataFrame | None = None
-
 _MAX_CONC_ORACLE = f"""
 WITH e AS (
   SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
@@ -771,14 +767,10 @@ def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan (caught when round 11 de-vacuumed test_fact_scanned_once).
     The pinned frame is boundary-distinct-sized (<= 2 sessions rows);
     the previous call's checkpoint is released on the next invocation
-    (the q_sort pattern)."""
-    from flink_streaming_example_spark.operators.dedup import (
-        _release_checkpoint,
-    )
+    (pinning.pin superseded-release, scan-audited via its pre-pin
+    hook)."""
+    from flink_streaming_example_spark.operators.pinning import pin
 
-    global _CONC_PREV_CKPT
-    if _CONC_PREV_CKPT is not None:
-        _release_checkpoint(_CONC_PREV_CKPT)
     ev = load_table(spark, sf_dir, "events")
     sess = (
         ev.groupBy(F.session_window("ts", "6 hours").alias("w"), "user_id")
@@ -806,8 +798,10 @@ def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("t", "delta")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    g = g.withColumn("local_cum", F.sum("contrib").over(wl)).localCheckpoint()
-    _CONC_PREV_CKPT = g
+    g = pin(
+        g.withColumn("local_cum", F.sum("contrib").over(wl)),
+        "q_max_concurrency",
+    )
     bands = g.groupBy("band").agg(F.sum("contrib").alias("band_total"))
     wb = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
     bands = bands.select(
@@ -857,10 +851,6 @@ def _banded_rank(df: DataFrame, key_col: str, shift: int, out: str) -> DataFrame
 
 _RFM_ANCHOR = "1998-12-31"  # just past the orders fixture horizon
 
-# Previous q_rfm_segments invocation's pinned customer aggregate,
-# released at the start of the next call (bounded accumulation).
-_RFM_PREV_CKPT: DataFrame | None = None
-
 _RFM_ORACLE = f"""
 WITH cm AS (
   SELECT o_custkey AS cust,
@@ -908,14 +898,10 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     round 11 de-vacuumed test_fact_scanned_once); pinned, orders is
     read once and the three passes shuffle only customer-sized rows.
     The previous call's checkpoint is released on the next invocation
-    (the q_sort pattern)."""
-    from flink_streaming_example_spark.operators.dedup import (
-        _release_checkpoint,
-    )
+    (pinning.pin superseded-release, scan-audited via its pre-pin
+    hook)."""
+    from flink_streaming_example_spark.operators.pinning import pin
 
-    global _RFM_PREV_CKPT
-    if _RFM_PREV_CKPT is not None:
-        _release_checkpoint(_RFM_PREV_CKPT)
     o = load_table(spark, sf_dir, "orders")
     cm = o.groupBy(F.col("o_custkey").alias("cust")).agg(
         (
@@ -930,8 +916,8 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             (F.col("o_totalprice").cast("decimal(30,6)") * 100).cast("long")
         ).alias("cents"),
-    ).localCheckpoint()
-    _RFM_PREV_CKPT = cm
+    )
+    cm = pin(cm, "q_rfm_segments")
     r = _banded_rank(cm, "neg_recency", 6, "rr")
     r = _banded_rank(r, "freq", 2, "rf")
     r = _banded_rank(r, "cents", 21, "rm")

@@ -92,7 +92,16 @@ def _band_prefiltered_candidates(docs: DataFrame) -> DataFrame:
     16 minhashes -> 4 banded signatures -> (band, signature)
     equi-join -> >= 5/16 matching-signature prefilter.  Returns a
     persisted frame; callers re-derive exact shingle sets only for
-    these pairs (_candidate_shingle_sets)."""
+    these pairs (_candidate_shingle_sets).
+
+    CONTRACT (round-11 ADVICE): entry unconditionally unpersists the
+    PREVIOUS invocation's frames, so a result built on one call must
+    be materialized (collected / written) before the next call —
+    persist falls back to silent recompute, so a caller holding two
+    live lazy results would lose the cache and re-derive the MinHash
+    aggregate, a quiet perf regression rather than an error.  Both
+    registered callers satisfy this: the driver/bench materializes
+    each key's frame before invoking the next key."""
     while _BAND_PREV_PERSISTS:
         _BAND_PREV_PERSISTS.pop().unpersist()
     # Shingle positions exploded row-wise so hashing stays in codegen
@@ -248,7 +257,10 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-id survivor election is exact for small clusters; transitive
     mega-clusters need an iterative connected-components pass (module
     docstring).  Blocking + prefilter live in
-    _band_prefiltered_candidates (shared with q_containment_dedup)."""
+    _band_prefiltered_candidates (shared with q_containment_dedup);
+    per its contract, materialize this key's result before invoking
+    the other blocker-backed key — the next invocation releases the
+    shared persisted frames."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     pre = _band_prefiltered_candidates(docs)
     doc_sets = _candidate_shingle_sets(docs, pre)
@@ -906,7 +918,10 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocker for PPJoin-style prefix filtering: probe the contained
     side's floor(0.1*|A|)+1 rarest shingles against a full inverted
     index — equi-shuffles on the 8-byte shingle hash, df-bounded
-    probes."""
+    probes (driver-evidenced as q_containment_ppjoin since round 12).
+    Per the shared blocker's contract, materialize this key's result
+    before invoking the other blocker-backed key — the next
+    invocation releases the shared persisted frames."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     pre = _band_prefiltered_candidates(docs)
     doc_sets = _candidate_shingle_sets(docs, pre)

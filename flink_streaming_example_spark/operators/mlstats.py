@@ -474,7 +474,18 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     band + broadcast exclusive band offsets; fifth reuse) — no
     data-scale single-partition sort anywhere, and the final
     max/argmin are scalar aggregates broadcast back.  Products run in
-    DECIMAL(38,0)/HUGEINT for headroom at corpus scale."""
+    DECIMAL(38,0)/HUGEINT for headroom at corpus scale.
+
+    One events pass (round-12; the round-11 scan ratchet recorded 6):
+    the per-score aggregate + banded local cumulatives are
+    localCheckpoint-pinned (distinct-score-sized) before the band
+    offsets, totals, and the max/argmin legs re-reference the
+    subtree — both CDFs, both totals and the final argmin all derive
+    from that single pinned pass (the totals are Σp/Σq over the
+    groups, identical to summing the raw rows).  Previous call's pin
+    released on the next invocation (pinning.pin)."""
+    from flink_streaming_example_spark.operators.pinning import pin
+
     ev = load_table(spark, sf_dir, "events")
     v = ev.select(
         (F.col("value").cast("decimal(30,6)") * 1_000_000)
@@ -497,8 +508,11 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("score")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    g = g.withColumn("lc1", F.sum("p").over(wl)).withColumn(
-        "lc2", F.sum("q").over(wl)
+    g = pin(
+        g.withColumn("lc1", F.sum("p").over(wl)).withColumn(
+            "lc2", F.sum("q").over(wl)
+        ),
+        "q_ks_test",
     )
     bands = g.groupBy("band").agg(
         F.sum("p").alias("bp"), F.sum("q").alias("bq")
@@ -509,9 +523,9 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("bp").over(wb), F.lit(0)).alias("off1"),
         F.coalesce(F.sum("bq").over(wb), F.lit(0)).alias("off2"),
     )
-    tot = v.agg(
-        F.sum("pos").cast("long").alias("n1"),
-        F.sum(F.lit(1) - F.col("pos")).cast("long").alias("n2"),
+    tot = g.agg(
+        F.sum("p").cast("long").alias("n1"),
+        F.sum("q").cast("long").alias("n2"),
     )
     d = (
         g.join(F.broadcast(bands), "band")

@@ -18,10 +18,6 @@ from pyspark.sql import functions as F
 from flink_streaming_example_spark.plans.registry import register
 from flink_streaming_example_spark.sources.tables import load_table
 
-# Previous q_sort invocation's localCheckpoint handle, released at the
-# start of the next call (bounded accumulation across bench reps).
-_SORT_PREV_CKPT: DataFrame | None = None
-
 _SORT_ORACLE = """
 SELECT
   o_orderkey,
@@ -31,39 +27,39 @@ FROM orders
 """
 
 
-def global_rank(df: DataFrame, order_cols, pos_col: str = "pos") -> DataFrame:
+def global_rank(
+    df: DataFrame, order_cols, pos_col: str = "pos", slot: str = "global_rank"
+) -> DataFrame:
     """Scale-safe global-rank materialization kernel: df's columns plus
-    an int ``pos_col`` = 1-based rank under ``order_cols`` (which must
-    define a TOTAL order — include a unique tiebreak column).  No
-    single-partition stage: (1) ``orderBy`` performs the production
-    range exchange (sampled boundaries, partitions sorted
-    independently, partition i's keys all precede partition i+1's —
-    and the total order means boundaries never split ties); (2) one
-    partition-count-sized collect fetches per-partition row counts and
-    turns them into cumulative offsets; (3) the global rank is the
-    LOCAL row_number within each range partition (a window PARTITIONED
-    by spark_partition_id — parallelism = partition count) plus the
-    broadcast offset.  The localCheckpoint pins partition membership so
-    the counts job and the rank job see identical boundaries (range
-    sampling is not stable across re-executions); at 100 TB the same
-    pin is a persist to disk.  Repeated invocations (bench reps)
-    release the PREVIOUS call's checkpoint blocks — the
-    superseded-checkpoint pattern from dedup.cc_min_labels — so
-    accumulation is bounded at one."""
-    from flink_streaming_example_spark.operators.dedup import (
-        _release_checkpoint,
-    )
+    a BIGINT ``pos_col`` = 1-based rank under ``order_cols`` (which
+    must define a TOTAL order — include a unique tiebreak column).
+    The rank stays bigint inside the kernel (an int would silently
+    truncate past 2^31-1 rows — round-11 ADVICE); callers needing a
+    narrower type cast the output themselves.  No single-partition
+    stage: (1) ``orderBy`` performs the production range exchange
+    (sampled boundaries, partitions sorted independently, partition
+    i's keys all precede partition i+1's — and the total order means
+    boundaries never split ties); (2) one partition-count-sized
+    collect fetches per-partition row counts and turns them into
+    cumulative offsets; (3) the global rank is the LOCAL row_number
+    within each range partition (a window PARTITIONED by
+    spark_partition_id — parallelism = partition count) plus the
+    broadcast offset.  The pinning.pin localCheckpoint pins partition
+    membership so the counts job and the rank job see identical
+    boundaries (range sampling is not stable across re-executions); at
+    100 TB the same pin is a persist to disk.  The pin's
+    superseded-release is scoped PER ``slot``: repeated invocations on
+    one slot (bench reps) release the previous call's checkpoint
+    blocks, so accumulation is bounded — and a previous result on the
+    SAME slot is dead after the next call.  Callers needing two live
+    ranked frames at once pass distinct slots (round-11 ADVICE)."""
+    from flink_streaming_example_spark.operators.pinning import pin
 
-    global _SORT_PREV_CKPT
-    if _SORT_PREV_CKPT is not None:
-        _release_checkpoint(_SORT_PREV_CKPT)
     out_cols = list(df.columns)
-    s = (
-        df.orderBy(*order_cols)
-        .withColumn("_gr_pid", F.spark_partition_id())
-        .localCheckpoint()
+    s = pin(
+        df.orderBy(*order_cols).withColumn("_gr_pid", F.spark_partition_id()),
+        slot,
     )
-    _SORT_PREV_CKPT = s
     counts = sorted(
         (r["_gr_pid"], r["n"])
         for r in s.groupBy("_gr_pid")
@@ -83,7 +79,9 @@ def global_rank(df: DataFrame, order_cols, pos_col: str = "pos") -> DataFrame:
         .join(F.broadcast(off), "_gr_pid")
         .select(
             *out_cols,
-            (F.col("_gr_off") + F.col("_gr_lrn")).cast("int").alias(pos_col),
+            (F.col("_gr_off") + F.col("_gr_lrn"))
+            .cast("bigint")
+            .alias(pos_col),
         )
     )
 
@@ -96,14 +94,16 @@ def q_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     (above) — range exchange + per-partition local ranks + broadcast
     cumulative offsets, never a single-partition window.  The
     o_orderkey tiebreak makes the order total, the kernel's
-    precondition.  Tie-splitting at range boundaries and 20M-row
-    exactness are pinned analytically in tests (test_setops_rank.py,
-    test_scale_smoke.py)."""
+    precondition.  The kernel's bigint rank is cast to int HERE, for
+    oracle parity only — the fixture is far below 2^31 rows.
+    Tie-splitting at range boundaries and 20M-row exactness are pinned
+    analytically in tests (test_setops_rank.py, test_scale_smoke.py)."""
     orders = load_table(spark, sf_dir, "orders")
     return global_rank(
         orders.select("o_orderkey", "o_totalprice"),
         [F.col("o_totalprice").desc(), F.col("o_orderkey")],
-    )
+        slot="q_sort",
+    ).withColumn("pos", F.col("pos").cast("int"))
 
 
 _TOPK_ORACLE = """

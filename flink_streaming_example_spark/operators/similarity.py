@@ -630,43 +630,71 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the pair join is an equi-join on the bucket id and expected
     pair count drops ~16x (plane count trades recall for candidate
     volume: measured top-3-in-bucket precision vs the exact top-5 at
-    sf0.01 is 0.50/0.23/0.13 for 3/4/5 planes).  Same shuffle shape as production
-    BucketedRandomProjectionLSH with one band; recall/probe
+    sf0.01 is 0.50/0.23/0.13 for 3/4/5 planes).  Recall/probe
     trade-offs are banding knobs, not plan changes.  Sign decisions
     round the projection at 1e-6 so a last-ulp fold difference can't
-    flip a bit across engines."""
+    flip a bit across engines.
+
+    Round-12 plan (the round-11 ratchet recorded 8 embeddings scans —
+    the signature aggregate and the corpus⋈signature join were each
+    referenced twice, re-executing the full corpus subtree ~4x): the 4
+    hyperplanes are a CONSTANT-SIZE index artifact, so they are
+    collected once (8 seed rows, row-group-pruned scan — the bounded
+    build-time materialization, audited via pinning.audit_frame) and
+    embedded as array literals.  The signature then becomes a per-row
+    expression — a 4-term sum of sign bits — computed inline on (a)
+    ONE full corpus scan for the candidate side and (b) one
+    vec_id<10-pruned scan for the broadcast query side: no signature
+    groupBy shuffle, no corpus self-join, no checkpoint of a
+    corpus-sized frame, and exactly one full-corpus read at any scale.
+    Python float subtraction building the plane literals is the same
+    IEEE double op as the previous zip_with leg, so every projection
+    bit is unchanged."""
+    from flink_streaming_example_spark.operators.pinning import audit_frame
+
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", _as_double("embedding").alias("v"))
-    pa = e.filter(
-        (F.col("vec_id") >= 16) & (F.col("vec_id") < 24) & (F.col("vec_id") % 2 == 0)
-    ).select(((F.col("vec_id") - 16) / 2).cast("int").alias("plane_id"), "v")
-    pb = e.filter(
-        (F.col("vec_id") >= 16) & (F.col("vec_id") < 24) & (F.col("vec_id") % 2 == 1)
-    ).select(
-        ((F.col("vec_id") - 17) / 2).cast("int").alias("plane_id"),
-        F.col("v").alias("w"),
+    seed_rows = {
+        r["vec_id"]: r["v"]
+        for r in audit_frame(
+            e.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 24))
+        ).collect()
+    }
+    planes = [
+        [x - y for x, y in zip(seed_rows[16 + 2 * i], seed_rows[17 + 2 * i])]
+        for i in range(4)
+    ]
+
+    def bucket_of(vcol):
+        bits = [
+            F.when(
+                F.floor(
+                    _dot(vcol, F.array(*[F.lit(float(x)) for x in pv]))
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                )
+                >= 0,
+                F.lit(1 << i).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            for i, pv in enumerate(planes)
+        ]
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out.cast("long")
+
+    n = e.withColumn("nrm", F.sqrt(_dot("v", "v"))).withColumn(
+        "bucket", bucket_of(F.col("v"))
     )
-    planes = pa.join(pb, "plane_id").select(
-        "plane_id", F.zip_with("v", "w", lambda x, y: x - y).alias("pv")
-    )
-    proj = F.floor(_dot("v", "pv") * F.lit(1000000.0) + F.lit(0.5))
-    sig = (
-        e.crossJoin(F.broadcast(planes))
+    q = (
+        e.filter(F.col("vec_id") < 10)
+        .withColumn("nrm", F.sqrt(_dot("v", "v")))
         .select(
-            "vec_id",
-            F.when(proj >= 0, F.pow(F.lit(2), F.col("plane_id")).cast("long"))
-            .otherwise(F.lit(0))
-            .alias("bit"),
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            bucket_of(F.col("v")).alias("qbucket"),
         )
-        .groupBy("vec_id")
-        .agg(F.sum("bit").cast("long").alias("bucket"))
-    )
-    n = e.join(sig, "vec_id").withColumn("nrm", F.sqrt(_dot("v", "v")))
-    q = n.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"),
-        F.col("bucket").alias("qbucket"),
     )
     scored = (
         F.broadcast(q)
@@ -769,26 +797,29 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k frames are query-sized (k rows per query), so the audit
     join and rollup are trivially broadcastable no matter how large
     the corpus that produced them — auditing recall costs two index
-    probes, not a third scan."""
+    probes, not a third scan.
+
+    Round-12: each probe frame is referenced exactly ONCE (the
+    round-11 ratchet recorded 8 embeddings scans — the semi-join +
+    rejoin form referenced ``exact`` twice, re-executing the full
+    cosine subtree both times).  The census is now the oracle's own
+    shape verbatim: one left join marking hits, one rollup counting
+    rows and non-null marks — 6 scans, all of them the two probes'
+    own documented structural cost (q_knn_cosine 2 + q_knn_ivf 4)."""
     exact = q_knn_cosine(spark, sf_dir).select("query_id", "neighbor_id")
-    appr = q_knn_ivf(spark, sf_dir).select("query_id", "neighbor_id")
-    # Both frames are k-rows-per-query (invisible to Catalyst's size
-    # estimates behind the windows), so the audit joins carry explicit
-    # broadcast hints — true at any corpus scale by construction.
-    hits = (
-        exact.join(F.broadcast(appr), ["query_id", "neighbor_id"], "left_semi")
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+    appr = q_knn_ivf(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
     )
+    # Both frames are k-rows-per-query (invisible to Catalyst's size
+    # estimates behind the windows), so the audit join carries an
+    # explicit broadcast hint — true at any corpus scale by
+    # construction.  (query_id, neighbor_id) is unique per side, so
+    # the left join never inflates the exact row count.
     return (
-        exact.groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_exact"))
-        .join(F.broadcast(hits), "query_id", "left")
-        .select(
-            "query_id",
-            F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias(
-                "n_hits"
-            ),
-            "n_exact",
+        exact.join(F.broadcast(appr), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("n_hits"),
+            F.count(F.lit(1)).alias("n_exact"),
         )
     )

@@ -638,11 +638,6 @@ SELECT w1, w2, n_xy, score_ppm, CAST(rn AS INTEGER) AS rn FROM (
 """
 
 
-# Previous q_collocations invocation's pinned aggregates, released at
-# the start of the next call (bounded accumulation across bench reps).
-_COLL_PREV_CKPTS: list[DataFrame] = []
-
-
 @register("q_collocations", oracle=_COLLOCATIONS_ORACLE, tags=("text", "llm"))
 def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining by exact integer lift ranking (block comment
@@ -655,35 +650,33 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg twice, so the unpinned plan re-derived the documents explode
     five times at the scan (round-11 scan audit); pinned, documents
     is read exactly twice (once per aggregate), with the previous
-    call's pins released on the next invocation (the q_sort pattern).
+    call's pins released on the next invocation (pinning.pin
+    superseded-release, scan-audited via its pre-pin hook).
     The scored pair set is vocab² worst-case
     (NOT vocabulary-bounded), so the top-30 emission goes through
     graph._top_ranked — ``orderBy().limit(30)`` compiles to
     TakeOrderedAndProject (per-partition bounded heaps merged at 30
     rows); the rn window then touches only the 30 survivors."""
-    from flink_streaming_example_spark.operators.dedup import (
-        _release_checkpoint,
-    )
+    from flink_streaming_example_spark.operators.pinning import pin
 
-    global _COLL_PREV_CKPTS
-    while _COLL_PREV_CKPTS:
-        _release_checkpoint(_COLL_PREV_CKPTS.pop())
     docs = load_table(spark, sf_dir, "documents")
     t = F.split(F.lower(F.col("text")), " ")
     toks = docs.select(F.explode(t).alias("w"))
-    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n")).localCheckpoint()
+    uni = pin(
+        toks.groupBy("w").agg(F.count(F.lit(1)).alias("n")),
+        "q_collocations:uni",
+    )
     pairs = F.arrays_zip(
         F.slice(t, 1, F.size(t) - 1), F.slice(t, 2, F.size(t) - 1)
     )
-    bg = (
+    bg = pin(
         docs.filter(F.size(t) > 1)
         .select(F.explode(pairs).alias("p"))
         .select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
         .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("n_xy"))
-        .localCheckpoint()
+        .agg(F.count(F.lit(1)).alias("n_xy")),
+        "q_collocations:bg",
     )
-    _COLL_PREV_CKPTS.extend([uni, bg])
     # both corpus totals fold from aggregates already built (N = Σ
     # unigram counts, NB = Σ pair counts) — no third scan of documents
     scalars = uni.agg(F.sum("n").cast("long").alias("n_tokens")).join(

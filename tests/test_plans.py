@@ -103,6 +103,11 @@ _EXPECTED_STATE_OPS = {
 
 _DF_CACHE: dict = {}
 _PLAN_CACHE: dict[str, str] = {}
+# Pre-pin / pre-collect frames recorded by pinning's audit hook while
+# each key's fn ran: a localCheckpoint truncates lineage, so without
+# these the ratchet was structurally blind to pinned keys' scans (the
+# r11 ADVICE item) — their final plans show only Scan ExistingRDD.
+_PRE_PIN_FRAMES: dict[str, list] = {}
 
 
 def _df(spark, name: str):
@@ -110,16 +115,28 @@ def _df(spark, name: str):
     # full-registry sweeps below build each key's frame (and run any
     # eager setup inside its fn) once per session.
     if name not in _DF_CACHE:
-        _DF_CACHE[name] = _BATCH[name].fn(spark, SF_SMOKE_DIR)
+        from flink_streaming_example_spark.operators import pinning
+
+        captured: list = []
+        pinning._AUDIT_PRE_PIN = captured
+        try:
+            _DF_CACHE[name] = _BATCH[name].fn(spark, SF_SMOKE_DIR)
+        finally:
+            pinning._AUDIT_PRE_PIN = None
+        _PRE_PIN_FRAMES[name] = captured
     return _DF_CACHE[name]
+
+
+def _explain_text(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
 
 
 def _plan(spark, name: str) -> str:
     if name not in _PLAN_CACHE:
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            _df(spark, name).explain("formatted")
-        _PLAN_CACHE[name] = buf.getvalue()
+        _PLAN_CACHE[name] = _explain_text(_df(spark, name))
     return _PLAN_CACHE[name]
 
 
@@ -305,13 +322,22 @@ def test_fact_scan_ratchet(spark, name):
     batch key's parquet-scan count per base table must not exceed the
     recorded baseline (tests/scan_baseline.json, generated from the
     audited plans — self-join / index-probe keys carry their audited
-    multi-scan counts; single-pass keys are pinned at 1).  A key
-    missing from the baseline (i.e. NEW) may scan each table at most
-    twice — register a higher number deliberately by adding it to the
-    baseline with a justification in the commit.  This would have
-    caught funnel_steps quietly regressing from 1 to 10 events scans.
+    multi-scan counts; single-pass keys are pinned at 1; structural
+    justifications for every >=3-scan entry live in
+    tests/scan_baseline_notes.md).  A key missing from the baseline
+    (i.e. NEW) may scan each table at most twice — register a higher
+    number deliberately by adding it to the baseline with a
+    justification in the notes file.  This would have caught
+    funnel_steps quietly regressing from 1 to 10 events scans.
     Counts BELOW baseline are reported by failing too — ratchet the
-    baseline down so the win is locked in."""
+    baseline down so the win is locked in.
+
+    Checkpoint-pinned keys (r11 ADVICE): lineage truncation hides the
+    pin-building job's scans from the final plan, so pinning's audit
+    hook records every pre-pin/pre-collect frame while fn() runs and
+    their subtree scans are counted here under ``pin:<table>`` — a
+    regression in the checkpoint-building jobs' scan counts (the
+    exact defect class the pins fixed) now fails like any other."""
     import json
     import re as _re
 
@@ -327,6 +353,12 @@ def test_fact_scan_ratchet(spark, name):
         for t in tables
     }
     counts = {t: c for t, c in counts.items() if c}
+    for pre in _PRE_PIN_FRAMES.get(name, []):
+        pre_plan = _explain_text(pre)
+        for t in tables:
+            c = len(_re.findall(rf"Location:[^\n]*/{t}\.parquet", pre_plan))
+            if c:
+                counts[f"pin:{t}"] = counts.get(f"pin:{t}", 0) + c
     allowed = baseline.get(name)
     if allowed is None:
         over = {t: c for t, c in counts.items() if c > 2}
