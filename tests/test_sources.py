@@ -306,8 +306,12 @@ def test_kafka_frame_roundtrips_adversarial_strings(spark):
         "partition",
     ).collect()
     assert len(got) == len(payloads)
+    # partition = Kafka's murmur2 DefaultPartitioner over the key's
+    # string bytes (round 12; reference impl in test_kafka_partitioner)
+    from tests.test_kafka_partitioner import _partition_ref
+
     for row in sorted(got, key=lambda r: r["k"]):
         want = payloads[row["k"]]
         assert row["r"]["payload"] == want, repr((row["r"]["payload"], want))
         assert row["h"] == want
-        assert row["partition"] == row["k"] % 4
+        assert row["partition"] == _partition_ref(str(row["k"]), 4)
