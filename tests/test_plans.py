@@ -405,6 +405,66 @@ def test_fact_scanned_once(spark, name, table, max_scans):
     )
 
 
+# Streaming twin of the fact-scan ratchet (round-12, VERDICT item 6):
+# source-scan-node count in the EXECUTED IncrementalExecution physical
+# section, pinned per key.  The count is a plan FINGERPRINT, not pure
+# I/O semantics — availableNow's final micro-batch may render a
+# drained source as `LocalTableScan <empty>` instead of `FileScan`,
+# and the captured text can include the codegen'd subtree — but it is
+# deterministic for a fixed key + fixture, so a replay leg quietly
+# duplicating (the batch-side fan-out class) moves the number and
+# fails.  Audited meanings: 1 = single replay source; 2 = the two
+# legs of a stream-stream join / unioned as-of feed; q_streaming_enrich
+# 4 = (stream + broadcast static dim) x the section's codegen'd copy.
+# The six keys excluded from run_to_memory (upsert/cdc/retract/
+# training_mix/file_sink/console) drain through their own sinks and
+# carry their own executed-plan gates (tests/test_upsert.py etc.).
+_EXPECTED_SOURCE_SCANS = {
+    "q_inactivity_alert": 1,
+    "q_stateful_counter": 1,
+    "q_streaming_anomaly": 1,
+    "q_streaming_asof": 2,
+    "q_streaming_asof_forward": 1,
+    "q_streaming_asof_nearest": 1,
+    "q_streaming_attribution": 1,
+    "q_streaming_cep": 1,
+    "q_streaming_count_window": 1,
+    "q_streaming_cusum": 1,
+    "q_streaming_dedup": 1,
+    "q_streaming_enrich": 4,
+    "q_streaming_ewma": 1,
+    "q_streaming_first_seen_robust": 1,
+    "q_streaming_funnel": 1,
+    "q_streaming_heavy_hitters": 1,
+    "q_streaming_interval_join": 2,
+    "q_streaming_interval_join_full": 2,
+    "q_streaming_interval_join_outer": 2,
+    "q_streaming_ohlc": 1,
+    "q_streaming_running_distinct": 1,
+    "q_streaming_session": 1,
+    "q_streaming_session_dynamic": 1,
+    "q_streaming_session_dynamic_append": 1,
+    "q_streaming_sliding": 1,
+    "q_streaming_stratified_sample": 1,
+    "q_streaming_topn": 1,
+    "q_streaming_transitions": 1,
+    "q_streaming_tumbling": 1,
+    "q_streaming_window_offset": 1,
+    "q_streaming_wordcount": 1,
+}
+
+
+def _streaming_source_scans(plan: str) -> int:
+    phys = plan.split("== Physical Plan ==")[-1]
+    return len(
+        re.findall(
+            r"FileScan \w+|LocalTableScan|"
+            r"StreamingDataSourceV2ScanRelation|MicroBatchScan",
+            phys,
+        )
+    )
+
+
 @pytest.mark.parametrize("name", sorted(_STREAMING), ids=sorted(_STREAMING))
 def test_streaming_plan_gate(spark, name):
     """The streaming twin of test_no_python_row_path_no_cartesian, on
@@ -447,13 +507,24 @@ def test_streaming_plan_gate(spark, name):
         f"{name}: state operators {ops}, "
         f"expected {_EXPECTED_STATE_OPS[name]}"
     )
+    scans = _streaming_source_scans(plan)
+    assert scans == _EXPECTED_SOURCE_SCANS[name], (
+        f"{name}: {scans} source-scan nodes in the executed plan, "
+        f"baseline {_EXPECTED_SOURCE_SCANS[name]} — a higher count is "
+        "a replay-leg fan-out regression, a lower one should be "
+        "ratcheted into _EXPECTED_SOURCE_SCANS deliberately"
+    )
 
 
 def test_streaming_gate_covers_every_streaming_key():
     # additions to the streaming surface must opt into the gate (or
-    # document their own, like q_streaming_upsert's scan-plan gate)
+    # document their own, like q_streaming_upsert's scan-plan gate);
+    # both per-key maps must cover exactly the gated set
     assert set(_STREAMING) == set(_EXPECTED_STATE_OPS), (
         set(_STREAMING) ^ set(_EXPECTED_STATE_OPS)
+    )
+    assert set(_STREAMING) == set(_EXPECTED_SOURCE_SCANS), (
+        set(_STREAMING) ^ set(_EXPECTED_SOURCE_SCANS)
     )
 
 
