@@ -224,8 +224,6 @@ _BOUNDED_WINDOW_KEYS = {
     "q_pareto": "cumulative share over the fixed band rollup",
     "q_rfm_segments": "three banded-rank cumsums, one row per band",
     "q_running_distinct": "running sum over per-day rollup rows",
-    "q_skyline": "running band-max over the fixed band rollup",
-    "q_vocab_growth": "running sum over exactly 10 decile rows",
 }
 
 
