@@ -552,3 +552,169 @@ def test_rows_only_keys_are_minority():
         "q_approx_distinct",  # HLL estimate is engine-specific; error bound tested
         "q_approx_quantiles",  # GK sketch is engine-specific; rank error tested
     }, oracle_free
+
+
+# ---------------------------------------------------------------------------
+# Forced-broadcast boundedness gate (round 12): the third plan-gate
+# class after unpartitioned windows (r10/r11) and scan fan-out (r11).
+# A stats-chosen BroadcastHashJoin is scale-ADAPTIVE — at 100 TB the
+# same query re-plans to sort-merge because the size estimate grows —
+# but an explicit F.broadcast() HINT forces the broadcast at ANY
+# scale, so every hinted leg must be provably bounded: an aggregate /
+# limit / literal-values subtree, a constant-size table (region: 5
+# rows, nation: 25 at every TPC-H SF), or a contract-bounded leg on
+# the audited allowlist below.  Audited in the OPTIMIZED LOGICAL plan
+# (JoinHint survives there; the physical plan can't distinguish a
+# forced broadcast from a stats-chosen one).
+_CONST_TABLES = {"region", "nation"}
+_ALL_TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+_BOUNDED_LOGICAL = {
+    "Aggregate",
+    "GlobalLimit",
+    "LocalLimit",
+    "LocalRelation",
+    "OneRowRelation",
+}
+# key -> (n_unbounded_hinted_legs, why each leg is bounded by the
+# OPERATOR CONTRACT rather than by plan structure).  A key whose count
+# drops below its entry fails too (ratchet down, then delete/shrink
+# the entry); a key not listed must have ZERO unbounded hinted legs.
+_CONTRACT_BROADCAST_LEGS = {
+    "q_knn_cosine": (
+        1,
+        "query leg: literal vec_id<10 picks the k probe vectors — k "
+        "is the operator's input size, not data-scaled",
+    ),
+    "q_knn_ivf": (
+        3,
+        "query leg + literal seed extracts (vec_id ranges): probes "
+        "and 8 coarse centroids are operator inputs",
+    ),
+    "q_knn_kmeans": (
+        2,
+        "query leg + literal seed extract, as q_knn_ivf",
+    ),
+    "q_knn_pq": (
+        3,
+        "query/codebook legs from literal vec_id ranges (k probes, "
+        "m*k codewords)",
+    ),
+    "q_knn_lsh": (
+        1,
+        "query leg: literal vec_id range (hyperplanes are embedded "
+        "literals since r12, no longer a broadcast)",
+    ),
+    "q_ann_recall": (
+        5,
+        "the two probes' own query/seed legs, one reference each "
+        "(cosine 1 + IVF 3 + census 1; audited r12)",
+    ),
+    "q_mad": (
+        1,
+        "per-event-type median rows: the rank filter (rn == (n+1)/2) "
+        "bounds the leg to one row per key — key-cardinality-sized, "
+        "but Window+Filter is not structurally provable as bounded",
+    ),
+    "q_enrich_join": (
+        1,
+        "J8 port contract: Flink broadcast state REQUIRES the "
+        "enrichment dimension to fit in memory; the hint states the "
+        "same contract",
+    ),
+    "q_join_inner": (
+        1,
+        "J1 API surface: the explicit broadcast(dim) hint is itself "
+        "the SURVEY §2 row under test",
+    ),
+    "q_join_range": (
+        1,
+        "theta join: broadcast nested loop is the only non-cartesian "
+        "strategy for an arbitrary range predicate; the banded "
+        "interval join is the documented scale path",
+    ),
+    "q_star_join": (
+        1,
+        "J5 star-schema surface: the customer-dim hint is the "
+        "documented star-join idiom; remove the hint for SF-scaled "
+        "dims at real scale and AQE demotes to SMJ",
+    ),
+    "q_bloom_prefilter": (
+        1,
+        "exact semi-join side is the same filtered dim whose Bloom "
+        "bits already fit one broadcast row — a broadcastable build "
+        "side is the operator's premise",
+    ),
+}
+
+
+def _hinted_unbounded_legs(df) -> int:
+    """Count JoinHint(BROADCAST) legs in the optimized logical plan
+    whose subtree scans an SF-scaled table with no aggregate / limit /
+    literal relation anywhere in the leg."""
+    opt = df._jdf.queryExecution().optimizedPlan()
+    count = 0
+    for n in _walk_jvm_plan(opt):
+        if n.getClass().getSimpleName() != "Join":
+            continue
+        h = n.hint()
+        ch = n.children()
+        for idx, hint_opt in ((0, h.leftHint()), (1, h.rightHint())):
+            if not hint_opt.isDefined():
+                continue
+            strategy = hint_opt.get().strategy()
+            if (
+                not strategy.isDefined()
+                or "broadcast" not in strategy.get().toString().lower()
+            ):
+                continue
+            classes, tables = set(), set()
+            for sub in _walk_jvm_plan(ch.apply(idx)):
+                cls = sub.getClass().getSimpleName()
+                classes.add(cls)
+                if cls == "LogicalRelation":
+                    try:
+                        paths = sub.relation().location().rootPaths()
+                        for i in range(paths.size()):
+                            p = paths.apply(i).toString().rstrip("/")
+                            for t in _ALL_TABLES:
+                                if p.endswith(f"/{t}.parquet"):
+                                    tables.add(t)
+                    except Exception:
+                        # Non-file relation: can't prove bounded.
+                        tables.add("?opaque")
+            if classes & _BOUNDED_LOGICAL:
+                continue
+            if not tables and "LogicalRDD" in classes:
+                # Pinned (localCheckpoint) frames: every current use is
+                # a band/bucket table; their build subtrees are scan-
+                # ratcheted via the pin: audit entries.
+                continue
+            if tables and tables <= _CONST_TABLES:
+                continue
+            if not tables:
+                continue
+            count += 1
+    return count
+
+
+@pytest.mark.parametrize("name", sorted(_BATCH), ids=sorted(_BATCH))
+def test_forced_broadcast_is_bounded(spark, name):
+    got = _hinted_unbounded_legs(_df(spark, name))
+    expected, _why = _CONTRACT_BROADCAST_LEGS.get(name, (0, ""))
+    if got > expected:
+        pytest.fail(
+            f"{name}: {got} forced-broadcast leg(s) scan an SF-scaled "
+            f"table with no aggregate/limit bound (allowlisted: "
+            f"{expected}).  An F.broadcast() hint forces the exchange "
+            "at ANY data scale — bound the leg or justify it in "
+            "_CONTRACT_BROADCAST_LEGS"
+        )
+    if got < expected:
+        pytest.fail(
+            f"{name}: only {got} unbounded hinted leg(s), allowlist "
+            f"records {expected} — ratchet the entry down so the win "
+            "is locked in"
+        )
