@@ -312,10 +312,29 @@ SHOWCASE: tuple[tuple[str, str], ...] = (
     ),
     (
         "q_ann_recall",
-        "Index-QA audit (r10): both top-k probes are `WindowGroupLimit`-"
-        "pruned to k rows per query, so the recall joins carry explicit "
-        "broadcast hints (`BroadcastHashJoin` LeftSemi + LeftOuter) — "
-        "auditing the index never rescans the corpus.",
+        "Index-QA audit (r10, r12 fan-out fix): both top-k probes are "
+        "`WindowGroupLimit`-pruned to k rows per query, the recall joins "
+        "carry explicit broadcast hints (`BroadcastHashJoin` LeftSemi + "
+        "LeftOuter), and each probe frame is referenced exactly ONCE by "
+        "the left-join census — the embeddings scan count is the two "
+        "probes' own documented budgets (cosine 2 + IVF 4), audited in "
+        "tests/scan_baseline_notes.md, down from 8 before r12.",
+    ),
+    (
+        "q_knn_lsh",
+        "Random-hyperplane LSH probe (r12 rewrite): the 4 hyperplanes "
+        "come from one bounded 8-row collect and are embedded as "
+        "LITERALS, so each row's signature is a pure projection — no "
+        "signature groupBy, no corpus self-join; the corpus is scanned "
+        "once for the bucket join plus one row-group-pruned query leg.",
+    ),
+    (
+        "q_ks_test",
+        "Two-sample Kolmogorov-Smirnov (r12 single-pass): both group "
+        "CDFs fold from ONE checkpoint-pinned banded conditional "
+        "aggregate (sum(when(group=a,1)) / sum(when(group=b,1)) per "
+        "score band) — events scanned once at pin time (was 6 "
+        "per-group re-scans), the sup-gap argmax a broadcast scalar.",
     ),
     (
         "q_sort",
@@ -337,10 +356,12 @@ SHOWCASE: tuple[tuple[str, str], ...] = (
     ),
     (
         "q_kafka_frame_roundtrip",
-        "Kafka writer projection round-trip (r11): to_json/binary casts, "
-        "header struct array, mod-8 partitioner and from_json decode are "
-        "ALL JVM expressions in one `Project` inside `WholeStageCodegen` "
-        "— a single scan, one partial+final aggregate pair, no Python "
+        "Kafka writer projection round-trip (r11, r12 partitioner): "
+        "to_json/binary casts, header struct array, Kafka's REAL "
+        "murmur2 DefaultPartitioner (32-bit unsigned arithmetic "
+        "emulated in BIGINT) and from_json decode are ALL JVM "
+        "expressions in one `Project` inside `WholeStageCodegen` — a "
+        "single scan, one partial+final aggregate pair, no Python "
         "stage and no shuffle beyond the final groupBy.",
     ),
 )
