@@ -44,6 +44,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from flink_streaming_example_spark.operators import pinning
 from flink_streaming_example_spark.plans.registry import all_specs
 from flink_streaming_example_spark.session import get_spark
 
@@ -106,8 +107,48 @@ def write_artifacts(detail: dict, reps: int, detail_path: str) -> None:
             json.dump(detail, fh, indent=1, sort_keys=True)
 
 
+def _cpu_jiffies() -> dict | None:
+    """Aggregate /proc/stat counters — in particular STEAL, the time a
+    hypervisor ran someone else on our vCPUs.  Round-12 telemetry: an
+    identical trivial key was measured swinging 0.54 s <-> 6.0 s
+    between back-to-back fresh sessions on an idle guest (cumulative
+    steal ~13% of user time), so per-round totals are adjudicable
+    only alongside the host-noise envelope the run experienced."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        v = [int(x) for x in parts[1:9]]
+        return {
+            "user": v[0] + v[1],
+            "system": v[2],
+            "idle": v[3],
+            "iowait": v[4],
+            "steal": v[7],
+        }
+    except Exception:
+        return None
+
+
+def _host_noise(before: dict | None, after: dict | None) -> dict | None:
+    if not before or not after:
+        return None
+    d = {k: after[k] - before[k] for k in before}
+    busy = d["user"] + d["system"]
+    total = busy + d["idle"] + d["iowait"] + d["steal"]
+    if total <= 0:
+        return None
+    return {
+        "steal_pct_of_total": round(100.0 * d["steal"] / total, 2),
+        "steal_pct_of_busy": round(
+            100.0 * d["steal"] / busy, 2
+        ) if busy else None,
+        "busy_pct_of_total": round(100.0 * busy / total, 2),
+    }
+
+
 def main() -> None:
     reps = _n_reps()
+    jiffies_start = _cpu_jiffies()
     spark = get_spark("flink-streaming-example-spark-bench")
     specs = all_specs()
     # Warm the JVM: codegen, the parquet datasource init path, and
@@ -220,6 +261,12 @@ def main() -> None:
                 # Drop any cached blocks the query left behind so memory
                 # pressure doesn't accumulate across the ~90-key run.
                 spark.catalog.clearCache()
+                # Release pin-slot localCheckpoints too (round 12):
+                # catalog.clearCache() only clears the SQL cache, so
+                # every pinned key's checkpoint blocks would otherwise
+                # stay live for the rest of the sweep — storage that
+                # crowds execution memory in the one local-mode JVM.
+                pinning.release_all()
 
     import statistics
 
@@ -252,6 +299,9 @@ def main() -> None:
         "n_errors": len(errors),
     }
     detail = dict(payload, reps=reps, queries=timings, stats=stats)
+    noise = _host_noise(jiffies_start, _cpu_jiffies())
+    if noise is not None:
+        detail["host_noise"] = noise  # detail files only, off the line
     write_artifacts(detail, reps, DETAIL_PATH)
     # n_errors carries the full count; the printed list itself is capped
     # so a mass-failure round can't overflow the driver's capture window.

@@ -71,3 +71,21 @@ def pin(df: DataFrame, slot: str) -> DataFrame:
     ck = df.localCheckpoint(eager=True)
     _SLOTS[slot] = ck
     return ck
+
+
+def release_all() -> None:
+    """Release every live pin slot.
+
+    The bench harness calls this between keys (round 12): a 261-key x
+    3-rep sweep otherwise carries every pinned key's localCheckpoint
+    blocks simultaneously — storage that crowds execution memory in
+    the single local-mode JVM and shows up as cross-sweep timing
+    inflation.  Queries never call this themselves; within a key the
+    per-slot superseded-release contract applies."""
+    from flink_streaming_example_spark.operators.dedup import (
+        _release_checkpoint,
+    )
+
+    while _SLOTS:
+        _slot, ck = _SLOTS.popitem()
+        _release_checkpoint(ck)

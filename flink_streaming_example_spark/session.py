@@ -70,7 +70,15 @@ def get_spark(app_name: str = "flink-streaming-example-spark") -> SparkSession:
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(cpus))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local[N] puts driver AND all executor threads in ONE JVM: at
+        # 32 threads an 8g heap left storage (pinned checkpoints,
+        # broadcast blocks) crowding execution memory across long
+        # multi-key sweeps (round-12 bench telemetry).  16g on the
+        # 128 GiB test host; env-overridable, and irrelevant on a real
+        # cluster where executors size their own heaps.
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g")
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in _REQUIRED_SQL_CONFS.items():

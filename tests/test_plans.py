@@ -718,3 +718,39 @@ def test_forced_broadcast_is_bounded(spark, name):
             f"records {expected} — ratchet the entry down so the win "
             "is locked in"
         )
+
+
+def test_forced_broadcast_detector_catches_violation(spark):
+    """Self-test against detector vacuity (the failure mode the scan
+    gate had until round 11: a regex that never matched made it assert
+    nothing for five rounds).  A deliberately-bad shape — a forced
+    broadcast of a RAW fact scan — must count as exactly one unbounded
+    leg, and the same join unhinted must count zero (stats-chosen
+    broadcasts are scale-adaptive and out of scope)."""
+    from pyspark.sql import functions as F
+
+    from flink_streaming_example_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_SMOKE_DIR, "events")
+    orders = load_table(spark, SF_SMOKE_DIR, "orders")
+    bad = ev.join(
+        F.broadcast(orders), ev.user_id == orders.o_custkey
+    ).select("event_id", "o_orderkey")
+    assert _hinted_unbounded_legs(bad) == 1, (
+        "detector failed to flag a forced broadcast of a raw fact scan"
+    )
+    unhinted = ev.join(orders, ev.user_id == orders.o_custkey).select(
+        "event_id", "o_orderkey"
+    )
+    assert _hinted_unbounded_legs(unhinted) == 0, (
+        "detector flagged a stats-chosen join with no hint"
+    )
+    bounded = ev.join(
+        F.broadcast(
+            orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+        ),
+        ev.user_id == F.col("o_custkey"),
+    ).select("event_id", "n")
+    assert _hinted_unbounded_legs(bounded) == 0, (
+        "detector flagged an aggregate-bounded hinted leg"
+    )

@@ -157,3 +157,30 @@ def test_global_rank_matches_python_sort_fuzz(spark):
             )
         }
         assert got == want, f"seed {seed}"
+
+
+def test_release_all_empties_pin_slots(spark):
+    """bench.py calls pinning.release_all() between keys (round 12):
+    a full sweep otherwise keeps every pinned key's localCheckpoint
+    blocks live simultaneously, crowding execution memory in the one
+    local-mode JVM.  Contract: after release_all() the slot registry
+    is empty and re-pinning the same slots works from scratch."""
+    from flink_streaming_example_spark.operators import pinning
+
+    a = pinning.pin(
+        spark.range(100).select(F.col("id").alias("x")), "t_slot_a"
+    )
+    b = pinning.pin(
+        spark.range(50).select(F.col("id").alias("y")), "t_slot_b"
+    )
+    assert a.count() == 100 and b.count() == 50
+    assert {"t_slot_a", "t_slot_b"} <= set(pinning._SLOTS)
+    pinning.release_all()
+    assert not pinning._SLOTS
+    # slots are reusable after a global release
+    c = pinning.pin(
+        spark.range(7).select(F.col("id").alias("z")), "t_slot_a"
+    )
+    assert c.count() == 7
+    pinning.release_all()
+    assert not pinning._SLOTS
