@@ -204,8 +204,11 @@ def _candidate_shingle_sets(docs: DataFrame, pre: DataFrame) -> DataFrame:
     )
     # Restrict docs to candidates BEFORE shingling (the semi-join keeps
     # the transform off the full corpus — as a bare projection Catalyst
-    # would evaluate it for every row).
-    return docs.join(F.broadcast(cand_ids), "doc_id", "left_semi").select(
+    # would evaluate it for every row).  No broadcast hint: candidate
+    # volume is O(corpus) in the worst case, so the join strategy must
+    # stay stats-adaptive (AQE picks BHJ at today's sizes and re-plans
+    # to SMJ when the candidate set outgrows a broadcast).
+    return docs.join(cand_ids, "doc_id", "left_semi").select(
         "doc_id", hashed_shingles.alias("hs")
     )
 
@@ -337,9 +340,11 @@ def _ngram_pairs_from(docs: DataFrame) -> DataFrame:
 
     - Singleton blocks can never produce a pair, so docs whose 40-char
       prefix block holds only one doc are dropped BEFORE the expensive
-      shingle build (a cheap block-count aggregate broadcast back; on
-      this corpus ~90% of docs skip shingling, and the same ratio holds
-      at any scale where near-dups are the minority).
+      shingle build (a block-count aggregate semi-joined back with NO
+      broadcast hint — the multi-doc block list is O(corpus) worst
+      case, so strategy stays stats-adaptive; on this corpus ~90% of
+      docs skip shingling, and the same ratio holds at any scale where
+      near-dups are the minority).
     - |A∪B| is computed as |A|+|B|-|A∩B| from per-doc set sizes instead
       of materializing array_distinct(concat(...)) per candidate pair.
 
@@ -352,7 +357,7 @@ def _ngram_pairs_from(docs: DataFrame) -> DataFrame:
     multi_blocks = (
         blocked.groupBy("block").count().filter("count >= 2").select("block")
     )
-    cand = blocked.join(F.broadcast(multi_blocks), "block")
+    cand = blocked.join(multi_blocks, "block")
     shingles = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.length("text") - 4, F.lit(1))),
@@ -963,6 +968,48 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def trigram_shingle_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh_arr, n_sh): the distinct xxhash64'd word-trigram
+    shingle set per document (docs with < 3 words carry no trigram and
+    are excluded, mirroring the oracle's ``len(ws) >= 3``).  Shared by
+    q_containment_ppjoin and its streaming twin
+    (streaming/ppjoin.py) so the two keys' shingle identity cannot
+    drift."""
+    ws = F.split(F.lower(F.col("text")), " ")
+    tri = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(ws, i),
+                F.element_at(ws, i + 1),
+                F.element_at(ws, i + 2),
+            ),
+        )
+    )
+    return (
+        docs.filter(F.size(ws) >= 3)
+        .select(
+            "doc_id",
+            F.transform(tri, lambda x: F.xxhash64(x)).alias("sh_arr"),
+        )
+        .withColumn("n_sh", F.size("sh_arr"))
+    )
+
+
+# t = ceil(0.9 * n_sh) as exact integers; the prefix property probes
+# the n_sh - t + 1 rarest shingles (q_containment_ppjoin docstring).
+# Module-level so the batch key and the streaming twin share one
+# threshold and one probe-count formula.
+PPJOIN_CONT_PM_MIN = 900
+
+
+def ppjoin_probe_k():
+    """Column: how many prefix shingles a doc with ``n_sh`` shingles
+    must probe for exact >= 0.9-containment recall."""
+    return F.col("n_sh") - F.expr("(9 * n_sh + 9) div 10") + 1
+
+
 _PPJOIN_ORACLE = """
 WITH w AS (
   SELECT doc_id, str_split(lower(text), ' ') AS ws FROM documents
@@ -1018,37 +1065,19 @@ def q_containment_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, both verify legs — reads the pin); the posting join
     equi-shuffles on the 8-byte shingle hash with df-bounded probe
     lists; exact verification intersects full shingle sets for the
-    candidate pairs only, with the candidate frame broadcast into
-    both verify joins (candidate-count-sized by construction)."""
+    candidate pairs only, equi-joining the candidate frame with NO
+    broadcast hint — prefix-filter candidate volume is linear in
+    corpus size, so the verify-join strategy must stay stats-adaptive
+    (AQE broadcasts at bench scale, sort-merges at 100 TB)."""
     from pyspark.sql import Window
 
     from flink_streaming_example_spark.operators.pinning import pin
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    ws = F.split(F.lower(F.col("text")), " ")
-    tri = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(ws) - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(ws, i),
-                F.element_at(ws, i + 1),
-                F.element_at(ws, i + 2),
-            ),
-        )
-    )
-    s = pin(
-        docs.filter(F.size(ws) >= 3).select(
-            "doc_id",
-            F.transform(tri, lambda x: F.xxhash64(x)).alias("sh_arr"),
-        ).withColumn("n_sh", F.size("sh_arr")),
-        "q_containment_ppjoin",
-    )
+    s = pin(trigram_shingle_frame(docs), "q_containment_ppjoin")
     ex = s.select("doc_id", "n_sh", F.explode("sh_arr").alias("sh"))
     dfreq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    # t = ceil(0.9 * n_sh) as exact integers; probe the n_sh - t + 1
-    # rarest shingles (see docstring's prefix property)
-    probe_k = F.col("n_sh") - F.expr("(9 * n_sh + 9) div 10") + 1
+    probe_k = ppjoin_probe_k()
     wp = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("sh"))
     probe = (
         ex.join(dfreq, "sh")
@@ -1071,7 +1100,7 @@ def q_containment_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sh_arr").alias("sa"),
             F.col("n_sh").alias("na"),
         )
-        .join(F.broadcast(cand), "id_a")
+        .join(cand, "id_a")
         .join(
             s.select(
                 F.col("doc_id").alias("id_b"),
@@ -1101,5 +1130,5 @@ def q_containment_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("id_big"),
             F.expr("1000 * inter div least(na, nb)").alias("cont_pm"),
         )
-        .filter(F.col("cont_pm") >= 900)
+        .filter(F.col("cont_pm") >= PPJOIN_CONT_PM_MIN)
     )

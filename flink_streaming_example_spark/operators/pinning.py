@@ -42,6 +42,49 @@ _SLOTS: dict[str, DataFrame] = {}
 # production code paths.
 _AUDIT_PRE_PIN: list[DataFrame] | None = None
 
+# Boundedness registry for the forced-broadcast plan gate (round 13).
+# A localCheckpoint truncates lineage, so a pinned frame shows up in
+# downstream plans as a bare LogicalRDD — structurally unprovable as
+# bounded or unbounded.  Round 12's gate exempted ALL LogicalRDD legs
+# ("every current use is a band/bucket table"), and that round's own
+# new key falsified the comment: q_containment_ppjoin pins the
+# corpus-sized shingle frame.  The exemption is gone; instead a pin
+# slot may be DECLARED bounded here (slot -> why), and pin() records
+# the checkpoint's RDD ids so the gate can look a LogicalRDD node up
+# by rdd id.  An undeclared pin is UNBOUNDED for gate purposes — the
+# safe default; a forced broadcast of it must carry its own
+# _CONTRACT_BROADCAST_LEGS justification or lose the hint.
+_BOUNDED_SLOTS: dict[str, str] = {
+    "q_chi2_select:nl": (
+        "per-language document counts: one row per lang value — the "
+        "attribute domain, not the corpus"
+    ),
+}
+# rdd id -> slot, for every checkpoint created from a declared-bounded
+# slot.  RDD ids are unique per SparkContext (monotonic, never
+# reused), so stale entries from superseded checkpoints cannot alias.
+_BOUNDED_RDD_IDS: dict[int, str] = {}
+
+
+def _logical_rdd_ids(df: DataFrame) -> set[int]:
+    """RDD ids of every LogicalRDD node in ``df``'s analyzed plan."""
+    ids: set[int] = set()
+    stack = [df._jdf.queryExecution().analyzed()]
+    while stack:
+        n = stack.pop()
+        if n.getClass().getSimpleName() == "LogicalRDD":
+            ids.add(n.rdd().id())
+        ch = n.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return ids
+
+
+def rdd_is_bounded(rdd_id: int) -> bool:
+    """True iff ``rdd_id`` belongs to a checkpoint pinned under a slot
+    declared bounded in ``_BOUNDED_SLOTS``."""
+    return rdd_id in _BOUNDED_RDD_IDS
+
 
 def audit_frame(df: DataFrame) -> DataFrame:
     """Record ``df`` for the scan audit without pinning it — for
@@ -70,6 +113,9 @@ def pin(df: DataFrame, slot: str) -> DataFrame:
         _release_checkpoint(prev)
     ck = df.localCheckpoint(eager=True)
     _SLOTS[slot] = ck
+    if slot in _BOUNDED_SLOTS:
+        for rid in _logical_rdd_ids(ck):
+            _BOUNDED_RDD_IDS[rid] = slot
     return ck
 
 

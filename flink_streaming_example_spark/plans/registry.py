@@ -56,6 +56,7 @@ _OPERATOR_MODULES: tuple[str, ...] = (
     "flink_streaming_example_spark.sources.streams",
     "flink_streaming_example_spark.streaming.queries",
     "flink_streaming_example_spark.streaming.upsert",
+    "flink_streaming_example_spark.streaming.ppjoin",
 )
 
 

@@ -70,14 +70,16 @@ def get_spark(app_name: str = "flink-streaming-example-spark") -> SparkSession:
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(cpus))
-        # local[N] puts driver AND all executor threads in ONE JVM: at
-        # 32 threads an 8g heap left storage (pinned checkpoints,
-        # broadcast blocks) crowding execution memory across long
-        # multi-key sweeps (round-12 bench telemetry).  16g on the
-        # 128 GiB test host; env-overridable, and irrelevant on a real
-        # cluster where executors size their own heaps.
+        # local[N] puts driver AND all executor threads in ONE JVM.
+        # The LIBRARY default stays 8g (round-12 ADVICE: get_spark is
+        # the shared entry point, and a 16g default can fail or swap
+        # on hosts smaller than the 128 GiB bench machine); the
+        # storage pressure that motivated 16g is specific to the
+        # 261-key single-JVM bench sweep, so bench.py requests the
+        # larger heap itself via SPARK_DRIVER_MEMORY.  Irrelevant on a
+        # real cluster where executors size their own heaps.
         .config(
-            "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g")
+            "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g")
         )
         .config("spark.ui.enabled", "false")
     )
