@@ -57,7 +57,20 @@ SHOWCASE: tuple[tuple[str, str], ...] = (
     (
         "q_dedup_near",
         "MinHash LSH: candidate generation is an equi-join on (band, "
-        "signature) — no `CartesianProduct` anywhere; Python-free.",
+        "signature) — no `CartesianProduct` anywhere; Python-free.  "
+        "Since r13 the candidate-docs semi-join carries NO broadcast "
+        "hint: the `BroadcastHashJoin` you see is stats-chosen (AQE), "
+        "so the same plan degrades to sort-merge when the candidate "
+        "set outgrows a broadcast at scale.",
+    ),
+    (
+        "q_containment_ppjoin",
+        "PPJoin prefix filter: the shingle frame is checkpoint-pinned "
+        "(`Scan ExistingRDD`), the posting join equi-shuffles on the "
+        "shingle hash, and the verify joins on the candidate-pair "
+        "frame are hint-free (stats-adaptive) since r13 — candidate "
+        "volume is corpus-linear, so forcing a broadcast there was "
+        "the package's last named scale defect.",
     ),
     (
         "q_dedup_exact",
