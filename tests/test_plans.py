@@ -716,6 +716,13 @@ _CONTRACT_BROADCAST_LEGS = {
         2,
         "[domain] the two singleton-count roles grouped by event_type",
     ),
+    "q_skyline": (
+        1,
+        "[band] the suffix-max band table: posexplode of a global "
+        "collect_list whose input is the per-band max (band-domain "
+        "rows) — the r13 Generate rule rightly refuses to credit a "
+        "re-inflating explode, and the bound here is the band domain",
+    ),
     "q_dpp_join": (1, "[domain] distinct event_type pruning dim"),
     "q_importance_sample": (1, "[domain] per-lang threshold table"),
     "q_mode_per_key": (1, "[domain] per-event_type max-count table"),
@@ -853,6 +860,18 @@ def _leg_bounded(node) -> bool:
             return False
     if cls == "Aggregate" and node.groupingExpressions().isEmpty():
         return True
+    if cls == "Generate":
+        # explode re-INFLATES cardinality by the array size: over a
+        # literal generator (sequence(lit, lit) band tables) that's a
+        # constant factor, but a generator referencing a column (e.g.
+        # explode(collect_list(corpus)) over a "bounded" 1-row global
+        # aggregate) regenerates data-scaled rows — the blind spot a
+        # pass-through rule would leave open.
+        try:
+            if not node.generator().references().isEmpty():
+                return False
+        except Exception:
+            return False
     ch = node.children()
     if ch.size() == 0:
         return False
@@ -990,6 +1009,38 @@ def test_forced_broadcast_composite_leg_is_unbounded(spark):
     assert _hinted_unbounded_legs(composite) == 1, (
         "fact-scaled leg with an aggregate buried in its subtree "
         "counted as bounded"
+    )
+
+
+def test_forced_broadcast_generate_reinflation_is_unbounded(spark):
+    """explode(collect_list(<corpus column>)) sits above a 1-row
+    global Aggregate — "bounded" by the child rule — but regenerates a
+    data-scaled row set; the Generate rule must flag it.  A literal
+    generator (the band-table idiom) must stay bounded."""
+    from pyspark.sql import functions as F
+
+    from flink_streaming_example_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_SMOKE_DIR, "events")
+    orders = load_table(spark, SF_SMOKE_DIR, "orders")
+    inflated = orders.agg(
+        F.collect_list("o_custkey").alias("keys")
+    ).select(F.explode("keys").alias("o_custkey"))
+    bad = ev.join(
+        F.broadcast(inflated), ev.user_id == F.col("o_custkey")
+    ).select("event_id")
+    assert _hinted_unbounded_legs(bad) == 1, (
+        "explode(collect_list(corpus)) counted as bounded — the "
+        "Generate re-inflation blind spot is open"
+    )
+    bands = spark.range(1).select(
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("band")
+    )
+    ok = ev.join(
+        F.broadcast(bands), ev.user_id % 64 == F.col("band")
+    ).select("event_id")
+    assert _hinted_unbounded_legs(ok) == 0, (
+        "literal-sequence band explode flagged as unbounded"
     )
 
 
