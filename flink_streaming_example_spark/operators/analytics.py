@@ -356,14 +356,22 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     COUNT(DISTINCT user) over stamps landing on d.  Data volume is
     7 × |distinct pairs| — a constant fan-out, all hash aggregates,
     no global window anywhere.  Trailing stamps past the last
-    observed day are trimmed against a broadcast scalar max."""
+    observed day are trimmed against a broadcast scalar max.
+
+    The distinct (user, day) frame is PINNED (round-14, VERDICT r13
+    item 3): the max-day scalar, stamp-explode and DAU legs
+    previously each re-ran the distinct over events — three events
+    scans folded into one (`pin:events`); the pinned frame is the
+    deduplicated pair set, smaller than the event log."""
+    from flink_streaming_example_spark.operators import pinning
+
     events = load_table(spark, sf_dir, "events")
-    d = (
+    d = pinning.pin(
         events.select(
             "user_id",
             F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) div {_DAY_US}").alias("day"),
-        )
-        .distinct()
+        ).distinct(),
+        "q_rolling_active_users:pairs",
     )
     mx = d.agg(F.max("day").alias("m"))
     r = (
@@ -465,13 +473,21 @@ def q_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     local_cum — bit-equal to the oracle's global window, with no
     data-scale single-partition stage anywhere.  Revenue is summed in
     integer cents via the shortest-repr decimal cast (functions/
-    stable.py parity note)."""
+    stable.py parity note).
+
+    The per-customer revenue rollup is PINNED (round-14, VERDICT r13
+    item 3): pareto_cum's local-window, band-total and grand-total
+    legs previously each re-ran the orders aggregate — three orders
+    scans folded into one (`pin:orders`).  The pinned frame is
+    customer-sized (already aggregated), not the orders corpus."""
+    from flink_streaming_example_spark.operators import pinning
+
     orders = load_table(spark, sf_dir, "orders")
     cents = (F.col("o_totalprice").cast("decimal(30,6)") * 100).cast("long")
     rev = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
         F.sum(cents).alias("rev_cents")
     )
-    return pareto_cum(rev)
+    return pareto_cum(pinning.pin(rev, "q_pareto:rev"))
 
 
 @register("q_running_distinct", oracle=_RUNNING_DISTINCT_ORACLE, tags=("analytics",))

@@ -156,8 +156,19 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a broadcast join, and the only per-token aggregation runs over
     the sketch-filtered candidate set.  Exactly equals the oracle's
     exhaustive GROUP BY because CMS has no false negatives and the
-    verify pass drops its false positives."""
-    return heavy_hitters(doc_tokens(spark, sf_dir))
+    verify pass drops its false positives.
+
+    The token frame is PINNED (round-14, VERDICT r13 item 7): the
+    sketch-build, candidate-extraction, exact-verify and totals legs
+    previously each re-ran the explode subtree — five documents scans
+    folded into one (tests/scan_baseline.json `pin:documents`).  The
+    streaming twin keeps its own per-batch token frame; the shared
+    heavy_hitters() kernel is untouched."""
+    from flink_streaming_example_spark.operators import pinning
+
+    return heavy_hitters(
+        pinning.pin(doc_tokens(spark, sf_dir), "q_heavy_hitters:tokens")
+    )
 
 
 _BASKET_ORACLE = """
@@ -205,11 +216,20 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the singleton-count and grand-total sides are vocabulary-sized
     broadcasts.  The q_kcore co-occurrence lesson applied to itemsets:
     never self-join the event log when an in-row expansion is
-    available."""
+    available.  The basket frame is PINNED (round-14, the bm25
+    recipe): its distinct-shuffle subtree previously re-executed for
+    the pair-count, both singleton roles, and the grand total — four
+    events scans now folded into one (tests/scan_baseline.json
+    `pin:events`)."""
+    from flink_streaming_example_spark.operators import pinning
+
     ev = load_table(spark, sf_dir, "events")
-    baskets = ev.groupBy(
-        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
-    ).agg(F.array_sort(F.collect_set("event_type")).alias("types"))
+    baskets = pinning.pin(
+        ev.groupBy(
+            "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+        ).agg(F.array_sort(F.collect_set("event_type")).alias("types")),
+        "q_basket_lift:baskets",
+    )
     pair_arr = F.flatten(
         F.transform(
             F.col("types"),

@@ -5,22 +5,40 @@ against a MAINTAINED inverted index inside foreachBatch, which is the
 the whole corpus per ingest tick is exactly what an incremental index
 exists to avoid).
 
-Per micro-batch, against three append-only parquet state tables
-(postings = the inverted index, prefixes = every seen doc's probe
-shingles, docs = full shingle sets for exact verification):
+State layout (round 14 — exactly-once): each state table is a
+directory of per-batch hive partitions ``<table>/batch=<id>/`` written
+with ``mode("overwrite")`` on that one partition.  foreachBatch replays
+a failed micro-batch with the SAME batch id and the SAME input rows, so
+a replay overwrites its own partition and leaves every other batch's
+files untouched — replay is invisible with NO dedup-on-read (the
+round-13 at-least-once + distinct-on-read contract is retired).  A
+``_commits/<id>`` marker written after all five table writes makes a
+partially-written batch invisible to readers; batches commit strictly
+in micro-batch order, so ``batch <= max(committed)`` is the committed
+view and ``batch < current`` is the prior-state view inside the merge
+(a failed attempt's own partial partition is never read back).
+
+Per micro-batch, against the committed state tables (postings = the
+inverted index, prefixes = every seen doc's probe shingles, docs = full
+shingle sets for exact verification, dfreq = per-shingle document
+frequency):
 
  1. the batch's docs are shingled (word trigrams, xxhash64 — the
     SHARED ``trigram_shingle_frame`` from operators/dedup.py, so the
     twin cannot drift from the batch key);
- 2. document frequencies fold over the accumulated index + the batch,
-    and each new doc's ``n_sh - t + 1`` RAREST shingles become its
-    probe prefix;
+ 2. document frequencies are maintained INCREMENTALLY (round-14 fix of
+    the round-13 scale-killer: no aggregate ever touches the
+    accumulated postings index).  The batch's shingle counts — an
+    O(batch) aggregate — fold into the stored ``(sh, df)`` table via a
+    latest-wins lookup RESTRICTED to the batch's shingles (join first,
+    aggregate the matched subset only), and each new doc's
+    ``n_sh - t + 1`` RAREST shingles become its probe prefix;
  3. candidates = (new prefixes ⨝ full index ∪ batch postings) ∪
     (stored prefixes ⨝ batch postings) — both directions, so a pair
     split across batches is found when its LATER member arrives;
  4. exact verification intersects full shingle sets for candidates
     only; qualifying pairs (containment >= 0.9 of the smaller set)
-    append to the result table.
+    land in the batch's pairs partition.
 
 Exact recall across any batch slicing: the prefix property holds for
 ANY ``n_sh - t + 1`` shingles of the smaller doc (rarest-first only
@@ -31,18 +49,24 @@ via leg (stored prefixes ⨝ batch postings).  Every emitted pair has
 its later member in the emitting batch, so no pair can be emitted
 twice and the union of all batches' emissions equals the batch key's
 answer (pinned against q_containment_ppjoin over 1/2/3-batch slicings
-in tests/test_ppjoin.py).
+in tests/test_ppjoin.py).  The incremental df equals the full
+recompute exactly (per-shingle counts fold associatively), so prefix
+ranking — ties broken (df, sh) — is byte-identical to the round-13
+plan; tests/test_ppjoin.py pins the equivalence directly.
 
-Scale notes (100 TB): state is APPEND-only — postings partition by
-shingle hash, no rewrite amplification; candidate joins equi-shuffle
+Scale notes (100 TB): per-batch state writes touch ONLY the batch's
+own partitions — no rewrite amplification; candidate joins equi-shuffle
 on the 8-byte shingle hash with df-bounded posting lists; per-batch
-work is (batch x index) not (corpus x corpus).  The one full-state
-aggregate left is the df recompute (step 2) — in production df is
-itself maintained incrementally through the keyed upsert sink
-(streaming/upsert.py) and the recompute disappears; the bounded
-replay keeps it declarative for oracle parity.  No broadcast hints
-anywhere: candidate volume is corpus-linear, strategy stays
-stats-adaptive (the round-13 forced-broadcast contract).
+work is (batch x index) on the candidate side and O(batch) on every
+aggregate.  The df fold reads the dfreq table (one row per touched
+(batch, shingle) — far smaller than postings) and joins it to the
+batch's distinct shingles; with stats-adaptive strategy the batch side
+broadcasts and the state side never shuffles — a columnar scan feeding
+a hash-join filter is the floor for file-backed state, and a keyed
+store (the streaming/upsert.py sink) removes even that scan without
+changing this module's math.  No broadcast hints anywhere: candidate
+volume is corpus-linear, strategy stays stats-adaptive (the round-13
+forced-broadcast contract).
 """
 
 from __future__ import annotations
@@ -61,31 +85,94 @@ from flink_streaming_example_spark.operators.dedup import (
 _DOCS = "docs"
 _POSTINGS = "postings"
 _PREFIXES = "prefixes"
+_DFREQ = "dfreq"
 _PAIRS = "pairs"
+_COMMITS = "_commits"
+
+_SCHEMAS = {
+    _POSTINGS: "doc_id BIGINT, n_sh INT, sh BIGINT",
+    _PREFIXES: "doc_id BIGINT, sh BIGINT",
+    _DOCS: "doc_id BIGINT, sh_arr ARRAY<BIGINT>, n_sh INT",
+    _DFREQ: "sh BIGINT, df BIGINT",
+    _PAIRS: "id_small BIGINT, id_big BIGINT, cont_pm BIGINT",
+}
+
+# pin slot for the per-batch folded (sh, df) frame — checkpointed so
+# the dfreq state is scanned once per batch even though the frame
+# feeds both the state write and the prefix ranking (superseded
+# release bounds it at one live batch-sized frame).
+_DF_SLOT = "q_streaming_ppjoin:dfreq"
 
 
 def _state_path(state_dir: str, table: str) -> str:
     return os.path.join(state_dir, table)
 
 
+def _has_parquet(path: str) -> bool:
+    for _root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
 def _read_state(
-    spark: SparkSession, state_dir: str, table: str, schema: str
+    spark: SparkSession,
+    state_dir: str,
+    table: str,
+    upto_batch: int,
+    keep_batch: bool = False,
 ) -> DataFrame:
-    """Read a state table, or an empty typed frame before first write
-    (parquet append creates the directory on first batch)."""
+    """Rows of ``table`` from batches STRICTLY before ``upto_batch``
+    (replay safety: a failed attempt's own partial partition must
+    never be read back), or an empty typed frame before first write.
+    Batches < current are committed — foreachBatch replays only the
+    failed batch, in order — so no manifest check is needed here."""
     path = _state_path(state_dir, table)
-    if os.path.isdir(path) and any(
-        e.endswith(".parquet") for e in os.listdir(path)
-    ):
-        return spark.read.schema(schema).parquet(path)
-    return spark.createDataFrame([], schema)
+    schema = _SCHEMAS[table] + ", batch BIGINT"
+    if _has_parquet(path):
+        df = spark.read.schema(schema).parquet(path)
+    else:
+        df = spark.createDataFrame([], schema)
+    df = df.filter(F.col("batch") < F.lit(upto_batch))
+    return df if keep_batch else df.drop("batch")
+
+
+def _write_state(
+    df: DataFrame, state_dir: str, table: str, batch_id: int
+) -> None:
+    """Overwrite ``table``'s partition for ``batch_id`` — idempotent
+    under crash replay (module docstring, exactly-once contract)."""
+    df.write.mode("overwrite").parquet(
+        os.path.join(_state_path(state_dir, table), f"batch={batch_id}")
+    )
+
+
+def _commit(state_dir: str, batch_id: int) -> None:
+    d = os.path.join(state_dir, _COMMITS)
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, str(batch_id)), "w") as fh:
+        fh.write("")
+
+
+def _max_committed(state_dir: str) -> int:
+    d = os.path.join(state_dir, _COMMITS)
+    if not os.path.isdir(d):
+        return -1
+    return max(
+        (int(e) for e in os.listdir(d) if e.isdigit()), default=-1
+    )
 
 
 def ppjoin_merge_batch(
-    batch_docs: DataFrame, state_dir: str
+    batch_docs: DataFrame, state_dir: str, batch_id: int
 ) -> None:
-    """Merge one micro-batch of (doc_id, text) rows into the PPJoin
-    state at ``state_dir`` (module docstring steps 1-4)."""
+    """Merge micro-batch ``batch_id`` of (doc_id, text) rows into the
+    PPJoin state at ``state_dir`` (module docstring steps 1-4)."""
+    from flink_streaming_example_spark.operators import pinning
+    from flink_streaming_example_spark.operators.dedup import (
+        _release_checkpoint,
+    )
+
     spark = batch_docs.sparkSession
     new = trigram_shingle_frame(
         batch_docs.select("doc_id", "text")
@@ -94,30 +181,43 @@ def ppjoin_merge_batch(
         new_post = new.select(
             "doc_id", "n_sh", F.explode("sh_arr").alias("sh")
         )
-        old_post = _read_state(
-            spark, state_dir, _POSTINGS, "doc_id BIGINT, n_sh INT, sh BIGINT"
+        old_post = _read_state(spark, state_dir, _POSTINGS, batch_id)
+        old_prefix = _read_state(spark, state_dir, _PREFIXES, batch_id)
+        old_docs = _read_state(spark, state_dir, _DOCS, batch_id)
+        old_df = _read_state(
+            spark, state_dir, _DFREQ, batch_id, keep_batch=True
         )
-        old_prefix = _read_state(
-            spark, state_dir, _PREFIXES, "doc_id BIGINT, sh BIGINT"
+        # Incremental df fold (docstring step 2): batch counts are an
+        # O(batch) aggregate; the stored df is looked up latest-wins
+        # for the batch's shingles ONLY (join before any aggregate —
+        # the accumulated postings index is never aggregated).  Equals
+        # a full `all_post.groupBy(sh).count()` exactly, per-shingle
+        # counts folding associatively across batches.
+        delta = new_post.groupBy("sh").agg(
+            F.count(F.lit(1)).alias("delta")
         )
-        old_docs = _read_state(
-            spark,
-            state_dir,
-            _DOCS,
-            "doc_id BIGINT, sh_arr ARRAY<BIGINT>, n_sh INT",
+        prior = (
+            old_df.join(delta.select("sh"), "sh")
+            .groupBy("sh")
+            .agg(F.max_by("df", "batch").alias("df"))
         )
-        all_post = old_post.unionByName(new_post)
-        # df over the accumulated index incl. this batch; any probe set
-        # of size n_sh - t + 1 gives exact recall, df-rarest-first just
-        # minimizes candidates (module docstring).
-        dfreq = all_post.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+        cur_df = pinning.pin(
+            delta.join(prior, "sh", "left").select(
+                "sh",
+                (F.coalesce(F.col("df"), F.lit(0)) + F.col("delta"))
+                .cast("long")
+                .alias("df"),
+            ),
+            _DF_SLOT,
+        )
         wp = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("sh"))
         new_prefix = (
-            new_post.join(dfreq, "sh")
+            new_post.join(cur_df, "sh")
             .withColumn("_rn", F.row_number().over(wp))
             .filter(F.col("_rn") <= ppjoin_probe_k())
             .select("doc_id", "sh")
         )
+        all_post = old_post.unionByName(new_post)
         # candidates sharing a probe shingle, with >= 1 member in this
         # batch: new prefixes hit the full index; stored prefixes hit
         # only the batch's postings (old-old pairs were probed when
@@ -181,47 +281,43 @@ def ppjoin_merge_batch(
             )
             .filter(F.col("cont_pm") >= PPJOIN_CONT_PM_MIN)
         )
-        # Crash-replay contract: foreachBatch replays a failed batch,
-        # so appends are AT-LEAST-once.  Pair rows are deterministic
-        # functions of the (unordered) seen-set, so read_ppjoin_pairs
-        # dedupes on read and a replayed emission is harmless; the
-        # index appends are likewise re-read-safe because candidate
-        # generation dedupes pairs and verification is idempotent.  A
-        # lakehouse table format (txn commit per batch id) upgrades
-        # this to exactly-once without changing the plan — same note
-        # as streaming/upsert.py.
-        pairs.write.mode("append").parquet(_state_path(state_dir, _PAIRS))
-        new_post.write.mode("append").parquet(
-            _state_path(state_dir, _POSTINGS)
+        # Exactly-once: every write overwrites THIS batch's partition
+        # only; the commit marker lands after all five, so a crash
+        # anywhere in between leaves the batch invisible to readers
+        # and the replay overwrites the partial partitions.
+        _write_state(pairs, state_dir, _PAIRS, batch_id)
+        _write_state(new_post, state_dir, _POSTINGS, batch_id)
+        _write_state(new_prefix, state_dir, _PREFIXES, batch_id)
+        _write_state(cur_df, state_dir, _DFREQ, batch_id)
+        _write_state(
+            new.select("doc_id", "sh_arr", "n_sh"),
+            state_dir,
+            _DOCS,
+            batch_id,
         )
-        new_prefix.write.mode("append").parquet(
-            _state_path(state_dir, _PREFIXES)
-        )
-        new.select("doc_id", "sh_arr", "n_sh").write.mode("append").parquet(
-            _state_path(state_dir, _DOCS)
-        )
+        _commit(state_dir, batch_id)
     finally:
-        # release the eager checkpoint's blocks (bench sweeps run 261
+        # release the batch checkpoint's blocks (bench sweeps run 262
         # keys in one JVM; a leaked batch checkpoint per rep is the
-        # round-12 pin-slot bug all over again)
-        from flink_streaming_example_spark.operators.dedup import (
-            _release_checkpoint,
-        )
-
+        # round-12 pin-slot bug all over again).  cur_df is a pin slot:
+        # superseded release / release_all covers it.
         _release_checkpoint(new)
 
 
 def read_ppjoin_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
-    """The accumulated result table (id_small, id_big, cont_pm).
-    Distinct on read: pair rows are deterministic, so the dedupe makes
-    a crash-replayed batch's re-emission invisible (at-least-once
-    appends -> exactly-once reads)."""
-    return _read_state(
-        spark,
-        state_dir,
-        _PAIRS,
-        "id_small BIGINT, id_big BIGINT, cont_pm BIGINT",
-    ).distinct()
+    """The accumulated result table (id_small, id_big, cont_pm),
+    COMMITTED batches only.  No dedup-on-read: per-batch partition
+    overwrite makes crash replay idempotent, and a pair is emitted by
+    exactly one batch (the one its later member arrives in)."""
+    path = _state_path(state_dir, _PAIRS)
+    schema = _SCHEMAS[_PAIRS] + ", batch BIGINT"
+    if _has_parquet(path):
+        df = spark.read.schema(schema).parquet(path)
+    else:
+        df = spark.createDataFrame([], schema)
+    return df.filter(
+        F.col("batch") <= F.lit(_max_committed(state_dir))
+    ).drop("batch")
 
 
 def _register() -> None:
@@ -245,6 +341,7 @@ def _register() -> None:
         import shutil
         import tempfile
 
+        from flink_streaming_example_spark.operators import pinning
         from flink_streaming_example_spark.sources.streams import (
             documents_file_replay,
         )
@@ -257,17 +354,19 @@ def _register() -> None:
             )
             q = (
                 docs.writeStream.foreachBatch(
-                    lambda b, _id: ppjoin_merge_batch(b, state)
+                    lambda b, bid: ppjoin_merge_batch(b, state, bid)
                 )
                 .option("checkpointLocation", ckpt)
                 .trigger(availableNow=True)
                 .start()
             )
             q.awaitTermination()
-            # materialize off the temp state so the dirs can be removed
-            # (pairs are candidate-verified survivors — small)
-            return read_ppjoin_pairs(spark, state).localCheckpoint(
-                eager=True
+            # materialize off the temp state so the dirs can be
+            # removed; a PIN slot (not a bare localCheckpoint) so
+            # bench's release_all() frees it between reps (round-13
+            # ADVICE item 2).
+            return pinning.pin(
+                read_ppjoin_pairs(spark, state), "q_streaming_ppjoin"
             )
         finally:
             shutil.rmtree(state, ignore_errors=True)

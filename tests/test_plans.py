@@ -1085,3 +1085,14 @@ def test_forced_broadcast_pinned_frames_use_slot_registry(spark):
         )
     finally:
         pinning._BOUNDED_SLOTS.pop("_gate_selftest_band", None)
+        # release the selftest checkpoints too — otherwise they hold
+        # storage blocks in the shared session fixture for the rest of
+        # the test run (round-13 ADVICE item 3)
+        from flink_streaming_example_spark.operators.dedup import (
+            _release_checkpoint,
+        )
+
+        for slot in ("_gate_selftest_corpus", "_gate_selftest_band"):
+            ck = pinning._SLOTS.pop(slot, None)
+            if ck is not None:
+                _release_checkpoint(ck)

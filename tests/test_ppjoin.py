@@ -75,15 +75,18 @@ def test_ppjoin_exact_900pm_boundary(spark, tmp_path):
 
 
 def _merge_slices(spark, sf_dir, state_dir, slices):
-    """Feed doc_id slices through ppjoin_merge_batch sequentially."""
+    """Feed doc_id slices through ppjoin_merge_batch sequentially,
+    with foreachBatch's monotonically increasing batch ids."""
     from flink_streaming_example_spark.sources.tables import load_table
     from flink_streaming_example_spark.streaming.ppjoin import (
         ppjoin_merge_batch,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    for ids in slices:
-        ppjoin_merge_batch(docs.filter(docs.doc_id.isin(list(ids))), state_dir)
+    for bid, ids in enumerate(slices):
+        ppjoin_merge_batch(
+            docs.filter(docs.doc_id.isin(list(ids))), state_dir, bid
+        )
 
 
 def _batch_answer(spark, sf_dir):
@@ -122,10 +125,31 @@ def test_streaming_ppjoin_slicings_match_batch(spark, tmp_path):
         assert got == want, f"slicing {slices} diverged from batch key"
 
 
-def test_streaming_ppjoin_replayed_batch_is_invisible(spark, tmp_path):
-    """foreachBatch is at-least-once on crash replay: re-running a
-    batch against already-appended state must not change the read
-    view (read_ppjoin_pairs dedupes deterministic pair rows)."""
+def _state_rows(spark, state_dir):
+    """Every state table's full row multiset (all batch partitions),
+    read raw — NO dedup-on-read anywhere, so a replay that appended
+    instead of overwriting shows up as extra rows here."""
+    from flink_streaming_example_spark.streaming import ppjoin as pp
+
+    out = {}
+    for table, schema in pp._SCHEMAS.items():
+        out[table] = sorted(
+            map(
+                tuple,
+                pp._read_state(
+                    spark, state_dir, table, 1 << 62, keep_batch=True
+                ).collect(),
+            )
+        )
+    return out
+
+
+def test_streaming_ppjoin_replayed_batch_is_exactly_once(spark, tmp_path):
+    """foreachBatch replays a failed batch with the SAME batch id;
+    the per-batch partition OVERWRITE must leave every state table's
+    full content byte-identical — verified with dedup-on-read absent
+    (there is none: _state_rows reads raw partitions, and
+    read_ppjoin_pairs no longer dedupes)."""
     from flink_streaming_example_spark.sources.tables import load_table
     from flink_streaming_example_spark.streaming.ppjoin import (
         ppjoin_merge_batch,
@@ -141,16 +165,66 @@ def test_streaming_ppjoin_replayed_batch_is_invisible(spark, tmp_path):
     )
     first = docs.filter(docs.doc_id.isin([0, 2]))
     second = docs.filter(docs.doc_id.isin([1, 3, 4]))
-    ppjoin_merge_batch(first, str(state))
-    ppjoin_merge_batch(second, str(state))
-    baseline = sorted(
+    ppjoin_merge_batch(first, str(state), 0)
+    ppjoin_merge_batch(second, str(state), 1)
+    base_pairs = sorted(
         map(tuple, read_ppjoin_pairs(spark, str(state)).collect())
     )
-    ppjoin_merge_batch(second, str(state))  # crash replay of batch 2
-    replayed = sorted(
-        map(tuple, read_ppjoin_pairs(spark, str(state)).collect())
+    base_state = _state_rows(spark, str(state))
+    ppjoin_merge_batch(second, str(state), 1)  # crash replay of batch 1
+    assert (
+        sorted(map(tuple, read_ppjoin_pairs(spark, str(state)).collect()))
+        == base_pairs
     )
-    assert replayed == baseline
+    assert _state_rows(spark, str(state)) == base_state
+
+
+def test_streaming_ppjoin_uncommitted_batch_is_invisible(
+    spark, tmp_path, monkeypatch
+):
+    """A crash BETWEEN state-table writes leaves the batch without its
+    _commits marker: readers must not see its partial pairs, and the
+    replay (same batch id) must land the full batch exactly once."""
+    from flink_streaming_example_spark.sources.tables import load_table
+    from flink_streaming_example_spark.streaming import ppjoin as pp
+
+    fixture = tmp_path / "fx"
+    fixture.mkdir()
+    _write_documents(_crafted_texts(), str(fixture))
+    state = tmp_path / "state"
+    docs = load_table(spark, str(fixture), "documents").select(
+        "doc_id", "text"
+    )
+    first = docs.filter(docs.doc_id.isin([0, 2]))
+    second = docs.filter(docs.doc_id.isin([1, 3, 4]))
+    pp.ppjoin_merge_batch(first, str(state), 0)
+
+    real_write = pp._write_state
+
+    def crashing(df, state_dir, table, batch_id):
+        real_write(df, state_dir, table, batch_id)
+        if table == pp._PAIRS:  # pairs written, then the "crash"
+            raise RuntimeError("injected crash after pairs write")
+
+    monkeypatch.setattr(pp, "_write_state", crashing)
+    try:
+        pp.ppjoin_merge_batch(second, str(state), 1)
+    except RuntimeError:
+        pass
+    # batch 1's pairs partition exists on disk but is uncommitted
+    assert pp._max_committed(str(state)) == 0
+    visible = {
+        tuple(r)
+        for r in pp.read_ppjoin_pairs(spark, str(state)).collect()
+    }
+    assert visible == set(), "uncommitted batch leaked into the read view"
+    monkeypatch.setattr(pp, "_write_state", real_write)
+    pp.ppjoin_merge_batch(second, str(state), 1)  # replay
+    got = {
+        tuple(r)
+        for r in pp.read_ppjoin_pairs(spark, str(state)).collect()
+    }
+    assert got == _batch_answer(spark, str(fixture))
 
 
 def test_streaming_ppjoin_reads_each_state_table_once_per_batch(
@@ -170,16 +244,119 @@ def test_streaming_ppjoin_reads_each_state_table_once_per_batch(
     calls: list[str] = []
     real = pp._read_state
 
-    def counting(spark_, state_dir, table, schema):
+    def counting(spark_, state_dir, table, upto, **kw):
         calls.append(table)
-        return real(spark_, state_dir, table, schema)
+        return real(spark_, state_dir, table, upto, **kw)
 
     monkeypatch.setattr(pp, "_read_state", counting)
     docs = load_table(spark, str(fixture), "documents").select(
         "doc_id", "text"
     )
-    pp.ppjoin_merge_batch(docs.filter(docs.doc_id.isin([0, 2])), str(tmp_path / "s"))
-    assert sorted(calls) == ["docs", "postings", "prefixes"], calls
+    pp.ppjoin_merge_batch(
+        docs.filter(docs.doc_id.isin([0, 2])), str(tmp_path / "s"), 0
+    )
+    assert sorted(calls) == ["dfreq", "docs", "postings", "prefixes"], calls
+
+
+def test_streaming_ppjoin_df_fold_never_aggregates_postings(
+    spark, tmp_path
+):
+    """Round-14 scale gate (VERDICT r13 item 1): the per-batch df
+    frame must be built from the batch's own postings plus a lookup
+    into the DFREQ state — never an aggregate over the accumulated
+    postings index.  Captured pre-pin via the pinning audit hook; the
+    gate reads the optimized plan's parquet scans directly."""
+    import io
+    import contextlib
+
+    from flink_streaming_example_spark.operators import pinning
+    from flink_streaming_example_spark.sources.tables import load_table
+    from flink_streaming_example_spark.streaming import ppjoin as pp
+
+    fixture = tmp_path / "fx"
+    fixture.mkdir()
+    _write_documents(_crafted_texts(), str(fixture))
+    state = str(tmp_path / "state")
+    docs = load_table(spark, str(fixture), "documents").select(
+        "doc_id", "text"
+    )
+    pp.ppjoin_merge_batch(docs.filter(docs.doc_id.isin([0, 2])), state, 0)
+    captured: list = []
+    pinning._AUDIT_PRE_PIN = captured
+    try:
+        pp.ppjoin_merge_batch(
+            docs.filter(docs.doc_id.isin([1, 3, 4])), state, 1
+        )
+    finally:
+        pinning._AUDIT_PRE_PIN = None
+    df_frames = [f for f in captured if f.columns == ["sh", "df"]]
+    assert len(df_frames) == 1, [f.columns for f in captured]
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df_frames[0].explain("formatted")
+    plan = buf.getvalue()
+    assert "/dfreq" in plan, plan  # the state the fold MAY read
+    for banned in ("/postings", "/docs", "/prefixes", "/pairs"):
+        assert banned not in plan, f"df fold scans {banned}:\n{plan}"
+    # exactly one file source: the dfreq state (the batch side comes
+    # from the checkpointed shingle frame, a LogicalRDD).  AQE's
+    # formatted explain repeats the node across initial/final plan
+    # sections, so count DISTINCT scan locations, not occurrences.
+    locations = {
+        line.strip()
+        for line in plan.splitlines()
+        if "Location:" in line
+    }
+    assert len(locations) == 1 and all(
+        "/dfreq" in loc for loc in locations
+    ), locations
+
+
+def test_streaming_ppjoin_incremental_df_equals_full_recompute(
+    spark, tmp_path
+):
+    """The maintained (sh, df) table — latest-wins per shingle — must
+    equal the round-13 full recompute ``all_post.groupBy(sh).count()``
+    after every batch, so prefix ranking is byte-identical."""
+    from pyspark.sql import functions as F
+
+    from flink_streaming_example_spark.sources.tables import load_table
+    from flink_streaming_example_spark.streaming import ppjoin as pp
+
+    fixture = tmp_path / "fx"
+    fixture.mkdir()
+    _write_documents(_crafted_texts(), str(fixture))
+    state = str(tmp_path / "state")
+    docs = load_table(spark, str(fixture), "documents").select(
+        "doc_id", "text"
+    )
+    for bid, ids in enumerate([[0, 2], [4], [1, 3]]):
+        pp.ppjoin_merge_batch(
+            docs.filter(docs.doc_id.isin(ids)), state, bid
+        )
+        post = pp._read_state(
+            spark, state, pp._POSTINGS, bid + 1
+        )
+        want = sorted(
+            map(
+                tuple,
+                post.groupBy("sh")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .collect(),
+            )
+        )
+        stored = pp._read_state(
+            spark, state, pp._DFREQ, bid + 1, keep_batch=True
+        )
+        got = sorted(
+            map(
+                tuple,
+                stored.groupBy("sh")
+                .agg(F.max_by("df", "batch").alias("df"))
+                .collect(),
+            )
+        )
+        assert got == want, f"df drifted from full recompute at batch {bid}"
 
 
 def test_streaming_ppjoin_registered_with_batch_oracle():

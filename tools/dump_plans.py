@@ -78,6 +78,21 @@ SHOWCASE: tuple[tuple[str, str], ...] = (
         "filter on row_number — a single shuffle by content key.",
     ),
     (
+        "q_bm25",
+        "BM25 (r13 pin): ONE pinned documents scan (was 4) — the token "
+        "frame is checkpoint-materialized once (`Scan ExistingRDD`) and "
+        "tf, df, and doc-length legs all fold off it; the per-corpus "
+        "scalars ride a 1-row cross join, no re-scan per leg.",
+    ),
+    (
+        "q_chi2_select",
+        "Chi-squared term selection (r13 pin): the token frame pins "
+        "once, the per-language doc counts pin as the first production "
+        "`_BOUNDED_SLOTS` entry (domain-bounded broadcast, audited), "
+        "and the contingency folds are partial+final `HashAggregate` "
+        "off the single pinned scan (2 documents scans, was 4).",
+    ),
+    (
         "q_tpch_q5",
         "TPC-H Q5 snowflake: date filter pushed to the orders scan, "
         "nation/region as hinted `BroadcastHashJoin`; the scaling "

@@ -25,8 +25,12 @@ REPS = int(os.environ.get("REMEASURE_REPS", "3"))
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 _CHILD = r"""
-import json, sys, time
+import json, os, sys, time
 sys.path.insert(0, "/root/repo")
+# Match the bench sweep's heap (bench.py sets 16g): without this the
+# child inherits the library's smaller default and GC behavior skews
+# the fresh-session mins being adjudicated (round-13 ADVICE item 1).
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")
 
 def jif():
     with open("/proc/stat") as fh:
