@@ -356,22 +356,14 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     COUNT(DISTINCT user) over stamps landing on d.  Data volume is
     7 × |distinct pairs| — a constant fan-out, all hash aggregates,
     no global window anywhere.  Trailing stamps past the last
-    observed day are trimmed against a broadcast scalar max.
-
-    The distinct (user, day) frame is PINNED (round-14, VERDICT r13
-    item 3): the max-day scalar, stamp-explode and DAU legs
-    previously each re-ran the distinct over events — three events
-    scans folded into one (`pin:events`); the pinned frame is the
-    deduplicated pair set, smaller than the event log."""
-    from flink_streaming_example_spark.operators import pinning
-
+    observed day are trimmed against a broadcast scalar max."""
     events = load_table(spark, sf_dir, "events")
-    d = pinning.pin(
+    d = (
         events.select(
             "user_id",
             F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) div {_DAY_US}").alias("day"),
-        ).distinct(),
-        "q_rolling_active_users:pairs",
+        )
+        .distinct()
     )
     mx = d.agg(F.max("day").alias("m"))
     r = (

@@ -202,6 +202,25 @@ def _function_closure_hash(source: str, root_fn: str) -> str | None:
                         if isinstance(elt, ast.Name):
                             segments.setdefault(elt.id, seg)
     if root_fn not in segments:
+        # Keys registered inside a module-level `_register()` wrapper
+        # (the streaming modules' import-side-effect pattern) have no
+        # top-level def of their own — hash the ENCLOSING top-level
+        # function instead (its source segment contains the nested
+        # registered fn, its decorator, and the wrapper's own locals).
+        # Round-14: q_streaming_ppjoin's rewrite was invisible to the
+        # draw because this case silently returned None — a changed
+        # key that never flags stale defeats the rotation's tier 2.
+        for node in tree.body:
+            if isinstance(
+                node, (ast.FunctionDef, ast.AsyncFunctionDef)
+            ) and any(
+                isinstance(sub, (ast.FunctionDef, ast.AsyncFunctionDef))
+                and sub.name == root_fn
+                for sub in ast.walk(node)
+            ):
+                root_fn = node.name
+                break
+    if root_fn not in segments:
         return None
     included = {root_fn}
     frontier = [root_fn]

@@ -70,6 +70,42 @@ def test_closure_hash_includes_referenced_helpers():
     assert _function_closure_hash(src, "nope") is None
 
 
+def test_closure_hash_covers_nested_register_wrapper():
+    """Keys registered inside a module-level `_register()` wrapper
+    (the streaming modules' pattern) have no top-level def; round 14's
+    q_streaming_ppjoin rewrite was invisible to the draw because the
+    hasher returned None for them.  The fallback hashes the ENCLOSING
+    top-level function, so an edit anywhere in the wrapper (or a
+    helper it references) flags the key — and an edit to an unrelated
+    wrapper does not."""
+    src = (
+        "H = 1\n"
+        "def helper():\n    return H\n"
+        "def _register():\n"
+        "    def q_nested(spark, sf):\n"
+        "        return helper()\n"
+        "_register()\n"
+        "def _register_other():\n"
+        "    def q_other(spark, sf):\n"
+        "        return 42\n"
+        "_register_other()\n"
+    )
+    base = _function_closure_hash(src, "q_nested")
+    assert base is not None, "nested registered fn must hash, not None"
+    # edit inside the wrapper -> flags
+    assert _function_closure_hash(
+        src.replace("return helper()", "return helper() + 1"), "q_nested"
+    ) != base
+    # edit to a helper the wrapper references -> flags
+    assert _function_closure_hash(src.replace("H = 1", "H = 2"), "q_nested") != base
+    # edit to an UNRELATED wrapper -> does not flag (precision: a
+    # whole-module fallback would spuriously burn rotation budget)
+    assert (
+        _function_closure_hash(src.replace("return 42", "return 43"), "q_nested")
+        == base
+    )
+
+
 def _run(monkeypatch, hist, old_source_by_round):
     """Drive compute_must_reverify with this test file as the module
     source and a fake git serving doctored old blobs."""
