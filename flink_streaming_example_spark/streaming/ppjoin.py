@@ -184,9 +184,6 @@ def ppjoin_merge_batch(
         old_post = _read_state(spark, state_dir, _POSTINGS, batch_id)
         old_prefix = _read_state(spark, state_dir, _PREFIXES, batch_id)
         old_docs = _read_state(spark, state_dir, _DOCS, batch_id)
-        old_df = _read_state(
-            spark, state_dir, _DFREQ, batch_id, keep_batch=True
-        )
         # Incremental df fold (docstring step 2): batch counts are an
         # O(batch) aggregate; the stored df is looked up latest-wins
         # for the batch's shingles ONLY (join before any aggregate —
@@ -196,20 +193,38 @@ def ppjoin_merge_batch(
         delta = new_post.groupBy("sh").agg(
             F.count(F.lit(1)).alias("delta")
         )
-        prior = (
-            old_df.join(delta.select("sh"), "sh")
-            .groupBy("sh")
-            .agg(F.max_by("df", "batch").alias("df"))
-        )
-        cur_df = pinning.pin(
-            delta.join(prior, "sh", "left").select(
-                "sh",
-                (F.coalesce(F.col("df"), F.lit(0)) + F.col("delta"))
-                .cast("long")
-                .alias("df"),
-            ),
-            _DF_SLOT,
-        )
+        if _max_committed(state_dir) < 0 or batch_id == 0:
+            # no committed batch precedes this one (first batch of a
+            # fresh index, or its replay): no prior df exists by
+            # definition — the fold IS the batch count.
+            # No state read, no checkpoint; the delta aggregate is
+            # batch-sized and recomputes cheaply for its two consumers
+            # (state write + prefix ranking) off the `new` checkpoint.
+            cur_df = delta.select(
+                "sh", F.col("delta").cast("long").alias("df")
+            )
+        else:
+            old_df = _read_state(
+                spark, state_dir, _DFREQ, batch_id, keep_batch=True
+            )
+            prior = (
+                old_df.join(delta.select("sh"), "sh")
+                .groupBy("sh")
+                .agg(F.max_by("df", "batch").alias("df"))
+            )
+            # pinned so the dfreq state is scanned once even though
+            # the folded frame feeds both the state write and the
+            # prefix ranking (superseded release bounds it at one
+            # live batch-sized frame)
+            cur_df = pinning.pin(
+                delta.join(prior, "sh", "left").select(
+                    "sh",
+                    (F.coalesce(F.col("df"), F.lit(0)) + F.col("delta"))
+                    .cast("long")
+                    .alias("df"),
+                ),
+                _DF_SLOT,
+            )
         wp = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("sh"))
         new_prefix = (
             new_post.join(cur_df, "sh")

@@ -252,9 +252,13 @@ def test_streaming_ppjoin_reads_each_state_table_once_per_batch(
     docs = load_table(spark, str(fixture), "documents").select(
         "doc_id", "text"
     )
-    pp.ppjoin_merge_batch(
-        docs.filter(docs.doc_id.isin([0, 2])), str(tmp_path / "s"), 0
-    )
+    state = str(tmp_path / "s")
+    pp.ppjoin_merge_batch(docs.filter(docs.doc_id.isin([0, 2])), state, 0)
+    # first batch: no prior df exists, so the dfreq read is skipped
+    # (fast path) — three state reads, each built exactly once
+    assert sorted(calls) == ["docs", "postings", "prefixes"], calls
+    calls.clear()
+    pp.ppjoin_merge_batch(docs.filter(docs.doc_id.isin([1, 3, 4])), state, 1)
     assert sorted(calls) == ["dfreq", "docs", "postings", "prefixes"], calls
 
 

@@ -135,11 +135,12 @@ SHOWCASE: tuple[tuple[str, str], ...] = (
     ),
     (
         "q_heavy_hitters",
-        "Count-Min two-pass: the sketch build's shuffle cardinality is "
-        "the d*w cell grid (constant), the candidate probe and the "
-        "verify semi-join are `BroadcastHashJoin`s — the only "
-        "token-keyed aggregation runs over the sketch-filtered "
-        "candidates, never the raw token stream.",
+        "Count-Min two-pass (r14 pin): the token frame is checkpoint-"
+        "pinned ONCE (`Scan ExistingRDD`; documents read once, was 5), "
+        "the sketch build's shuffle cardinality is the d*w cell grid "
+        "(constant), the candidate probe and the verify semi-join are "
+        "`BroadcastHashJoin`s — the only token-keyed aggregation runs "
+        "over the sketch-filtered candidates, never the raw corpus.",
     ),
     (
         "q_zorder_layout",
@@ -263,13 +264,15 @@ SHOWCASE: tuple[tuple[str, str], ...] = (
     ),
     (
         "q_pareto",
-        "Distributed global running sum (r9 third block): the classic "
-        "single-partition-window trap decomposed — partitioned window "
-        "WITHIN revenue bands (band = rev_cents >> 20, monotone in "
-        "revenue), band totals prefix-summed on a band-count-sized "
+        "Distributed global running sum (r9 third block; r14 pin): the "
+        "classic single-partition-window trap decomposed — partitioned "
+        "window WITHIN revenue bands (band = rev_cents >> 20, monotone "
+        "in revenue), band totals prefix-summed on a band-count-sized "
         "side, exclusive offsets BROADCAST back, grand total on one "
         "broadcast scalar row.  The only unpartitioned Window in the "
-        "plan runs over the tiny band table.",
+        "plan runs over the tiny band table.  Since r14 the customer-"
+        "sized revenue rollup is checkpoint-pinned (orders read once, "
+        "was 3): every leg hangs off `Scan ExistingRDD`.",
     ),
     (
         "q_merge_into",
