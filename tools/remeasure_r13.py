@@ -21,6 +21,10 @@ KEYS = [
     "q_bloom_prefilter",
     "q_approx_distinct",
 ]
+# Targeted re-runs (round-14: the q_bfs_hops residual) override the
+# full list: REMEASURE_KEYS=q_bfs_hops python tools/remeasure_r13.py
+if os.environ.get("REMEASURE_KEYS"):
+    KEYS = os.environ["REMEASURE_KEYS"].split(",")
 REPS = int(os.environ.get("REMEASURE_REPS", "3"))
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
