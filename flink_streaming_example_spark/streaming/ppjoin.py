@@ -64,8 +64,13 @@ batch's distinct shingles; with stats-adaptive strategy the batch side
 broadcasts and the state side never shuffles — a columnar scan feeding
 a hash-join filter is the floor for file-backed state, and a keyed
 store (the streaming/upsert.py sink) removes even that scan without
-changing this module's math.  No broadcast hints anywhere: candidate
-volume is corpus-linear, strategy stays stats-adaptive (the round-13
+changing this module's math.  Every ``_COMPACT_EVERY``-th batch folds
+the FULL latest-wins view into its own partition and older dfreq
+partitions are dropped once a later batch starts (replay-safe by the
+sequential-batch argument in ``_compaction_cleanup``), so dfreq's
+partition count stays bounded instead of growing one per batch
+forever.  No broadcast hints anywhere: candidate volume is
+corpus-linear, strategy stays stats-adaptive (the round-13
 forced-broadcast contract).
 """
 
@@ -88,6 +93,20 @@ _PREFIXES = "prefixes"
 _DFREQ = "dfreq"
 _PAIRS = "pairs"
 _COMMITS = "_commits"
+_COMPACTS = "_compact"
+
+# Every K-th batch writes the FULL latest-wins (sh, df) view instead
+# of just its delta keys, so the dfreq table's partition count (and
+# the latest-wins read fan-in) is bounded by K + batches-since-last-
+# compaction instead of growing one partition per batch forever —
+# the "would this survive 1000x batches" answer for file-backed df
+# state.  The fold is O(distinct shingles) once per K batches,
+# amortized O(distinct/K) per tick; postings/prefixes/docs are
+# append-only FACTS (every batch's rows stay live), so their
+# small-file growth is ordinary lakehouse compaction, not a
+# correctness structure — only dfreq is latest-wins and compactable
+# in-line.
+_COMPACT_EVERY = 8
 
 _SCHEMAS = {
     _POSTINGS: "doc_id BIGINT, n_sh INT, sh BIGINT",
@@ -163,6 +182,41 @@ def _max_committed(state_dir: str) -> int:
     )
 
 
+def _mark_compacted(state_dir: str, batch_id: int) -> None:
+    d = os.path.join(state_dir, _COMPACTS)
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, str(batch_id)), "w") as fh:
+        fh.write("")
+
+
+def _compaction_cleanup(state_dir: str, batch_id: int) -> None:
+    """Drop dfreq partitions superseded by a full-view compaction
+    batch.  Safe timing: by the time merge(batch_id) STARTS, batches
+    < batch_id are committed and can never replay (foreachBatch is
+    sequential and replays only the failed batch), so any partition
+    older than the latest full view STRICTLY BELOW batch_id is
+    unreachable by every future read (`batch < current` latest-wins
+    is satisfied by the full view plus the deltas after it).
+    Idempotent — a replayed merge re-deletes nothing."""
+    import shutil
+
+    d = os.path.join(state_dir, _COMPACTS)
+    if not os.path.isdir(d):
+        return
+    marks = [
+        int(e) for e in os.listdir(d) if e.isdigit() and int(e) < batch_id
+    ]
+    if not marks:
+        return
+    keep_from = max(marks)
+    table = _state_path(state_dir, _DFREQ)
+    if not os.path.isdir(table):
+        return
+    for e in os.listdir(table):
+        if e.startswith("batch=") and int(e.split("=", 1)[1]) < keep_from:
+            shutil.rmtree(os.path.join(table, e), ignore_errors=True)
+
+
 def ppjoin_merge_batch(
     batch_docs: DataFrame, state_dir: str, batch_id: int
 ) -> None:
@@ -193,6 +247,7 @@ def ppjoin_merge_batch(
         delta = new_post.groupBy("sh").agg(
             F.count(F.lit(1)).alias("delta")
         )
+        compacting = False
         if _max_committed(state_dir) < 0 or batch_id == 0:
             # no committed batch precedes this one (first batch of a
             # fresh index, or its replay): no prior df exists by
@@ -204,27 +259,46 @@ def ppjoin_merge_batch(
                 "sh", F.col("delta").cast("long").alias("df")
             )
         else:
+            _compaction_cleanup(state_dir, batch_id)
             old_df = _read_state(
                 spark, state_dir, _DFREQ, batch_id, keep_batch=True
             )
-            prior = (
-                old_df.join(delta.select("sh"), "sh")
-                .groupBy("sh")
-                .agg(F.max_by("df", "batch").alias("df"))
-            )
-            # pinned so the dfreq state is scanned once even though
-            # the folded frame feeds both the state write and the
-            # prefix ranking (superseded release bounds it at one
-            # live batch-sized frame)
-            cur_df = pinning.pin(
-                delta.join(prior, "sh", "left").select(
+            compacting = batch_id % _COMPACT_EVERY == 0
+            if compacting:
+                # full-view fold (every K-th batch): latest-wins over
+                # EVERY stored shingle, outer-merged with the batch's
+                # deltas — O(distinct shingles), amortized O(dist/K)
+                # per tick; still reads ONLY the dfreq state.
+                full = old_df.groupBy("sh").agg(
+                    F.max_by("df", "batch").alias("df")
+                )
+                folded = full.join(delta, "sh", "full_outer").select(
+                    "sh",
+                    (
+                        F.coalesce(F.col("df"), F.lit(0))
+                        + F.coalesce(F.col("delta"), F.lit(0))
+                    )
+                    .cast("long")
+                    .alias("df"),
+                )
+            else:
+                prior = (
+                    old_df.join(delta.select("sh"), "sh")
+                    .groupBy("sh")
+                    .agg(F.max_by("df", "batch").alias("df"))
+                )
+                folded = delta.join(prior, "sh", "left").select(
                     "sh",
                     (F.coalesce(F.col("df"), F.lit(0)) + F.col("delta"))
                     .cast("long")
                     .alias("df"),
-                ),
-                _DF_SLOT,
-            )
+                )
+            # pinned so the dfreq state is scanned once even though
+            # the folded frame feeds both the state write and the
+            # prefix ranking (superseded release bounds it at one
+            # live batch-sized — or, when compacting, shingle-
+            # universe-sized — frame)
+            cur_df = pinning.pin(folded, _DF_SLOT)
         wp = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("sh"))
         new_prefix = (
             new_post.join(cur_df, "sh")
@@ -311,6 +385,12 @@ def ppjoin_merge_batch(
             batch_id,
         )
         _commit(state_dir, batch_id)
+        if compacting:
+            # marker AFTER commit: a crash in between costs only the
+            # cleanup (the next compaction supersedes), never reads —
+            # old partitions stay until a later merge observes the
+            # marker strictly below its own batch id.
+            _mark_compacted(state_dir, batch_id)
     finally:
         # release the batch checkpoint's blocks (bench sweeps run 262
         # keys in one JVM; a leaked batch checkpoint per rep is the

@@ -316,6 +316,87 @@ def test_streaming_ppjoin_df_fold_never_aggregates_postings(
     ), locations
 
 
+def test_streaming_ppjoin_dfreq_compaction_bounds_partitions(
+    spark, tmp_path, monkeypatch
+):
+    """Round-14 partition-growth bound: every K-th batch writes the
+    FULL latest-wins (sh, df) view, and a LATER merge drops the
+    superseded partitions (deletion only once the compaction batch
+    can no longer replay).  Values must stay equal to the full
+    recompute throughout, the compaction batch's own replay must be
+    idempotent, and the result must still match the batch key."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from flink_streaming_example_spark.sources.tables import load_table
+    from flink_streaming_example_spark.streaming import ppjoin as pp
+
+    monkeypatch.setattr(pp, "_COMPACT_EVERY", 2)
+    fixture = tmp_path / "fx"
+    fixture.mkdir()
+    _write_documents(_crafted_texts(), str(fixture))
+    state = str(tmp_path / "state")
+    docs = load_table(spark, str(fixture), "documents").select(
+        "doc_id", "text"
+    )
+
+    def merge(ids, bid):
+        pp.ppjoin_merge_batch(docs.filter(docs.doc_id.isin(ids)), state, bid)
+
+    def dfreq_partitions():
+        t = os.path.join(state, pp._DFREQ)
+        return sorted(
+            int(e.split("=", 1)[1])
+            for e in os.listdir(t)
+            if e.startswith("batch=")
+        )
+
+    def df_matches_recompute(upto):
+        post = pp._read_state(spark, state, pp._POSTINGS, upto)
+        want = sorted(
+            map(
+                tuple,
+                post.groupBy("sh")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .collect(),
+            )
+        )
+        stored = pp._read_state(
+            spark, state, pp._DFREQ, upto, keep_batch=True
+        )
+        got = sorted(
+            map(
+                tuple,
+                stored.groupBy("sh")
+                .agg(F.max_by("df", "batch").alias("df"))
+                .collect(),
+            )
+        )
+        return got == want
+
+    merge([0], 0)
+    merge([2], 1)
+    merge([4], 2)  # K=2 -> batch 2 writes the full view + marker
+    assert os.path.exists(os.path.join(state, pp._COMPACTS, "2"))
+    # deletion has NOT happened yet (batch 2 could still replay)
+    assert dfreq_partitions() == [0, 1, 2]
+    assert df_matches_recompute(3)
+    # replay of the compaction batch itself: idempotent
+    before = _state_rows(spark, state)
+    merge([4], 2)
+    assert _state_rows(spark, state) == before
+    # the NEXT merge observes the marker and drops superseded parts
+    merge([1, 3], 3)
+    assert dfreq_partitions() == [2, 3]
+    assert df_matches_recompute(4)
+    got = {
+        tuple(r)
+        for r in pp.read_ppjoin_pairs(spark, state).collect()
+    }
+    assert got == _batch_answer(spark, str(fixture))
+
+
 def test_streaming_ppjoin_incremental_df_equals_full_recompute(
     spark, tmp_path
 ):
