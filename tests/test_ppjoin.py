@@ -444,6 +444,60 @@ def test_streaming_ppjoin_incremental_df_equals_full_recompute(
         assert got == want, f"df drifted from full recompute at batch {bid}"
 
 
+def test_streaming_ppjoin_real_multibatch_stream_matches_batch(
+    spark, tmp_path
+):
+    """The production shape end-to-end: the sf0.001 corpus (500 docs)
+    drains through the REAL streaming machinery in MULTIPLE
+    micro-batches (3 source files, maxFilesPerTrigger=1, batch ids
+    assigned by the checkpoint) — unlike the registered key's
+    single-file replay, this exercises the incremental df fold, the
+    stored-prefix candidate leg, and the per-batch partition writes
+    under genuine foreachBatch sequencing.  Result must equal the
+    batch key on the same corpus."""
+    import os
+
+    from tests.conftest import SF_SMOKE_DIR
+    from flink_streaming_example_spark.sources.tables import (
+        SCHEMAS,
+        load_table,
+    )
+    from flink_streaming_example_spark.streaming import ppjoin as pp
+
+    docs = load_table(spark, SF_SMOKE_DIR, "documents")
+    src = str(tmp_path / "stream_src")
+    docs.repartition(3).write.parquet(src)
+    n_files = sum(
+        1 for e in os.listdir(src) if e.endswith(".parquet")
+    )
+    assert n_files >= 3
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema(SCHEMAS["documents"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .select("doc_id", "text")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, bid: pp.ppjoin_merge_batch(b, state, bid)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert pp._max_committed(state) >= 2, (
+        "expected >= 3 real micro-batches (one per source file)"
+    )
+    got = {
+        tuple(r) for r in pp.read_ppjoin_pairs(spark, state).collect()
+    }
+    want = _batch_answer(spark, SF_SMOKE_DIR)
+    assert got == want
+
+
 def test_streaming_ppjoin_registered_with_batch_oracle():
     spec = _SPECS["q_streaming_ppjoin"]
     assert spec.oracle == _SPECS["q_containment_ppjoin"].oracle
