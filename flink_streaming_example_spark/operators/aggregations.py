@@ -805,7 +805,16 @@ def q_equi_depth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries are EXACT global-rank quantiles, computed without any
     data-scale global window (comment above): rank within magnitude
     band + broadcast exclusive band offsets + broadcast total count.
-    Bucket populations differ by at most 1 by construction."""
+    Bucket populations differ by at most 1 by construction.
+
+    Two orders scans since round 15 (was 3): the total count is
+    Σ band_n — a second frame over the SAME band-table window pass
+    (one WindowExec; identical partition/order spec) — so the
+    separate total-count leg's corpus re-read is gone.  The remaining
+    two passes are the floor without a corpus-sized pin (row-level
+    rank pass + aggregation-only band-count pass; a checkpoint of the
+    raw projection would trade one aggregation-only scan for a full
+    corpus materialization — the q_knn_ivf argument)."""
     from pyspark.sql import Window
 
     orders = load_table(spark, sf_dir, "orders")
@@ -819,14 +828,16 @@ def q_equi_depth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = c.withColumn("local_rk", F.row_number().over(wl))
     bands = c.groupBy("band").agg(F.count(F.lit(1)).alias("band_n"))
     wb = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    wt = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     bands = bands.select(
         "band",
         F.coalesce(F.sum("band_n").over(wb), F.lit(0)).alias("band_off"),
+        F.sum("band_n").over(wt).alias("n"),
     )
-    total = c.agg(F.count(F.lit(1)).alias("n"))
     ranked = (
         c.join(F.broadcast(bands), "band")
-        .crossJoin(F.broadcast(total))
         .select(
             "cents",
             (F.col("band_off") + F.col("local_rk")).alias("rk"),

@@ -356,14 +356,24 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     COUNT(DISTINCT user) over stamps landing on d.  Data volume is
     7 × |distinct pairs| — a constant fan-out, all hash aggregates,
     no global window anywhere.  Trailing stamps past the last
-    observed day are trimmed against a broadcast scalar max."""
+    observed day are trimmed against a broadcast scalar max.
+
+    The distinct (user, day) frame is PINNED (round-15, deferred from
+    round 14's draw): the max-day, stamp-explode and DAU legs each
+    re-ran the events scan AND the distinct shuffle — three corpus
+    passes folded into one (`pin:events`).  The pinned frame is the
+    active-pair set (users x active days), already deduplicated —
+    far below the event count it summarizes."""
+    from flink_streaming_example_spark.operators import pinning
+
     events = load_table(spark, sf_dir, "events")
-    d = (
+    d = pinning.pin(
         events.select(
             "user_id",
             F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) div {_DAY_US}").alias("day"),
         )
-        .distinct()
+        .distinct(),
+        "q_rolling_active_users:d",
     )
     mx = d.agg(F.max("day").alias("m"))
     r = (
@@ -594,12 +604,22 @@ def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     median (integer-rank selection, the q_mad discipline) of the
     conversion delay, grouped by signup week.  The funnel chain's two
     per-user MINs share one user_id partitioning; the median window
-    sorts only the CONVERTED-USER deltas per cohort — weeks × small."""
+    sorts only the CONVERTED-USER deltas per cohort — weeks × small.
+
+    The first-signup frame is PINNED (round 15): it feeds both the
+    purchase-filter join and the cohort join, and unpinned each
+    reference re-ran the signup scan + per-user MIN shuffle.  The
+    pinned frame is signup-user-sized; the one remaining events scan
+    is the purchase leg — a different filter of the fact, structural
+    (the q_merge_into class)."""
+    from flink_streaming_example_spark.operators import pinning
+
     events = load_table(spark, sf_dir, "events")
-    s = (
+    s = pinning.pin(
         events.where(F.col("event_type") == "signup")
         .groupBy("user_id")
-        .agg(F.min("ts").alias("st"))
+        .agg(F.min("ts").alias("st")),
+        "q_time_to_convert:s",
     )
     p = (
         events.where(F.col("event_type") == "purchase")
@@ -670,39 +690,50 @@ def q_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     above), per variant the user count, converted-user count and the
     exact micro-scaled purchase value — the numerators and
     denominators of conversion rate and ARPU, emitted as integers so
-    the caller (not the engine) does the one float division.  All
-    per-user rollups share the user_id partitioning; the final
-    aggregate is 2 rows."""
+    the caller (not the engine) does the one float division.
+
+    Single-pass since round 15 (the three-legged assign/conv/spend
+    join re-read events per leg): ONE conditional per-user aggregate
+    subsumes all three — every distinct user appears in the groupBy
+    (assign's distinct), max(is-purchase) is the conversion flag
+    (conv's distinct-join), the filtered sum is the spend (null when
+    the user never purchased, exactly conv's left-join semantics) —
+    then the 2-row variant rollup folds it.  One events scan, one
+    user_id exchange, no pin needed."""
     events = load_table(spark, sf_dir, "events")
-    assign = events.select("user_id").distinct().select(
-        "user_id",
-        (
-            F.conv(
-                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
-                16,
-                10,
-            ).cast("long")
-            % 2
-        ).alias("variant"),
-    )
-    purchases = events.where(F.col("event_type") == "purchase")
-    conv = purchases.select("user_id").distinct().withColumn(
-        "converted", F.lit(1)
-    )
-    spend = purchases.groupBy("user_id").agg(
+    is_purchase = F.col("event_type") == "purchase"
+    per_user = events.groupBy("user_id").agg(
+        F.max(F.when(is_purchase, F.lit(1)).otherwise(F.lit(0))).alias(
+            "converted"
+        ),
         F.sum(
-            (F.col("value").cast("decimal(30,6)") * 1000000).cast("long")
-        ).alias("v_micro")
+            F.when(
+                is_purchase,
+                (F.col("value").cast("decimal(30,6)") * 1000000).cast(
+                    "long"
+                ),
+            )
+        ).alias("v_micro"),
     )
     return (
-        assign.join(conv, "user_id", "left")
-        .join(spend, "user_id", "left")
+        per_user.select(
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.col("user_id").cast("string")), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            ).alias("variant"),
+            "converted",
+            "v_micro",
+        )
         .groupBy("variant")
         .agg(
             F.count(F.lit(1)).alias("n_users"),
-            F.sum(F.coalesce(F.col("converted"), F.lit(0)))
-            .cast("long")
-            .alias("n_converted"),
+            F.sum("converted").cast("long").alias("n_converted"),
             F.sum(F.coalesce(F.col("v_micro"), F.lit(0)))
             .cast("long")
             .alias("total_value_micro"),
@@ -985,10 +1016,21 @@ def q_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the presence rule is mirrored exactly in the oracle).  Scale: one
     user_id exchange produces first-seen weeks, the fact join reuses
     the same key, the rollup is (weeks x ages)-sized — horizon², not
-    event-count — and the cumulative window partitions by cohort."""
+    event-count — and the cumulative window partitions by cohort.
+
+    The first-seen frame is PINNED (round 15): the cohort-size leg
+    and the fact join each re-ran the events scan + per-user MIN
+    shuffle.  The pinned frame is user-sized; the one remaining
+    events scan is the fact join's own read — irreducible (the ages
+    need every event) and structural."""
+    from flink_streaming_example_spark.operators import pinning
+
     ev = load_table(spark, sf_dir, "events")
     wk = F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) div {_WEEK_US}")
-    f = ev.groupBy("user_id").agg(F.min(wk).alias("cw"))
+    f = pinning.pin(
+        ev.groupBy("user_id").agg(F.min(wk).alias("cw")),
+        "q_ltv_cohorts:f",
+    )
     sz = f.groupBy("cw").agg(F.count(F.lit(1)).alias("n_users"))
     rev = F.when(
         F.col("event_type") == "purchase",

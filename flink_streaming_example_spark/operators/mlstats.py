@@ -300,7 +300,16 @@ def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded decomposition (score>>20 bands; running sum within band +
     broadcast exclusive band offsets) — the fourth reuse of the
     pattern, here for the O(n log n)-equivalent statistic usually
-    quoted as needing a global sort."""
+    quoted as needing a global sort.
+
+    The per-score rollup (post banded window) is PINNED (round 15):
+    the band-offset leg and the denominator leg each re-ran the
+    corpus scan + the per-score hash aggregate.  All three legs fold
+    off the checkpoint — auc_den = 2·Σp·Σq is exactly n_pos·n_neg
+    because p/q partition the rows by score.  The pinned frame is
+    distinct-score-sized (post-aggregate, never the raw rows)."""
+    from flink_streaming_example_spark.operators import pinning
+
     ev = load_table(spark, sf_dir, "events")
     v = ev.select(
         (F.col("value").cast("decimal(30,6)") * 1_000_000)
@@ -319,7 +328,9 @@ def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("score")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    g = g.withColumn("local_lt", F.sum("q").over(wl))
+    g = pinning.pin(
+        g.withColumn("local_lt", F.sum("q").over(wl)), "q_auc:g"
+    )
     bands = g.groupBy("band").agg(F.sum("q").alias("band_q"))
     wb = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
     bands = bands.select(
@@ -338,12 +349,8 @@ def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p") * (F.lit(2) * F.col("q_lt") + F.col("q"))
         ).alias("auc_num")
     )
-    tot = v.agg(
-        (
-            F.lit(2)
-            * F.sum("pos")
-            * F.sum(F.lit(1) - F.col("pos"))
-        ).alias("auc_den")
+    tot = g.agg(
+        (F.lit(2) * F.sum("p") * F.sum("q")).alias("auc_den")
     )
     return num.crossJoin(F.broadcast(tot)).select(
         F.col("auc_num").cast("long").alias("auc_num"),
@@ -388,7 +395,14 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     gives the same total order as the oracle's global window, and
     decile = (rank-1)*10 div n + 1 is the same closed form both
     sides — deterministic tile assignment without builtin NTILE's
-    remainder-placement subtleties."""
+    remainder-placement subtleties.
+
+    The per-user rollup (post banded window) is PINNED (round 15):
+    the band-count leg and the total-count leg each re-ran the corpus
+    scan + the per-user hash aggregate.  The pinned frame is
+    user-sized; all three legs fold off the checkpoint."""
+    from flink_streaming_example_spark.operators import pinning
+
     ev = load_table(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
         F.sum(
@@ -403,7 +417,10 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     wl = Window.partitionBy("band").orderBy(
         F.desc("score"), F.asc("user_id")
     )
-    u = u.withColumn("local_rn", F.row_number().over(wl))
+    u = pinning.pin(
+        u.withColumn("local_rn", F.row_number().over(wl)),
+        "q_decile_lift:u",
+    )
     bands = u.groupBy("band").agg(F.count(F.lit(1)).alias("band_n"))
     wb = Window.orderBy(F.desc("band")).rowsBetween(
         Window.unboundedPreceding, -1

@@ -210,16 +210,43 @@ def _function_closure_hash(source: str, root_fn: str) -> str | None:
         # Round-14: q_streaming_ppjoin's rewrite was invisible to the
         # draw because this case silently returned None — a changed
         # key that never flags stale defeats the rotation's tier 2.
-        for node in tree.body:
-            if isinstance(
-                node, (ast.FunctionDef, ast.AsyncFunctionDef)
-            ) and any(
-                isinstance(sub, (ast.FunctionDef, ast.AsyncFunctionDef))
-                and sub.name == root_fn
-                for sub in ast.walk(node)
-            ):
-                root_fn = node.name
-                break
+        # Round-15 (ADVICE): the match prefers nested defs that carry
+        # a register(...) decorator — a bare-name match could hit an
+        # unrelated function's LOCAL helper that happens to share the
+        # registered fn's name (the round-7 collision class, one level
+        # down).  The undecorated bare-name scan stays as a fallback so
+        # an exotic registration style degrades to the round-14 rule
+        # rather than back to the silent None.
+        def _wrapper_of(require_register_decorator: bool) -> str | None:
+            for node in tree.body:
+                if not isinstance(
+                    node, (ast.FunctionDef, ast.AsyncFunctionDef)
+                ):
+                    continue
+                for sub in ast.walk(node):
+                    if (
+                        isinstance(
+                            sub, (ast.FunctionDef, ast.AsyncFunctionDef)
+                        )
+                        and sub.name == root_fn
+                        and (
+                            not require_register_decorator
+                            or any(
+                                "register"
+                                in (
+                                    ast.get_source_segment(source, dec)
+                                    or ""
+                                )
+                                for dec in sub.decorator_list
+                            )
+                        )
+                    ):
+                        return node.name
+            return None
+
+        wrapper = _wrapper_of(True) or _wrapper_of(False)
+        if wrapper is not None:
+            root_fn = wrapper
     if root_fn not in segments:
         return None
     included = {root_fn}

@@ -5,18 +5,58 @@ against a MAINTAINED inverted index inside foreachBatch, which is the
 the whole corpus per ingest tick is exactly what an incremental index
 exists to avoid).
 
-State layout (round 14 — exactly-once): each state table is a
-directory of per-batch hive partitions ``<table>/batch=<id>/`` written
-with ``mode("overwrite")`` on that one partition.  foreachBatch replays
-a failed micro-batch with the SAME batch id and the SAME input rows, so
-a replay overwrites its own partition and leaves every other batch's
-files untouched — replay is invisible with NO dedup-on-read (the
-round-13 at-least-once + distinct-on-read contract is retired).  A
-``_commits/<id>`` marker written after all five table writes makes a
-partially-written batch invisible to readers; batches commit strictly
-in micro-batch order, so ``batch <= max(committed)`` is the committed
-view and ``batch < current`` is the prior-state view inside the merge
-(a failed attempt's own partial partition is never read back).
+State layout (round 15 — bucketed + exactly-once): each state table is
+a directory of per-batch hive partitions, sub-partitioned by a stable
+hash bucket of its JOIN key::
+
+    postings/  batch=<id>/bucket=<pmod(xxhash64(sh), 8)>/
+    prefixes/  batch=<id>/bucket=<pmod(xxhash64(sh), 8)>/
+    dfreq/     batch=<id>/bucket=<pmod(xxhash64(sh), 8)>/
+    docs/      batch=<id>/bucket=<pmod(xxhash64(doc_id), 8)>/
+    pairs/     batch=<id>/                       (results, append-only)
+
+Every probe into the accumulated state is therefore PRUNED to the
+buckets the micro-batch actually touches (VERDICT r14 item 1 — the
+last O(corpus)-per-tick term): the candidate joins read only the
+postings/prefix buckets of the batch's own shingles, the df fold reads
+only those dfreq buckets, and the verification join reads only the doc
+buckets of the materialized candidate ids.  Partition pruning happens
+at file-listing time (the bucket predicate is a literal IN-list), so a
+batch that touches 3 of 8 buckets never opens the other 5 — pinned by
+a poison-file gate in tests/test_ppjoin.py.  ``_N_SH_BUCKETS`` /
+``_N_DOC_BUCKETS`` are sized for the test corpus; a production
+deployment raises them so one bucket ~ one executor's worth of state
+(the module's math is bucket-count-agnostic), and a keyed store (the
+streaming/upsert.py sink) remains the zero-scan end state.
+
+Exactly-once: a micro-batch writes ONLY ``batch=<id>`` partitions with
+``mode("overwrite")``.  foreachBatch replays a failed micro-batch with
+the SAME batch id and the SAME input rows, so a replay overwrites its
+own partition and leaves every other batch's files untouched — replay
+is invisible with NO dedup-on-read.  All commit metadata lives in ONE
+atomically-replaced manifest file (``_meta``, written after all five
+table writes): the max committed batch, the postings-row ledger, and
+the compaction watermarks — so commit + compaction visibility flip in
+a single ``os.replace`` (no marker directories, no per-batch files,
+no O(#batches) listdir; the round-14 marker-dir scheme is retired per
+ADVICE r14).  Batches commit strictly in micro-batch order, so
+``batch <= max_committed`` is the committed view and ``batch <
+current`` is the prior-state view inside the merge (a failed attempt's
+own partial partition is never read back).
+
+Delivery contract (ADVICE r14): correctness of the no-dedup design
+requires each doc_id to arrive in EXACTLY ONE micro-batch outside
+crash replay — the Structured Streaming file/Kafka sources guarantee
+this (offsets are checkpointed; a replayed batch has identical rows).
+A source that redelivers a document in a DIFFERENT batch would
+duplicate its postings and multiply the verify join; callers feeding
+ad-hoc sources must dedup upstream.  Readers: ``read_ppjoin_pairs``
+assumes no merge is concurrently in flight (reads happen after
+``awaitTermination`` in-repo); a replay's partition overwrite is not
+atomic, so a concurrent reader could glimpse a committed batch's
+partition mid-rewrite — callers wanting live reads should snapshot the
+manifest first and read only ``batch <= max`` partitions, which the
+function already does.
 
 Per micro-batch, against the committed state tables (postings = the
 inverted index, prefixes = every seen doc's probe shingles, docs = full
@@ -30,15 +70,18 @@ frequency):
     the round-13 scale-killer: no aggregate ever touches the
     accumulated postings index).  The batch's shingle counts — an
     O(batch) aggregate — fold into the stored ``(sh, df)`` table via a
-    latest-wins lookup RESTRICTED to the batch's shingles (join first,
-    aggregate the matched subset only), and each new doc's
-    ``n_sh - t + 1`` RAREST shingles become its probe prefix;
- 3. candidates = (new prefixes ⨝ full index ∪ batch postings) ∪
-    (stored prefixes ⨝ batch postings) — both directions, so a pair
-    split across batches is found when its LATER member arrives;
- 4. exact verification intersects full shingle sets for candidates
-    only; qualifying pairs (containment >= 0.9 of the smaller set)
-    land in the batch's pairs partition.
+    latest-wins lookup RESTRICTED to the batch's shingle buckets
+    (join first, aggregate the matched subset only), and each new
+    doc's ``n_sh - t + 1`` RAREST shingles become its probe prefix;
+ 3. candidates = (new prefixes ⨝ bucket-pruned index ∪ batch postings)
+    ∪ (bucket-pruned stored prefixes ⨝ batch postings) — both
+    directions, so a pair split across batches is found when its LATER
+    member arrives;
+ 4. the candidate set is materialized once (a pin slot), its doc-id
+    buckets are collected (a bounded list, <= 2 x _N_DOC_BUCKETS
+    ints), and exact verification intersects full shingle sets read
+    from ONLY those doc buckets; qualifying pairs (containment >= 0.9
+    of the smaller set) land in the batch's pairs partition.
 
 Exact recall across any batch slicing: the prefix property holds for
 ANY ``n_sh - t + 1`` shingles of the smaller doc (rarest-first only
@@ -54,29 +97,51 @@ recompute exactly (per-shingle counts fold associatively), so prefix
 ranking — ties broken (df, sh) — is byte-identical to the round-13
 plan; tests/test_ppjoin.py pins the equivalence directly.
 
+Compaction (two classes, both replay-safe, watermarks in the manifest):
+
+* dfreq is LATEST-WINS — every ``_COMPACT_EVERY``-th batch folds the
+  FULL latest-wins view into its own partition (O(distinct shingles),
+  amortized O(distinct/K) per tick, still reading only dfreq), so its
+  live partition window stays <= K-bounded.
+* postings/prefixes/docs are FACTS — rewriting them is O(corpus), so
+  their compaction is GEOMETRIC (round-15, VERDICT r14 item 6): at a
+  ``_COMPACT_EVERY`` multiple whose postings-row ledger has at least
+  DOUBLED since the last full view, the batch writes the union of all
+  live fact rows into its own partition.  Each row is rewritten
+  O(log batches) times over the stream's life, amortized O(1) — the
+  LSM answer, not a per-tick corpus rewrite — and the live partition
+  window (hence per-probe file listing) is bounded by the doubling
+  schedule instead of growing one partition per batch forever.
+
+Watermark visibility is atomic with the commit (same manifest write),
+which facts REQUIRE: were the watermark a separate post-commit marker,
+a crash between the two would leave the full view AND its inputs both
+visible — duplicate facts.  (dfreq tolerates either order by
+latest-wins, but rides the same manifest.)  Reads take ``kf`` = the
+latest watermark STRICTLY BELOW their ``upto`` — the manifest keeps
+(prev, latest) per class, and prev suffices because a compactor's own
+replay is the only reader that must look below latest.  Superseded
+partitions are DELETED by a later merge (by the time merge(b) starts,
+batches < b are committed and can never replay, so partitions below
+their class watermark < b are unreachable by every future read —
+deletion is I/O hygiene; correctness lives in the read filter).
+
 Scale notes (100 TB): per-batch state writes touch ONLY the batch's
-own partitions — no rewrite amplification; candidate joins equi-shuffle
-on the 8-byte shingle hash with df-bounded posting lists; per-batch
-work is (batch x index) on the candidate side and O(batch) on every
-aggregate.  The df fold reads the dfreq table (one row per touched
-(batch, shingle) — far smaller than postings) and joins it to the
-batch's distinct shingles; with stats-adaptive strategy the batch side
-broadcasts and the state side never shuffles — a columnar scan feeding
-a hash-join filter is the floor for file-backed state, and a keyed
-store (the streaming/upsert.py sink) removes even that scan without
-changing this module's math.  Every ``_COMPACT_EVERY``-th batch folds
-the FULL latest-wins view into its own partition and older dfreq
-partitions are dropped once a later batch starts (replay-safe by the
-sequential-batch argument in ``_compaction_cleanup``), so dfreq's
-partition count stays bounded instead of growing one per batch
-forever.  No broadcast hints anywhere: candidate volume is
-corpus-linear, strategy stays stats-adaptive (the round-13
-forced-broadcast contract).
+own partitions — no rewrite amplification outside the geometric
+schedule; candidate joins equi-shuffle on the 8-byte shingle hash with
+df-bounded posting lists; per-batch work is (batch x touched-bucket
+state) on the candidate side and O(batch) on every aggregate.  All
+manifest reads are O(1) (one small file), never directory walks.  No
+broadcast hints anywhere: candidate volume is corpus-linear, strategy
+stays stats-adaptive (the round-13 forced-broadcast contract).
 """
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -92,20 +157,16 @@ _POSTINGS = "postings"
 _PREFIXES = "prefixes"
 _DFREQ = "dfreq"
 _PAIRS = "pairs"
-_COMMITS = "_commits"
-_COMPACTS = "_compact"
+_META = "_meta"
 
-# Every K-th batch writes the FULL latest-wins (sh, df) view instead
-# of just its delta keys, so the dfreq table's partition count (and
-# the latest-wins read fan-in) is bounded by K + batches-since-last-
-# compaction instead of growing one partition per batch forever —
-# the "would this survive 1000x batches" answer for file-backed df
-# state.  The fold is O(distinct shingles) once per K batches,
-# amortized O(distinct/K) per tick; postings/prefixes/docs are
-# append-only FACTS (every batch's rows stay live), so their
-# small-file growth is ordinary lakehouse compaction, not a
-# correctness structure — only dfreq is latest-wins and compactable
-# in-line.
+# Bucket fan-outs for the state sub-partitioning (module docstring).
+# Sized for the test corpus; production raises them.  The write path
+# repartitions by bucket so each batch adds <= N files per table.
+_N_SH_BUCKETS = 8
+_N_DOC_BUCKETS = 8
+
+# dfreq full-view cadence; facts additionally require the geometric
+# doubling condition (module docstring, Compaction).
 _COMPACT_EVERY = 8
 
 _SCHEMAS = {
@@ -116,22 +177,86 @@ _SCHEMAS = {
     _PAIRS: "id_small BIGINT, id_big BIGINT, cont_pm BIGINT",
 }
 
+_SH_BUCKET = f"CAST(pmod(xxhash64(sh), {_N_SH_BUCKETS}) AS INT)"
+
+
+def _doc_bucket(col: str) -> str:
+    return f"CAST(pmod(xxhash64({col}), {_N_DOC_BUCKETS}) AS INT)"
+
+
+# bucket expression per table (None = unbucketed) — write path and
+# read-prune path MUST share these expressions.
+_BUCKET_EXPR = {
+    _POSTINGS: _SH_BUCKET,
+    _PREFIXES: _SH_BUCKET,
+    _DFREQ: _SH_BUCKET,
+    _DOCS: _doc_bucket("doc_id"),
+    _PAIRS: None,
+}
+
+# facts tables share the geometric watermark; dfreq has its own.
+_FACTS = (_POSTINGS, _PREFIXES, _DOCS)
+
 # pin slot for the per-batch folded (sh, df) frame — checkpointed so
 # the dfreq state is scanned once per batch even though the frame
 # feeds both the state write and the prefix ranking (superseded
 # release bounds it at one live batch-sized frame).
 _DF_SLOT = "q_streaming_ppjoin:dfreq"
+# pin slot for the candidate set — materialized so its doc buckets can
+# be collected (a bounded IN-list) before the verify join reads docs.
+_CAND_SLOT = "q_streaming_ppjoin:cand"
+
+_EMPTY_META = {
+    "max": -1,  # highest committed batch id
+    "rows": 0,  # postings rows committed so far (the ledger)
+    "rows_at_compact": 0,  # ledger value at the last facts full view
+    "dfreq_prev": -1,
+    "dfreq_latest": -1,
+    "facts_prev": -1,
+    "facts_latest": -1,
+}
 
 
 def _state_path(state_dir: str, table: str) -> str:
     return os.path.join(state_dir, table)
 
 
-def _has_parquet(path: str) -> bool:
-    for _root, _dirs, files in os.walk(path):
-        if any(f.endswith(".parquet") for f in files):
-            return True
-    return False
+def _read_meta(state_dir: str) -> dict:
+    path = os.path.join(state_dir, _META)
+    try:
+        with open(path) as fh:
+            return {**_EMPTY_META, **json.load(fh)}
+    except (OSError, ValueError):
+        return dict(_EMPTY_META)
+
+
+def _write_meta(state_dir: str, meta: dict) -> None:
+    """Atomic manifest replace — commit + compaction watermarks become
+    visible in one rename (module docstring, Compaction)."""
+    os.makedirs(state_dir, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=state_dir, prefix="._meta.")
+    with os.fdopen(fd, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(state_dir, _META))
+
+
+def _max_committed(state_dir: str) -> int:
+    return _read_meta(state_dir)["max"]
+
+
+def _kf(meta: dict, table: str, upto: int) -> int:
+    """Latest compaction watermark for ``table`` STRICTLY below
+    ``upto`` (module docstring: prev suffices for a compactor's own
+    replay), or -1 if the table has never compacted below upto."""
+    if table == _DFREQ:
+        prev, latest = meta["dfreq_prev"], meta["dfreq_latest"]
+    elif table in _FACTS:
+        prev, latest = meta["facts_prev"], meta["facts_latest"]
+    else:
+        return -1
+    if latest < upto:
+        return latest
+    return prev if prev < upto else -1
 
 
 def _read_state(
@@ -140,19 +265,39 @@ def _read_state(
     table: str,
     upto_batch: int,
     keep_batch: bool = False,
+    buckets: list[int] | None = None,
+    meta: dict | None = None,
 ) -> DataFrame:
     """Rows of ``table`` from batches STRICTLY before ``upto_batch``
     (replay safety: a failed attempt's own partial partition must
     never be read back), or an empty typed frame before first write.
     Batches < current are committed — foreachBatch replays only the
-    failed batch, in order — so no manifest check is needed here."""
+    failed batch, in order — so no manifest check is needed for the
+    upper bound; the LOWER bound is the table's compaction watermark
+    (partitions below it are superseded by a full view and may lag
+    deletion).  ``buckets`` prunes the listing to a literal IN-list of
+    hash buckets — the per-batch probe's O(touched-state) read."""
     path = _state_path(state_dir, table)
+    bucketed = _BUCKET_EXPR[table] is not None
     schema = _SCHEMAS[table] + ", batch BIGINT"
-    if _has_parquet(path):
+    if bucketed:
+        schema += ", bucket INT"
+    if os.path.isdir(path):
         df = spark.read.schema(schema).parquet(path)
     else:
         df = spark.createDataFrame([], schema)
     df = df.filter(F.col("batch") < F.lit(upto_batch))
+    kf = _kf(meta if meta is not None else _read_meta(state_dir), table,
+             upto_batch)
+    if kf >= 0:
+        df = df.filter(F.col("batch") >= F.lit(kf))
+    if bucketed and buckets is not None:
+        if buckets:
+            df = df.filter(F.col("bucket").isin([int(b) for b in buckets]))
+        else:
+            df = df.filter(F.lit(False))
+    if bucketed:
+        df = df.drop("bucket")
     return df if keep_batch else df.drop("batch")
 
 
@@ -160,74 +305,59 @@ def _write_state(
     df: DataFrame, state_dir: str, table: str, batch_id: int
 ) -> None:
     """Overwrite ``table``'s partition for ``batch_id`` — idempotent
-    under crash replay (module docstring, exactly-once contract)."""
-    df.write.mode("overwrite").parquet(
-        os.path.join(_state_path(state_dir, table), f"batch={batch_id}")
+    under crash replay (module docstring, exactly-once contract).
+    Bucketed tables repartition by bucket first so each batch adds at
+    most ``N`` files per table, not tasks x buckets."""
+    expr = _BUCKET_EXPR[table]
+    path = os.path.join(_state_path(state_dir, table), f"batch={batch_id}")
+    if expr is None:
+        df.write.mode("overwrite").parquet(path)
+        return
+    n = _N_DOC_BUCKETS if table == _DOCS else _N_SH_BUCKETS
+    (
+        df.withColumn("bucket", F.expr(expr))
+        .repartition(n, "bucket")
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(path)
     )
 
 
-def _commit(state_dir: str, batch_id: int) -> None:
-    d = os.path.join(state_dir, _COMMITS)
-    os.makedirs(d, exist_ok=True)
-    with open(os.path.join(d, str(batch_id)), "w") as fh:
-        fh.write("")
-
-
-def _max_committed(state_dir: str) -> int:
-    d = os.path.join(state_dir, _COMMITS)
-    if not os.path.isdir(d):
-        return -1
-    return max(
-        (int(e) for e in os.listdir(d) if e.isdigit()), default=-1
-    )
-
-
-def _mark_compacted(state_dir: str, batch_id: int) -> None:
-    d = os.path.join(state_dir, _COMPACTS)
-    os.makedirs(d, exist_ok=True)
-    with open(os.path.join(d, str(batch_id)), "w") as fh:
-        fh.write("")
-
-
-def _compaction_cleanup(state_dir: str, batch_id: int) -> None:
-    """Drop dfreq partitions superseded by a full-view compaction
-    batch.  Safe timing: by the time merge(batch_id) STARTS, batches
-    < batch_id are committed and can never replay (foreachBatch is
-    sequential and replays only the failed batch), so any partition
-    older than the latest full view STRICTLY BELOW batch_id is
-    unreachable by every future read (`batch < current` latest-wins
-    is satisfied by the full view plus the deltas after it).
-    Idempotent — a replayed merge re-deletes nothing."""
-    import shutil
-
-    d = os.path.join(state_dir, _COMPACTS)
-    if not os.path.isdir(d):
-        return
-    marks = [
-        int(e) for e in os.listdir(d) if e.isdigit() and int(e) < batch_id
-    ]
-    if not marks:
-        return
-    keep_from = max(marks)
-    table = _state_path(state_dir, _DFREQ)
-    if not os.path.isdir(table):
-        return
-    for e in os.listdir(table):
-        if e.startswith("batch=") and int(e.split("=", 1)[1]) < keep_from:
-            shutil.rmtree(os.path.join(table, e), ignore_errors=True)
+def _cleanup_superseded(state_dir: str, meta: dict, batch_id: int) -> None:
+    """Drop partitions superseded by a compaction full view.  Safe
+    timing: by the time merge(batch_id) STARTS, batches < batch_id are
+    committed and can never replay (foreachBatch is sequential and
+    replays only the failed batch), so any partition below its class
+    watermark STRICTLY BELOW batch_id is unreachable by every future
+    read — the read filter (`_kf`) is the correctness mechanism,
+    deletion is I/O hygiene.  Idempotent: re-deletes nothing."""
+    for table in (*_FACTS, _DFREQ):
+        kf = _kf(meta, table, batch_id)
+        if kf < 0:
+            continue
+        path = _state_path(state_dir, table)
+        if not os.path.isdir(path):
+            continue
+        for e in os.listdir(path):
+            if e.startswith("batch=") and int(e.split("=", 1)[1]) < kf:
+                shutil.rmtree(os.path.join(path, e), ignore_errors=True)
 
 
 def ppjoin_merge_batch(
     batch_docs: DataFrame, state_dir: str, batch_id: int
 ) -> None:
     """Merge micro-batch ``batch_id`` of (doc_id, text) rows into the
-    PPJoin state at ``state_dir`` (module docstring steps 1-4)."""
+    PPJoin state at ``state_dir`` (module docstring steps 1-4).
+    Assumes the unique-delivery contract (module docstring): each
+    doc_id arrives in exactly one micro-batch outside crash replay."""
     from flink_streaming_example_spark.operators import pinning
     from flink_streaming_example_spark.operators.dedup import (
         _release_checkpoint,
     )
 
     spark = batch_docs.sparkSession
+    meta = _read_meta(state_dir)
+    first = meta["max"] < 0 or batch_id == 0
     new = trigram_shingle_frame(
         batch_docs.select("doc_id", "text")
     ).localCheckpoint(eager=True)  # batch-sized; referenced 4x below
@@ -235,20 +365,18 @@ def ppjoin_merge_batch(
         new_post = new.select(
             "doc_id", "n_sh", F.explode("sh_arr").alias("sh")
         )
-        old_post = _read_state(spark, state_dir, _POSTINGS, batch_id)
-        old_prefix = _read_state(spark, state_dir, _PREFIXES, batch_id)
-        old_docs = _read_state(spark, state_dir, _DOCS, batch_id)
         # Incremental df fold (docstring step 2): batch counts are an
         # O(batch) aggregate; the stored df is looked up latest-wins
-        # for the batch's shingles ONLY (join before any aggregate —
-        # the accumulated postings index is never aggregated).  Equals
-        # a full `all_post.groupBy(sh).count()` exactly, per-shingle
-        # counts folding associatively across batches.
+        # for the batch's shingle BUCKETS only (join before any
+        # aggregate — the accumulated postings index is never
+        # aggregated).  Equals a full `all_post.groupBy(sh).count()`
+        # exactly, per-shingle counts folding associatively.
         delta = new_post.groupBy("sh").agg(
             F.count(F.lit(1)).alias("delta")
         )
-        compacting = False
-        if _max_committed(state_dir) < 0 or batch_id == 0:
+        compacting_dfreq = False
+        compacting_facts = False
+        if first:
             # no committed batch precedes this one (first batch of a
             # fresh index, or its replay): no prior df exists by
             # definition — the fold IS the batch count.
@@ -258,17 +386,45 @@ def ppjoin_merge_batch(
             cur_df = delta.select(
                 "sh", F.col("delta").cast("long").alias("df")
             )
+            sh_buckets: list[int] | None = None
         else:
-            _compaction_cleanup(state_dir, batch_id)
-            old_df = _read_state(
-                spark, state_dir, _DFREQ, batch_id, keep_batch=True
-            )
-            compacting = batch_id % _COMPACT_EVERY == 0
-            if compacting:
+            _cleanup_superseded(state_dir, meta, batch_id)
+            # the batch's touched shingle buckets — a bounded IN-list
+            # (<= _N_SH_BUCKETS ints) collected from the batch-sized
+            # delta, driving every sh-keyed state read's pruning.
+            sh_buckets = [
+                r[0]
+                for r in delta.select(
+                    F.expr(_SH_BUCKET).alias("b")
+                ).distinct().collect()
+            ]
+            compacting_dfreq = batch_id % _COMPACT_EVERY == 0
+            # The facts trigger must be REPLAY-DETERMINISTIC: a crash
+            # after the manifest replace (but before Spark's own
+            # checkpoint commit) replays this batch with the ledger
+            # already advanced, so re-evaluating the doubling rule
+            # would flip the decision and overwrite the full view with
+            # new-only rows.  When the manifest already records this
+            # batch (max >= batch_id), its own watermark says what the
+            # committed attempt decided; only a pre-commit replay
+            # (max < batch_id) re-evaluates the ledger.
+            if meta["max"] >= batch_id:
+                compacting_facts = meta["facts_latest"] == batch_id
+            else:
+                compacting_facts = (
+                    compacting_dfreq
+                    and meta["rows"] - meta["rows_at_compact"]
+                    >= meta["rows_at_compact"]
+                )
+            if compacting_dfreq:
                 # full-view fold (every K-th batch): latest-wins over
                 # EVERY stored shingle, outer-merged with the batch's
                 # deltas — O(distinct shingles), amortized O(dist/K)
                 # per tick; still reads ONLY the dfreq state.
+                old_df = _read_state(
+                    spark, state_dir, _DFREQ, batch_id,
+                    keep_batch=True, meta=meta,
+                )
                 full = old_df.groupBy("sh").agg(
                     F.max_by("df", "batch").alias("df")
                 )
@@ -282,6 +438,10 @@ def ppjoin_merge_batch(
                     .alias("df"),
                 )
             else:
+                old_df = _read_state(
+                    spark, state_dir, _DFREQ, batch_id,
+                    keep_batch=True, buckets=sh_buckets, meta=meta,
+                )
                 prior = (
                     old_df.join(delta.select("sh"), "sh")
                     .groupBy("sh")
@@ -306,11 +466,20 @@ def ppjoin_merge_batch(
             .filter(F.col("_rn") <= ppjoin_probe_k())
             .select("doc_id", "sh")
         )
+        old_post = _read_state(
+            spark, state_dir, _POSTINGS, batch_id,
+            buckets=sh_buckets, meta=meta,
+        )
+        old_prefix = _read_state(
+            spark, state_dir, _PREFIXES, batch_id,
+            buckets=sh_buckets, meta=meta,
+        )
         all_post = old_post.unionByName(new_post)
         # candidates sharing a probe shingle, with >= 1 member in this
-        # batch: new prefixes hit the full index; stored prefixes hit
-        # only the batch's postings (old-old pairs were probed when
-        # their own later member arrived).
+        # batch: new prefixes hit the bucket-pruned index; stored
+        # prefixes (bucket-pruned to the batch's shingles) hit only
+        # the batch's postings (old-old pairs were probed when their
+        # own later member arrived).
         cand = (
             new_prefix.join(
                 all_post.select(F.col("doc_id").alias("id_y"), "sh"), "sh"
@@ -328,6 +497,30 @@ def ppjoin_merge_batch(
                 F.greatest("id_x", "id_y").alias("id_b"),
             )
             .distinct()
+        )
+        if first:
+            # fresh index: no stored docs to prune — keep the single
+            # lazy job end-to-end (the bench replay shape).
+            doc_buckets: list[int] | None = None
+        else:
+            # materialize the candidate set once, collect its doc-id
+            # buckets (a bounded IN-list), and read ONLY those doc
+            # buckets for verification (docstring step 4).
+            cand = pinning.pin(cand, _CAND_SLOT)
+            doc_buckets = [
+                r[0]
+                for r in cand.select(
+                    F.expr(_doc_bucket("id_a")).alias("b")
+                )
+                .unionByName(
+                    cand.select(F.expr(_doc_bucket("id_b")).alias("b"))
+                )
+                .distinct()
+                .collect()
+            ]
+        old_docs = _read_state(
+            spark, state_dir, _DOCS, batch_id,
+            buckets=doc_buckets, meta=meta,
         )
         all_docs = old_docs.unionByName(
             new.select("doc_id", "sh_arr", "n_sh")
@@ -371,31 +564,60 @@ def ppjoin_merge_batch(
             .filter(F.col("cont_pm") >= PPJOIN_CONT_PM_MIN)
         )
         # Exactly-once: every write overwrites THIS batch's partition
-        # only; the commit marker lands after all five, so a crash
+        # only; the manifest replace lands after all five, so a crash
         # anywhere in between leaves the batch invisible to readers
-        # and the replay overwrites the partial partitions.
+        # and the replay overwrites the partial partitions.  A facts
+        # compaction batch writes the UNION of all live fact rows into
+        # its own partition (geometric full view) — these full reads
+        # are unpruned by design and amortized by the doubling rule.
         _write_state(pairs, state_dir, _PAIRS, batch_id)
-        _write_state(new_post, state_dir, _POSTINGS, batch_id)
-        _write_state(new_prefix, state_dir, _PREFIXES, batch_id)
+        if compacting_facts:
+            full_post = _read_state(
+                spark, state_dir, _POSTINGS, batch_id, meta=meta
+            ).unionByName(new_post)
+            full_prefix = _read_state(
+                spark, state_dir, _PREFIXES, batch_id, meta=meta
+            ).unionByName(new_prefix)
+            full_docs = _read_state(
+                spark, state_dir, _DOCS, batch_id, meta=meta
+            ).unionByName(new.select("doc_id", "sh_arr", "n_sh"))
+            _write_state(full_post, state_dir, _POSTINGS, batch_id)
+            _write_state(full_prefix, state_dir, _PREFIXES, batch_id)
+            _write_state(full_docs, state_dir, _DOCS, batch_id)
+        else:
+            _write_state(new_post, state_dir, _POSTINGS, batch_id)
+            _write_state(new_prefix, state_dir, _PREFIXES, batch_id)
+            _write_state(
+                new.select("doc_id", "sh_arr", "n_sh"),
+                state_dir,
+                _DOCS,
+                batch_id,
+            )
         _write_state(cur_df, state_dir, _DFREQ, batch_id)
-        _write_state(
-            new.select("doc_id", "sh_arr", "n_sh"),
-            state_dir,
-            _DOCS,
-            batch_id,
-        )
-        _commit(state_dir, batch_id)
-        if compacting:
-            # marker AFTER commit: a crash in between costs only the
-            # cleanup (the next compaction supersedes), never reads —
-            # old partitions stay until a later merge observes the
-            # marker strictly below its own batch id.
-            _mark_compacted(state_dir, batch_id)
+        # postings-row ledger for the geometric trigger — one tiny job
+        # off the batch checkpoint.
+        batch_rows = new.agg(
+            F.coalesce(F.sum("n_sh"), F.lit(0)).alias("r")
+        ).collect()[0]["r"]
+        if meta["max"] < batch_id:
+            # the replay-after-commit guard (a crash between manifest
+            # replace and Spark's own checkpoint commit replays this
+            # batch with the ledger already advanced — don't re-add).
+            meta["rows"] += int(batch_rows)
+            meta["max"] = batch_id
+            if compacting_dfreq:
+                meta["dfreq_prev"] = meta["dfreq_latest"]
+                meta["dfreq_latest"] = batch_id
+            if compacting_facts:
+                meta["facts_prev"] = meta["facts_latest"]
+                meta["facts_latest"] = batch_id
+                meta["rows_at_compact"] = meta["rows"]
+        _write_meta(state_dir, meta)
     finally:
         # release the batch checkpoint's blocks (bench sweeps run 262
         # keys in one JVM; a leaked batch checkpoint per rep is the
-        # round-12 pin-slot bug all over again).  cur_df is a pin slot:
-        # superseded release / release_all covers it.
+        # round-12 pin-slot bug all over again).  cur_df / cand are
+        # pin slots: superseded release / release_all covers them.
         _release_checkpoint(new)
 
 
@@ -403,16 +625,15 @@ def read_ppjoin_pairs(spark: SparkSession, state_dir: str) -> DataFrame:
     """The accumulated result table (id_small, id_big, cont_pm),
     COMMITTED batches only.  No dedup-on-read: per-batch partition
     overwrite makes crash replay idempotent, and a pair is emitted by
-    exactly one batch (the one its later member arrives in)."""
-    path = _state_path(state_dir, _PAIRS)
-    schema = _SCHEMAS[_PAIRS] + ", batch BIGINT"
-    if _has_parquet(path):
-        df = spark.read.schema(schema).parquet(path)
-    else:
-        df = spark.createDataFrame([], schema)
-    return df.filter(
-        F.col("batch") <= F.lit(_max_committed(state_dir))
-    ).drop("batch")
+    exactly one batch (the one its later member arrives in) given the
+    unique-delivery contract (module docstring).  Assumes no merge is
+    concurrently rewriting a replayed batch's partition (module
+    docstring, Readers) — in-repo reads happen after
+    ``awaitTermination``."""
+    meta = _read_meta(state_dir)
+    return _read_state(
+        spark, state_dir, _PAIRS, meta["max"] + 1, meta=meta
+    )
 
 
 def _register() -> None:

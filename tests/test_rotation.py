@@ -106,6 +106,41 @@ def test_closure_hash_covers_nested_register_wrapper():
     )
 
 
+def test_closure_hash_wrapper_fallback_prefers_register_decorator():
+    """Round-15 ADVICE: an EARLIER unrelated top-level function with a
+    bare nested helper named like the registered fn must not shadow
+    the real @register-decorated wrapper — the fallback matches
+    decorated nested defs first, so the key hashes (and flags on edits
+    to) its own wrapper, not the collider."""
+    src = (
+        "def _unrelated():\n"
+        "    def q_nested():\n"  # bare-name collider, no decorator
+        "        return 0\n"
+        "    return q_nested\n"
+        "def _register():\n"
+        "    @register('q_nested')\n"
+        "    def q_nested(spark, sf):\n"
+        "        return 1\n"
+        "_register()\n"
+    )
+    base = _function_closure_hash(src, "q_nested")
+    assert base is not None
+    # edit inside the REGISTERED wrapper -> flags
+    assert (
+        _function_closure_hash(src.replace("return 1", "return 2"), "q_nested")
+        != base
+    )
+    # edit inside the bare-name collider -> must NOT flag
+    assert (
+        _function_closure_hash(src.replace("return 0", "return 9"), "q_nested")
+        == base
+    )
+    # no decorated match anywhere -> degrades to the round-14
+    # bare-name rule rather than to silent None
+    bare = src.replace("    @register('q_nested')\n", "")
+    assert _function_closure_hash(bare, "q_nested") is not None
+
+
 def _run(monkeypatch, hist, old_source_by_round):
     """Drive compute_must_reverify with this test file as the module
     source and a fake git serving doctored old blobs."""
