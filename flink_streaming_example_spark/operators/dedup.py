@@ -76,6 +76,29 @@ _MINHASHES = 16
 _BANDS = 4  # 4 rows/band -> candidate s-curve threshold ~ (1/4)^(1/4) ≈ 0.71
 
 
+def spread_to_cores(df: DataFrame) -> DataFrame:
+    """Raise ``df``'s partitioning to the session's default parallelism
+    before a compute-heavy per-row expansion (optimization guide §2.5,
+    input skew: a single small — or unsplittable, or single-row-group —
+    input file yields a ONE-task scan, and any CPU-bound expression
+    chain above it then runs on one core while the rest idle; measured
+    5.0 s single-task for the trigram shingle build at sf0.1/local[32]).
+
+    Scale-adaptive, not a local-mode constant: a real corpus scan has
+    ``>= defaultParallelism`` splits, so the condition never fires and
+    no shuffle is added; it only fires when the scan is narrower than
+    the cluster, exactly the case where one round-robin shuffle of the
+    raw rows (key+text here, kilobytes per row) buys a ``cores``-fold
+    speedup of the expansion above it.  Round-robin repartition is
+    retry-deterministic (sortBeforeRepartition, SPARK-23207) and every
+    consumer aggregates/joins downstream, so row order never reaches a
+    result."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # The previous _band_prefiltered_candidates invocation's persisted
 # frames, released at the start of the next call: the returned frame
 # must stay cached until the CALLER materializes its result, so the
@@ -104,6 +127,9 @@ def _band_prefiltered_candidates(docs: DataFrame) -> DataFrame:
     each key's frame before invoking the next key."""
     while _BAND_PREV_PERSISTS:
         _BAND_PREV_PERSISTS.pop().unpersist()
+    # The shingle-position explode below is the CPU-heavy expansion a
+    # 1-task scan serializes (spread_to_cores docstring).
+    docs = spread_to_cores(docs)
     # Shingle positions exploded row-wise so hashing stays in codegen
     # (per-element higher-order functions are interpreted — measured
     # several× slower), then ONE aggregation computes all 16
@@ -974,7 +1000,11 @@ def trigram_shingle_frame(docs: DataFrame) -> DataFrame:
     are excluded, mirroring the oracle's ``len(ws) >= 3``).  Shared by
     q_containment_ppjoin and its streaming twin
     (streaming/ppjoin.py) so the two keys' shingle identity cannot
-    drift."""
+    drift.  The input is spread to core count first: the trigram
+    build (split + per-position concat + xxhash64 + array_distinct)
+    is the classic CPU-bound expansion over a 1-task scan
+    (spread_to_cores docstring; r15 A/B in OPTIMIZATION_r15.md)."""
+    docs = spread_to_cores(docs)
     ws = F.split(F.lower(F.col("text")), " ")
     tri = F.array_distinct(
         F.transform(

@@ -205,6 +205,14 @@ _DF_SLOT = "q_streaming_ppjoin:dfreq"
 # pin slot for the candidate set — materialized so its doc buckets can
 # be collected (a bounded IN-list) before the verify join reads docs.
 _CAND_SLOT = "q_streaming_ppjoin:cand"
+# pin slot for the df-ranked batch postings (doc_id, n_sh, sh, _rn) —
+# the one frame postings/prefixes/both candidate legs/the dfreq write
+# all derive from (r15 optimization: the five per-batch write jobs were
+# each re-running the explode -> df-join -> window subtree; one
+# checkpoint of the batch-sized ranked frame replaces five recomputes —
+# guide §2.4 "two operations keyed the same way share one exchange",
+# §5 caching-when-reused).
+_RANKED_SLOT = "q_streaming_ppjoin:ranked"
 
 _EMPTY_META = {
     "max": -1,  # highest committed batch id
@@ -379,12 +387,14 @@ def ppjoin_merge_batch(
         if first:
             # no committed batch precedes this one (first batch of a
             # fresh index, or its replay): no prior df exists by
-            # definition — the fold IS the batch count.
-            # No state read, no checkpoint; the delta aggregate is
-            # batch-sized and recomputes cheaply for its two consumers
-            # (state write + prefix ranking) off the `new` checkpoint.
-            cur_df = delta.select(
-                "sh", F.col("delta").cast("long").alias("df")
+            # definition — the fold IS the batch count.  Pinned like
+            # the non-first path (r15): the frame feeds the ranked
+            # join AND the dfreq state write, and one batch-sized
+            # checkpoint is cheaper than re-running the explode+agg
+            # per consumer (measured in OPTIMIZATION_r15.md).
+            cur_df = pinning.pin(
+                delta.select("sh", F.col("delta").cast("long").alias("df")),
+                _DF_SLOT,
             )
             sh_buckets: list[int] | None = None
         else:
@@ -460,12 +470,23 @@ def ppjoin_merge_batch(
             # universe-sized — frame)
             cur_df = pinning.pin(folded, _DF_SLOT)
         wp = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("sh"))
-        new_prefix = (
-            new_post.join(cur_df, "sh")
-            .withColumn("_rn", F.row_number().over(wp))
-            .filter(F.col("_rn") <= ppjoin_probe_k())
-            .select("doc_id", "sh")
+        # ONE pinned df-ranked postings frame (r15, _RANKED_SLOT note):
+        # postings/prefixes state writes, both candidate legs, and the
+        # facts full view all read this checkpoint instead of each
+        # re-running the explode -> df-join -> window subtree.  The
+        # inner join on sh loses no rows (every batch shingle is in
+        # cur_df by construction), so ranked.select(doc_id, n_sh, sh)
+        # IS new_post, row for row.
+        ranked = pinning.pin(
+            new_post.join(cur_df, "sh").select(
+                "doc_id", "n_sh", "sh", F.row_number().over(wp).alias("_rn")
+            ),
+            _RANKED_SLOT,
         )
+        new_post = ranked.select("doc_id", "n_sh", "sh")
+        new_prefix = ranked.filter(
+            F.col("_rn") <= ppjoin_probe_k()
+        ).select("doc_id", "sh")
         old_post = _read_state(
             spark, state_dir, _POSTINGS, batch_id,
             buckets=sh_buckets, meta=meta,
