@@ -92,9 +92,20 @@ def spread_to_cores(df: DataFrame) -> DataFrame:
     speedup of the expansion above it.  Round-robin repartition is
     retry-deterministic (sortBeforeRepartition, SPARK-23207) and every
     consumer aggregates/joins downstream, so row order never reaches a
-    result."""
+    result.
+
+    Batch-frame-only: a streaming DataFrame has no static partitioning
+    to probe, so it passes through untouched (the streaming twin's
+    per-micro-batch frames arrive already split by the source).  The
+    partition count is read from the planned internal RDD
+    (queryExecution().toRdd()) rather than ``df.rdd``, which would
+    bolt a Python-pickling RDD conversion onto every probe — including
+    once per micro-batch in ppjoin_merge_batch (r15 ADVICE)."""
+    if df.isStreaming:
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    n = df._jdf.queryExecution().toRdd().getNumPartitions()
+    if n < target:
         return df.repartition(target)
     return df
 
@@ -1003,7 +1014,8 @@ def trigram_shingle_frame(docs: DataFrame) -> DataFrame:
     drift.  The input is spread to core count first: the trigram
     build (split + per-position concat + xxhash64 + array_distinct)
     is the classic CPU-bound expansion over a 1-task scan
-    (spread_to_cores docstring; r15 A/B in OPTIMIZATION_r15.md)."""
+    (spread_to_cores docstring; driver-confirmed 1.71x on
+    q_containment_ppjoin in PERF_r15.json, 7.94 s -> 4.64 s)."""
     docs = spread_to_cores(docs)
     ws = F.split(F.lower(F.col("text")), " ")
     tri = F.array_distinct(

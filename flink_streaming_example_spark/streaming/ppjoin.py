@@ -206,12 +206,15 @@ _DF_SLOT = "q_streaming_ppjoin:dfreq"
 # be collected (a bounded IN-list) before the verify join reads docs.
 _CAND_SLOT = "q_streaming_ppjoin:cand"
 # pin slot for the df-ranked batch postings (doc_id, n_sh, sh, _rn) —
-# the one frame postings/prefixes/both candidate legs/the dfreq write
-# all derive from (r15 optimization: the five per-batch write jobs were
-# each re-running the explode -> df-join -> window subtree; one
-# checkpoint of the batch-sized ranked frame replaces five recomputes —
+# the one frame the postings/prefixes state writes, both candidate
+# legs, and the facts full view all derive from (the dfreq write
+# consumes the earlier _DF_SLOT pin instead).  r15 optimization: those
+# consumers were each re-running the explode -> df-join -> window
+# subtree; one checkpoint of the batch-sized ranked frame replaces the
+# per-consumer recomputes (medians of record: q_streaming_ppjoin
+# 31.5 s -> 17.0 s across the r15 ppjoin work, BENCH_MEDIANS.json) —
 # guide §2.4 "two operations keyed the same way share one exchange",
-# §5 caching-when-reused).
+# §5 caching-when-reused.
 _RANKED_SLOT = "q_streaming_ppjoin:ranked"
 
 _EMPTY_META = {
@@ -391,7 +394,8 @@ def ppjoin_merge_batch(
             # the non-first path (r15): the frame feeds the ranked
             # join AND the dfreq state write, and one batch-sized
             # checkpoint is cheaper than re-running the explode+agg
-            # per consumer (measured in OPTIMIZATION_r15.md).
+            # per consumer (part of the r15 ppjoin work: medians of
+            # record 31.5 s -> 17.0 s, BENCH_MEDIANS.json).
             cur_df = pinning.pin(
                 delta.select("sh", F.col("delta").cast("long").alias("df")),
                 _DF_SLOT,
@@ -520,8 +524,10 @@ def ppjoin_merge_batch(
             .distinct()
         )
         if first:
-            # fresh index: no stored docs to prune — keep the single
-            # lazy job end-to-end (the bench replay shape).
+            # fresh index: no stored docs to prune and no candidate
+            # IN-list worth collecting — skip the candidate-set pin
+            # and doc-bucket pruning (the cur_df/ranked pins above
+            # still run; they feed the first batch's state writes too).
             doc_buckets: list[int] | None = None
         else:
             # materialize the candidate set once, collect its doc-id

@@ -1201,58 +1201,175 @@ def asof_union_stream(ev: DataFrame, orders: DataFrame) -> DataFrame:
     return rights.unionByName(lefts)
 
 
+# --- keyed-state KEY GROUPS (guide §4.2, optimization round 16) -----
+#
+# The as-of family's state functions are semantically per-user, but
+# physically invoking the Python kernel once per user is the dominant
+# cost at fixture scale: the sf0.1 union carries ~250k rows across
+# ~15k distinct user_ids (~17 rows/group), and every group pays the
+# fixed applyInPandasWithState overhead (Arrow slice -> pandas frame,
+# kernel call, output frame, state row round-trip) for microseconds of
+# real work.  Flink itself never runs keyed state one-key-at-a-time:
+# keys hash into a fixed number of KEY GROUPS (maxParallelism, default
+# 128) and each group's state lives and moves together.  The same
+# layout here — groupBy(pmod(xxhash64(user_id), 128)) with per-user
+# entries vectorized inside the group — cuts kernel invocations from
+# ~15k to <=128 per micro-batch while every per-user semantic
+# (carry, buffering, timers, cross-batch composition) is preserved
+# bit-for-bit; tests/test_multibatch.py re-proves the sharded-replay
+# composition on the bucketed kernels and the driver hash-checks the
+# outputs against the unchanged batch oracles.  At production scale
+# the constant is the Flink default; raise it the same way
+# maxParallelism is raised (it bounds state-rebalance granularity,
+# not correctness).
+_N_KEY_GROUPS = 128
+
+
+def _key_grouped(union_df: DataFrame) -> "DataFrame":
+    # materialized column, not a groupBy expression:
+    # FlatMapGroupsInPandasWithState resolves its grouping attributes
+    # against the child's output, so an aliased expression fails analysis
+    return union_df.withColumn(
+        "kg", F.pmod(F.xxhash64("user_id"), F.lit(_N_KEY_GROUPS))
+    ).groupBy("kg")
+
+
+def _seg_last_flag_pos(gid, flag_pos, n):
+    """Segmented forward scan: for each row i (rows pre-sorted so each
+    group is contiguous, ``gid`` its 0-based group index), the position
+    of the most recent row at-or-before i WITHIN i's group whose
+    ``flag_pos`` is set (>= 0; -1 = unset).  Returns (valid, pos) —
+    the vectorized equivalent of "carry the last order seen so far"
+    with per-user resets, via one np.maximum.accumulate over
+    gid*(n+1)+(flag_pos+1) (monotone in gid, so a previous group's
+    flags can never leak: they decode to a smaller gid and fail the
+    validity check)."""
+    import numpy as np
+
+    step = np.int64(n + 1)
+    key = gid * step + (flag_pos + np.int64(1))
+    acc = np.maximum.accumulate(key)
+    valid = (acc // step == gid) & (acc % step > 0)
+    return valid, acc % step - 1
+
+
+def _group_index(u):
+    """(head_mask, gid) for a sorted key array: head marks each
+    group's first row, gid numbers groups 0..G-1 in order."""
+    import numpy as np
+
+    head = np.empty(u.size, dtype=bool)
+    head[0] = True
+    head[1:] = u[1:] != u[:-1]
+    return head, np.cumsum(head) - 1
+
+
+def _merge_carry(su, sl, uu, ul):
+    """Merge per-user carry updates (uu, ul) into the sorted state
+    arrays (su, sl); a user present in both takes the batch value.
+    Returns new sorted (users, last) arrays."""
+    import numpy as np
+
+    if not uu.size:
+        return su, sl
+    if not su.size:
+        return uu, ul
+    allu = np.concatenate([su, uu])
+    allv = np.concatenate([sl, ul])
+    order = np.argsort(allu, kind="stable")
+    allu, allv = allu[order], allv[order]
+    # stable sort keeps state-then-batch order within a duplicate key;
+    # keeping the LAST occurrence therefore keeps the batch value
+    keep = np.empty(allu.size, dtype=bool)
+    keep[:-1] = allu[1:] != allu[:-1]
+    keep[-1] = True
+    return allu[keep], allv[keep]
+
+
+def _carry_lookup(su, sl, u):
+    """Per-row carry lookup: for each (sorted-irrelevant) user id in
+    ``u``, (has_carry, value) from the sorted state arrays."""
+    import numpy as np
+
+    if not su.size:
+        return np.zeros(u.size, dtype=bool), np.zeros(u.size, np.int64)
+    ix = np.searchsorted(su, u)
+    ix = np.minimum(ix, su.size - 1)
+    has = su[ix] == u
+    return has, np.where(has, sl[ix], np.int64(0))
+
+
 def asof_stream(union_df: DataFrame) -> DataFrame:
     """J9-streaming: backward as-of as a keyed two-input process
-    function — Flink's CoProcessFunction enrichment pattern.  Per-key
+    function — Flink's CoProcessFunction enrichment pattern.  Per-user
     state is ONE value (the latest order time seen), so state is O(1)
-    per key however long the stream runs; each event emits immediately
+    per user however long the stream runs; each event emits immediately
     with the current carry.  This is the streaming execution of exactly
     the union + running-carry formulation the batch q_asof_join uses —
     same timeline, same (t, side) ordering, so the bounded replay
-    hash-matches the batch oracle.
+    hash-matches the batch oracle.  Physically the users are hashed
+    into _N_KEY_GROUPS key groups (see the block comment above) and the
+    carry runs as one vectorized segmented scan per group — identical
+    per-user semantics, ~100x fewer Python kernel invocations.
 
     Ordering contract (same as count_windows_stream/cep_funnel_stream):
     a key's rows must arrive in (t_us, side) order ACROSS micro-batches
     — i.e. both topics keyed by user_id and time-ordered, with aligned
     progress (a Kafka consumer reading both topics with aligned offsets
     provides it; tests/test_multibatch.py proves the composition on
-    time-aligned shard replays).  Within a batch, rows are sorted here.
-    Forward/nearest as-of have no streaming twin on purpose: they need
-    FUTURE orders, i.e. watermark-delayed emission, which trades the
-    O(1) state for a buffer — the batch operators cover that
-    semantics."""
+    time-aligned shard replays).  Within a batch, rows are sorted here."""
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def carry(key, pdfs, state: GroupState):
-        (user_id,) = key
-        last_us = state.get[0] if state.exists else None
-        pdf = pd.concat(list(pdfs)).sort_values(["t_us", "side"])
-        out_ids, out_carry = [], []
-        for t_us, side, event_id in zip(
-            pdf["t_us"], pdf["side"], pdf["event_id"]
-        ):
-            if side == 0:
-                last_us = int(t_us)
-            else:
-                out_ids.append(int(event_id))
-                out_carry.append(last_us)
-        if last_us is not None:
-            state.update((last_us,))
+        if state.exists:
+            su = np.asarray(state.get[0], dtype=np.int64)
+            sl = np.asarray(state.get[1], dtype=np.int64)
+        else:
+            su = sl = np.empty(0, dtype=np.int64)
+        chunks = list(pdfs)
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+        user = pdf["user_id"].to_numpy(np.int64)
+        t = pdf["t_us"].to_numpy(np.int64)
+        side = pdf["side"].to_numpy(np.int64)
+        # (user, t, side): a tied order sorts BEFORE its tied event, so
+        # the event reads it — the <= tie of the batch oracle, exactly
+        # the per-key sort_values(["t_us", "side"]) of the row kernel
+        srt = np.lexsort((side, t, user))
+        u, t, side = user[srt], t[srt], side[srt]
+        eid = pdf["event_id"].to_numpy()[srt]
+        n = u.size
+        head, gid = _group_index(u)
+        flag = np.where(side == 0, np.arange(n, dtype=np.int64), np.int64(-1))
+        valid, pos = _seg_last_flag_pos(gid, flag, n)
+        has_c, cval = _carry_lookup(su, sl, u)
+        res = np.where(valid, t[np.where(valid, pos, 0)], cval)
+        has = valid | has_c
+        ev = side == 1
+        # new per-user carry: the group's last in-batch order (at the
+        # group's final row the segmented scan has seen every order)
+        end = np.flatnonzero(np.append(head[1:], True))
+        upd = valid[end]
+        new_u, new_l = u[end][upd], t[np.where(valid, pos, 0)][end][upd]
+        su, sl = _merge_carry(su, sl, new_u, new_l)
+        if su.size:
+            state.update((su.tolist(), sl.tolist()))
+        out_last = res[ev]
         yield pd.DataFrame(
             {
-                "event_id": pd.array(out_ids, dtype="Int64"),
-                "user_id": pd.array(
-                    [user_id] * len(out_ids), dtype="Int64"
+                "event_id": eid[ev].astype(np.int64),
+                "user_id": u[ev],
+                "last_order_us": pd.arrays.IntegerArray(
+                    out_last, mask=~has[ev]
                 ),
-                "last_order_us": pd.array(out_carry, dtype="Int64"),
             }
         )
 
-    return union_df.groupBy("user_id").applyInPandasWithState(
+    return _key_grouped(union_df).applyInPandasWithState(
         carry,
         outputStructType="event_id long, user_id long, last_order_us long",
-        stateStructType="last_us long",
+        stateStructType="users array<long>, last array<long>",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -1289,110 +1406,144 @@ def asof_forward_stream(union_df: DataFrame, flush_after_ms: int) -> DataFrame:
     last_us — out-of-order input beyond what the aligned-progress
     contract admits — last_us is the earliest KNOWN order at-or-after
     ts, the best answer available without unbounded order history."""
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def forward(key, pdfs, state: GroupState):
-        (user_id,) = key
-
-        def frame(ids, next_us):
+        # Key-group kernel (see _N_KEY_GROUPS): state holds the sorted
+        # per-user carry arrays (users/last) plus the pending buffer as
+        # parallel (user, event_id) arrays; every per-user rule of the
+        # original per-key kernel is applied segment-wise below.
+        def frame(ids, users, next_us, next_mask):
             return pd.DataFrame(
                 {
-                    "event_id": pd.array(ids, dtype="Int64"),
-                    "user_id": pd.array([user_id] * len(ids), dtype="Int64"),
-                    "next_order_us": pd.array(next_us, dtype="Int64"),
+                    "event_id": np.asarray(ids, dtype=np.int64),
+                    "user_id": np.asarray(users, dtype=np.int64),
+                    "next_order_us": pd.arrays.IntegerArray(
+                        np.asarray(next_us, dtype=np.int64),
+                        mask=np.asarray(next_mask, dtype=bool),
+                    ),
                 }
             )
 
         if state.hasTimedOut:
-            pending, last_us = state.get
-            # keep the order-time carry (timer-free state row) so a
+            su, sl, pu, pe = state.get
+            # keep the order-time carries (timer-free state row) so a
             # late tied event can still resolve; only the buffer dies
-            state.update(([], last_us))
-            yield frame(list(pending), [None] * len(pending))
+            state.update((list(su), list(sl), [], []))
+            yield frame(pe, pu, [0] * len(pe), [True] * len(pe))
             return
         if state.exists:
-            pending, last_us = list(state.get[0]), state.get[1]
+            su = np.asarray(state.get[0], dtype=np.int64)
+            sl = np.asarray(state.get[1], dtype=np.int64)
+            pu = np.asarray(state.get[2], dtype=np.int64)
+            pe = np.asarray(state.get[3], dtype=np.int64)
         else:
-            pending, last_us = [], None
-        # Vectorized batch pass: sort (t asc, side desc) so a
-        # same-instant order lands AFTER its tied events (>= satisfied,
-        # mirroring _asof_forward), then each event's next order is a
-        # searchsorted over order positions; events past the batch's
-        # last order stay pending.  (On the fixture's ~17-row key
-        # groups numpy is roughly cost-neutral vs a row loop — the win
-        # here came from the pending-only timer below — but hot keys at
-        # scale hand the searchsorted path thousands of rows, where the
-        # loop loses by orders of magnitude.)
-        import numpy as np
-
-        pdf = pd.concat(list(pdfs))
+            su = sl = pu = pe = np.empty(0, dtype=np.int64)
+        chunks = list(pdfs)
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+        user = pdf["user_id"].to_numpy(np.int64)
         t = pdf["t_us"].to_numpy(np.int64)
         side = pdf["side"].to_numpy(np.int64)
-        srt = np.lexsort((-side, t))
-        t, side = t[srt], side[srt]
+        # (user, t asc, side desc): a same-instant order lands AFTER
+        # its tied events (>= satisfied, mirroring _asof_forward)
+        srt = np.lexsort((-side, t, user))
+        u, t, side = user[srt], t[srt], side[srt]
         eid = pdf["event_id"].to_numpy()[srt]
-        opos = np.flatnonzero(side == 0)
-        epos = np.flatnonzero(side == 1)
-        ev_ids = eid[epos].astype(np.int64)
-        out_ids: list[int] = []
-        out_next: list[int] = []
-        if last_us is not None and epos.size:
-            # cross-batch tie/carry resolution (docstring): events
-            # at-or-before the last order already seen resolve to it
-            # right away instead of buffering past their match
-            done = t[epos] <= last_us
-            out_ids.extend(ev_ids[done].tolist())
-            out_next.extend([last_us] * int(done.sum()))
-            epos, ev_ids = epos[~done], ev_ids[~done]
-        nxt = np.searchsorted(opos, epos)
-        have = nxt < opos.size
-        if opos.size:
-            if pending:  # prior-batch buffer flushes on the first order
-                first_t = int(t[opos[0]])
-                out_ids.extend(pending)
-                out_next.extend([first_t] * len(pending))
-                pending = []
-            out_ids.extend(ev_ids[have].tolist())
-            out_next.extend(t[opos[nxt[have]]].tolist())
-            pending.extend(ev_ids[~have].tolist())
-            last_us = int(t[opos[-1]]) if last_us is None else max(
-                last_us, int(t[opos[-1]])
-            )
-        else:
-            pending.extend(ev_ids.tolist())
-        # Timer ONLY for keys with something to flush: the end-of-input
-        # sweep invokes the Python kernel once per timed-out key, and
-        # registering all ~15k fixture keys cost ~2-3 s at sf0.1 (A/B
-        # same-harness medians of 3: unconditional timer 7.6 s ->
-        # pending-only 5.9 s; the backward carry with NO sweep runs
-        # 3.2 s — the remaining delta IS the flush sweep over the ~40%
-        # of keys that end buffered, inherent to per-key timeout
-        # semantics).  A key with an empty buffer has no state worth
-        # keeping at all — remove it so neither the store nor the
-        # sweep carries it.
-        if pending:
-            state.update((pending, last_us))
+        n = u.size
+        head, gid = _group_index(u)
+        idx = np.arange(n, dtype=np.int64)
+        # segmented NEXT order at-or-after each row: the same carry
+        # scan run over the reversed arrays (a group stays contiguous
+        # reversed; its gid order flips, which _seg_last_flag_pos
+        # handles because any monotone group numbering works)
+        r_u = u[::-1]
+        r_head, r_gid = _group_index(r_u)
+        r_flag = np.where(
+            side[::-1] == 0, idx, np.int64(-1)
+        )  # idx here = reversed position
+        r_valid, r_pos = _seg_last_flag_pos(r_gid, r_flag, n)
+        nxt_valid = r_valid[::-1]
+        nxt_pos = (np.int64(n - 1) - np.where(r_valid, r_pos, 0))[::-1]
+        # segmented LAST order per group (for the carry update)
+        flag = np.where(side == 0, idx, np.int64(-1))
+        lv, lp = _seg_last_flag_pos(gid, flag, n)
+        end = np.flatnonzero(np.append(head[1:], True))
+        g_user = u[end]
+        g_has_ord = lv[end]
+        g_last_ord = t[np.where(lv, lp, 0)][end]
+        # per-user FIRST in-batch order (group head's next-order scan)
+        hd = np.flatnonzero(head)
+        g_first_ord = t[np.where(nxt_valid, nxt_pos, 0)][hd]
+        has_c, cval = _carry_lookup(su, sl, u)
+        ev = side == 1
+        ev_u, ev_t = u[ev], t[ev]
+        ev_id = eid[ev].astype(np.int64)
+        # cross-batch tie/carry resolution (docstring): events
+        # at-or-before their user's last order already seen resolve to
+        # it right away instead of buffering past their match
+        done = has_c[ev] & (ev_t <= cval[ev])
+        out_ids = ev_id[done].tolist()
+        out_users = ev_u[done].tolist()
+        out_next = cval[ev][done].tolist()
+        out_mask = [False] * len(out_ids)
+        # prior-batch buffer flushes on its user's first in-batch order
+        if pu.size:
+            p_ix = np.searchsorted(g_user, pu)
+            p_ix = np.minimum(p_ix, g_user.size - 1)
+            p_hit = (g_user[p_ix] == pu) & g_has_ord[p_ix]
+            out_ids.extend(pe[p_hit].tolist())
+            out_users.extend(pu[p_hit].tolist())
+            out_next.extend(g_first_ord[p_ix][p_hit].tolist())
+            out_mask.extend([False] * int(p_hit.sum()))
+            pu, pe = pu[~p_hit], pe[~p_hit]
+        # in-batch resolution for the remaining events
+        live = ~done
+        hit = nxt_valid[ev] & live
+        out_ids.extend(ev_id[hit].tolist())
+        out_users.extend(ev_u[hit].tolist())
+        out_next.extend(t[np.where(nxt_valid, nxt_pos, 0)][ev][hit].tolist())
+        out_mask.extend([False] * int(hit.sum()))
+        buf = live & ~nxt_valid[ev]
+        if buf.any():
+            pu = np.concatenate([pu, ev_u[buf]])
+            pe = np.concatenate([pe, ev_id[buf]])
+        # carry update: max(old, last in-batch order) per user
+        upd_u = g_user[g_has_ord]
+        upd_l = g_last_ord[g_has_ord]
+        old_has, old_val = _carry_lookup(su, sl, upd_u)
+        upd_l = np.where(old_has, np.maximum(upd_l, old_val), upd_l)
+        su, sl = _merge_carry(su, sl, upd_u, upd_l)
+        # Timer ONLY for groups with something to flush: the
+        # end-of-input sweep invokes the Python kernel once per
+        # timed-out group — with key groups that is <=128 calls where
+        # the per-key layout paid one per buffered user (~6k at sf0.1,
+        # the dominant cost of the r7 kernel's flush sweep).
+        if pu.size:
+            state.update((su.tolist(), sl.tolist(), pu.tolist(), pe.tolist()))
             state.setTimeoutTimestamp(
                 max(flush_after_ms, state.getCurrentWatermarkMs() + 1)
             )
-        elif last_us is not None:
-            # no buffer, but keep the timer-free order-time carry so a
-            # late tied event can still resolve (docstring); the
-            # pending-only-timer economics are preserved — carry-only
-            # rows never join the timeout sweep
-            state.update(([], last_us))
+        elif su.size:
+            # no buffer, but keep the timer-free order-time carries so
+            # a late tied event can still resolve (docstring);
+            # carry-only rows never join the timeout sweep
+            state.update((su.tolist(), sl.tolist(), [], []))
         elif state.exists:
             state.remove()
-        yield frame(out_ids, out_next)
+        yield frame(out_ids, out_users, out_next, out_mask)
 
     u = union_df.withColumn(
         "ts_wm", F.timestamp_micros(F.col("t_us"))
     ).withWatermark("ts_wm", "0 seconds")
-    return u.groupBy("user_id").applyInPandasWithState(
+    return _key_grouped(u).applyInPandasWithState(
         forward,
         outputStructType="event_id long, user_id long, next_order_us long",
-        stateStructType="pending array<long>, last_us long",
+        stateStructType=(
+            "users array<long>, last array<long>, "
+            "pu array<long>, pe array<long>"
+        ),
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
@@ -1467,135 +1618,178 @@ def asof_nearest_stream(union_df: DataFrame, flush_after_ms: int) -> DataFrame:
     backward snapshot at the end-of-input timer.  State per key is the
     O(1) carry plus the pending buffer — the same
     bounded-by-next-order/horizon profile as the forward twin."""
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    def nearest(key, pdfs, state: GroupState):
-        (user_id,) = key
+    def _resolve_vec(t, bwd, fwd, fwd_has):
+        """Vectorized closest-side pick; bwd < 0 = no backward
+        candidate, fwd_has masks the forward one.  Closer side wins;
+        tie -> backward (earlier date); a missing side concedes.
+        Mirrors operators/joins.py::_asof_nearest exactly (dist =
+        least of the two).  Returns (near, dist, none_mask)."""
+        has_b = bwd >= 0
+        db = t - bwd
+        df_ = fwd - t
+        pick_b = has_b & (~fwd_has | (db <= df_))
+        near = np.where(pick_b, bwd, fwd)
+        dist = np.where(pick_b, db, df_)
+        none = ~has_b & ~fwd_has
+        return near, dist, none
 
-        def resolve(t_us, bwd_us, fwd_us):
-            # closer side wins; tie -> backward (earlier date); a
-            # missing side concedes.  Mirrors operators/joins.py::
-            # _asof_nearest exactly (dist = least of the two).
-            if bwd_us < 0 and fwd_us is None:
-                return None, None
-            if bwd_us < 0:
-                return fwd_us, fwd_us - t_us
-            if fwd_us is None:
-                return bwd_us, t_us - bwd_us
-            db, df_ = t_us - bwd_us, fwd_us - t_us
-            return (bwd_us, db) if db <= df_ else (fwd_us, df_)
-
-        def frame(rows):
-            return pd.DataFrame(
-                {
-                    "event_id": pd.array([r[0] for r in rows], dtype="Int64"),
-                    "user_id": pd.array(
-                        [user_id] * len(rows), dtype="Int64"
-                    ),
-                    "nearest_us": pd.array(
-                        [r[1] for r in rows], dtype="Int64"
-                    ),
-                    "dist_us": pd.array([r[2] for r in rows], dtype="Int64"),
-                }
-            )
-
-        if state.hasTimedOut:
-            _last, ids, ts, bwds = state.get
-            state.remove()
-            yield frame(
-                [
-                    (i, *resolve(t, b, None))
-                    for i, t, b in zip(ids, ts, bwds)
-                ]
-            )
-            return
-        last_us, ids, ts, bwds = (
-            state.get if state.exists else (-1, [], [], [])
+    def frame(ids, users, near, dist, none):
+        none = np.asarray(none, dtype=bool)
+        return pd.DataFrame(
+            {
+                "event_id": np.asarray(ids, dtype=np.int64),
+                "user_id": np.asarray(users, dtype=np.int64),
+                "nearest_us": pd.arrays.IntegerArray(
+                    np.asarray(near, dtype=np.int64), mask=none.copy()
+                ),
+                "dist_us": pd.arrays.IntegerArray(
+                    np.asarray(dist, dtype=np.int64), mask=none.copy()
+                ),
+            }
         )
-        ids, ts, bwds = list(ids), list(ts), list(bwds)
-        # Vectorized batch pass (same shape and rationale as
-        # asof_forward_stream's): per event, the backward snapshot is
-        # the batch's last order BEFORE its position (falling back to
-        # the carried last_us) and the forward candidate the first
-        # order after; events with an in-batch forward resolve
-        # immediately, the rest pend with their snapshot.  A/B at
-        # sf0.1 (same-harness medians of 3): row loop + unconditional
-        # timer 9.3 s -> this pass + pending-only timer 5.9 s.
-        import numpy as np
 
-        pdf = pd.concat(list(pdfs))
+    def nearest(key, pdfs, state: GroupState):
+        # Key-group kernel (see _N_KEY_GROUPS): sorted per-user carry
+        # arrays (users/last, -1 = none yet) plus the pending buffer as
+        # parallel (user, event_id, event_t, bwd-snapshot) arrays.
+        if state.hasTimedOut:
+            _su, _sl, pu, pe, pt, pb = state.get
+            state.remove()
+            pt = np.asarray(pt, dtype=np.int64)
+            pb = np.asarray(pb, dtype=np.int64)
+            near, dist, none = _resolve_vec(
+                pt, pb, np.zeros(pt.size, np.int64),
+                np.zeros(pt.size, dtype=bool),
+            )
+            yield frame(pe, pu, near, dist, none)
+            return
+        if state.exists:
+            su = np.asarray(state.get[0], dtype=np.int64)
+            sl = np.asarray(state.get[1], dtype=np.int64)
+            pu = np.asarray(state.get[2], dtype=np.int64)
+            pe = np.asarray(state.get[3], dtype=np.int64)
+            pt = np.asarray(state.get[4], dtype=np.int64)
+            pb = np.asarray(state.get[5], dtype=np.int64)
+        else:
+            su = sl = pu = pe = pt = pb = np.empty(0, dtype=np.int64)
+        chunks = list(pdfs)
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+        user = pdf["user_id"].to_numpy(np.int64)
         t = pdf["t_us"].to_numpy(np.int64)
         side = pdf["side"].to_numpy(np.int64)
-        srt = np.lexsort((-side, t))
-        t, side = t[srt], side[srt]
+        # (user, t asc, side desc): tied order sorts AFTER its tied
+        # events — backward excludes the tie, forward includes it,
+        # exactly the per-key kernel's searchsorted geometry
+        srt = np.lexsort((-side, t, user))
+        u, t, side = user[srt], t[srt], side[srt]
         eid = pdf["event_id"].to_numpy()[srt]
-        opos = np.flatnonzero(side == 0)
-        epos = np.flatnonzero(side == 1)
-        ev_ids = eid[epos].astype(np.int64)
-        ev_t = t[epos]
-        out = []
-        if opos.size:
-            # prior-batch buffer: first in-batch order is their forward
-            first_t = int(t[opos[0]])
-            out.extend(
-                (i, *resolve(et, b, first_t))
-                for i, et, b in zip(ids, ts, bwds)
-            )
-            ids, ts, bwds = [], [], []
-            fwd_i = np.searchsorted(opos, epos)
-            has_b = fwd_i > 0
-            bwd_us = np.where(
-                has_b, t[opos[np.maximum(fwd_i - 1, 0)]], last_us
-            )
-            has_f = fwd_i < opos.size
-            # resolved now: forward candidate exists in this batch
-            r_b = bwd_us[has_f]
-            r_t = ev_t[has_f]
-            r_f = t[opos[fwd_i[has_f]]]
-            db = r_t - r_b
-            df_ = r_f - r_t
-            pick_b = (r_b >= 0) & (db <= df_)
-            near = np.where(pick_b, r_b, r_f)
-            dist = np.where(pick_b, db, df_)
-            out.extend(
-                zip(
-                    ev_ids[has_f].tolist(),
-                    near.tolist(),
-                    dist.tolist(),
+        n = u.size
+        head, gid = _group_index(u)
+        idx = np.arange(n, dtype=np.int64)
+        flag = np.where(side == 0, idx, np.int64(-1))
+        # backward: last order strictly before the row (the row itself
+        # is an event wherever we read this, so at-or-before == before)
+        b_valid, b_pos = _seg_last_flag_pos(gid, flag, n)
+        # forward: first order at-or-after, via the reversed scan
+        r_u = u[::-1]
+        _r_head, r_gid = _group_index(r_u)
+        r_flag = np.where(side[::-1] == 0, idx, np.int64(-1))
+        r_valid, r_pos = _seg_last_flag_pos(r_gid, r_flag, n)
+        f_valid = r_valid[::-1]
+        f_pos = (np.int64(n - 1) - np.where(r_valid, r_pos, 0))[::-1]
+        f_t = t[f_pos]
+        end = np.flatnonzero(np.append(head[1:], True))
+        hd = np.flatnonzero(head)
+        g_user = u[end]
+        g_has_ord = b_valid[end]  # any order in the group at all
+        g_last_ord = t[np.where(b_valid, b_pos, 0)][end]
+        g_first_ord = f_t[hd]
+        has_c, cval = _carry_lookup(su, sl, u)
+        cval = np.where(has_c, cval, np.int64(-1))  # -1 = no carry
+        ev = side == 1
+        ev_u, ev_t = u[ev], t[ev]
+        ev_id = eid[ev].astype(np.int64)
+        # per-event backward snapshot: in-batch last order before it,
+        # else the carried last_us (may be -1 = none)
+        bwd = np.where(
+            b_valid[ev], t[np.where(b_valid, b_pos, 0)][ev], cval[ev]
+        )
+        # prior-batch buffer: its user's first in-batch order is the
+        # forward candidate (only users with an in-batch order resolve)
+        out_ids: list = []
+        out_users: list = []
+        out_near: list = []
+        out_dist: list = []
+        out_none: list = []
+        if pu.size and g_user.size:
+            p_ix = np.searchsorted(g_user, pu)
+            p_ix = np.minimum(p_ix, g_user.size - 1)
+            p_hit = (g_user[p_ix] == pu) & g_has_ord[p_ix]
+            if p_hit.any():
+                near, dist, none = _resolve_vec(
+                    pt[p_hit], pb[p_hit], g_first_ord[p_ix][p_hit],
+                    np.ones(int(p_hit.sum()), dtype=bool),
                 )
+                out_ids.extend(pe[p_hit].tolist())
+                out_users.extend(pu[p_hit].tolist())
+                out_near.extend(near.tolist())
+                out_dist.extend(dist.tolist())
+                out_none.extend(none.tolist())
+                pu, pe, pt, pb = pu[~p_hit], pe[~p_hit], pt[~p_hit], pb[~p_hit]
+        # events with an in-batch forward candidate resolve now
+        hit = f_valid[ev]
+        if hit.any():
+            near, dist, none = _resolve_vec(
+                ev_t[hit], bwd[hit], f_t[ev][hit],
+                np.ones(int(hit.sum()), dtype=bool),
             )
-            ids = ev_ids[~has_f].tolist()
-            ts = ev_t[~has_f].tolist()
-            bwds = bwd_us[~has_f].tolist()
-            last_us = int(t[opos[-1]])
-        else:
-            ids.extend(ev_ids.tolist())
-            ts.extend(ev_t.tolist())
-            bwds.extend([last_us] * int(epos.size))
-        state.update((last_us, ids, ts, bwds))
-        # Timer only for keys holding unresolved events (same ~15k-key
-        # sweep economics as asof_forward_stream); the carry itself
-        # needs no flush — a key whose buffer empties later may see a
-        # previously-set timer fire with nothing pending, which emits
-        # an empty frame (harmless).
-        if ids:
+            out_ids.extend(ev_id[hit].tolist())
+            out_users.extend(ev_u[hit].tolist())
+            out_near.extend(near.tolist())
+            out_dist.extend(dist.tolist())
+            out_none.extend(none.tolist())
+        buf = ~hit
+        if buf.any():
+            pu = np.concatenate([pu, ev_u[buf]])
+            pe = np.concatenate([pe, ev_id[buf]])
+            pt = np.concatenate([pt, ev_t[buf]])
+            pb = np.concatenate([pb, bwd[buf]])
+        # carry update: the group's LAST in-batch order replaces the
+        # carry outright (matches the per-key kernel, which overwrote
+        # rather than max-ing — in-order input makes them identical)
+        su, sl = _merge_carry(su, sl, g_user[g_has_ord], g_last_ord[g_has_ord])
+        state.update(
+            (
+                su.tolist(), sl.tolist(),
+                pu.tolist(), pe.tolist(), pt.tolist(), pb.tolist(),
+            )
+        )
+        # Timer only for groups holding unresolved events (<=128
+        # timeout invocations vs one per buffered user before); a group
+        # whose buffer empties later may see a previously-set timer
+        # fire with nothing pending, which emits an empty frame
+        # (harmless).
+        if pu.size:
             state.setTimeoutTimestamp(
                 max(flush_after_ms, state.getCurrentWatermarkMs() + 1)
             )
-        yield frame(out)
+        yield frame(out_ids, out_users, out_near, out_dist, out_none)
 
     u = union_df.withColumn(
         "ts_wm", F.timestamp_micros(F.col("t_us"))
     ).withWatermark("ts_wm", "0 seconds")
-    return u.groupBy("user_id").applyInPandasWithState(
+    return _key_grouped(u).applyInPandasWithState(
         nearest,
         outputStructType=(
             "event_id long, user_id long, nearest_us long, dist_us long"
         ),
         stateStructType=(
-            "last_us long, ids array<long>, ts array<long>, "
-            "bwds array<long>"
+            "users array<long>, last array<long>, pu array<long>, "
+            "pe array<long>, pt array<long>, pb array<long>"
         ),
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
